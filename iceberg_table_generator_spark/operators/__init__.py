@@ -1,0 +1,5 @@
+"""Operator modules — importing this package registers every query."""
+
+from iceberg_table_generator_spark.operators import (  # noqa: F401
+    relational,
+)
