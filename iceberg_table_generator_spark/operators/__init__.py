@@ -1,5 +1,9 @@
 """Operator modules — importing this package registers every query."""
 
 from iceberg_table_generator_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
     relational,
+    similarity,
+    text,
 )

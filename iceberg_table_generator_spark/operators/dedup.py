@@ -1,0 +1,275 @@
+"""Deduplication operators (driver-mandated extension, SURVEY.md §2.8).
+
+Four tiers over the `documents` table, each designed for 100 TB:
+
+- exact: content-hash groupBy — one shuffle on the 16-byte digest (never on
+  the document text), keep-first by doc_id.
+- n-gram Jaccard: inverted-index self-join on 3-word shingles — candidate
+  pairs are only those sharing ≥1 shingle, so cost scales with true overlap,
+  not |docs|².  DuckDB-oracle-checkable end to end.
+- MinHash + LSH banding: constant-size signatures (64 perms) per doc, band
+  buckets bound the candidate set; verification joins back to exact Jaccard.
+  Approximate → rows-only driver check; recall is asserted against the exact
+  operator in tests/test_dedup.py.
+- SimHash: 64-bit fingerprints, chunk-banded candidate generation
+  (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal), bit_count XOR verify.
+
+No Python UDFs anywhere — hashing is xxhash64/md5 (JVM codegen), set math is
+explode + groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercase whitespace tokenization as an array column."""
+    return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), " "))
+
+
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document (array column `shingles`).
+
+    Built with sequence+transform over the token array — pure JVM
+    expressions, no explode until the consumer needs one."""
+    expr = f"""
+      array_distinct(transform(sequence(0, greatest(size(tokens) - {n}, -1)),
+                     i -> concat_ws(' ', slice(tokens, i + 1, {n}))))
+    """
+    return df.withColumn("shingles", F.expr(expr))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(text))   AS content_key,
+           min(doc_id)        AS keep_doc_id,
+           count(*)           AS n_copies
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep-min doc_id.
+
+    Scale: the shuffle key is the 128-bit digest, not the document — at
+    100 TB the shuffle moves ~32 bytes/doc.  Equivalent plan to
+    `dropDuplicates(["content_key"])` but keeps the group size for audit."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_key", F.md5(F.lower(F.col("text"))))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup: n-gram Jaccard via inverted-index join (exact, oracle-checked)
+# --------------------------------------------------------------------------
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       round(p.shared * 1.0 / (ca.n + cb.n - p.shared), 6) AS jaccard
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5).
+
+    Inverted index: explode shingles → self-join on the shingle → count
+    shared per pair → Jaccard from per-doc distinct-shingle counts.  The
+    join key is the shingle, so only genuinely overlapping pairs are ever
+    materialized; at 100 TB add a stop-shingle filter (drop shingles with
+    document frequency above a cap) to bound the worst bucket — the LSH
+    operator below is the designed scale path."""
+    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    sh = d.select("doc_id", F.explode("shingles").alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup: MinHash + LSH banding (the 100 TB path; rows-only check)
+# --------------------------------------------------------------------------
+N_PERM = 64
+N_BANDS = 16  # 16 bands × 4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """64 minhash values per doc from one explode pass.
+
+    One aggregation computes all 64 permutations: min(xxhash64(i, shingle))
+    per i — xxhash64 is a JVM codegen'd expression, and the shuffle carries
+    just (doc_id, 64×8 bytes)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query("dedup_minhash_lsh")  # approx → rows-only driver check; recall tested in pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified with exact Jaccard.
+
+    Pipeline: shingle → 64-perm minhash signature → 16 band keys per doc →
+    self-join on (band, band_hash) → exact-Jaccard verification of the
+    candidate pairs only.  At 100 TB: signatures are constant-size per doc;
+    band buckets bound candidates; a hot bucket (boilerplate shingles) is
+    handled by salting the band key or capping bucket size."""
+    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    sh = d.select("doc_id", F.explode("shingles").alias("s"))
+    sig = minhash_signatures(sh)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
+            f"band_{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bands = banded.selectExpr(
+        "doc_id",
+        "stack({}, {}) AS (band_id, band_hash)".format(
+            N_BANDS, ", ".join(f"{b}, band_{b}" for b in range(N_BANDS))
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (joins back to shingle sets).
+    sets = d.select("doc_id", "shingles")
+    verified = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# --------------------------------------------------------------------------
+# Near-dup: SimHash (rows-only check; behavior tested in pytest)
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # hamming ≤ 3 ⇒ at least one 16-bit chunk identical
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    Expressed as 64 conditional sums over the exploded tokens — all JVM
+    expressions, one shuffle on doc_id."""
+    tok = df.select("doc_id", F.explode("tokens").alias("t"))
+    h = F.xxhash64("t")
+    # 1 << 63 overflows a long literal; shiftleft wraps in the JVM, which is
+    # exactly the two's-complement bit mask we want for the sign bit.
+    bit = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1)).alias(f"b_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b_{i}") > 0, bit(i)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+@query("dedup_simhash")  # rows-only driver check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ 3.
+
+    Candidate generation by chunk banding (pigeonhole over 4 × 16-bit
+    chunks), verification by bit_count(xor).  At 100 TB the fingerprint is
+    8 bytes/doc and candidates are bounded by chunk-bucket sizes."""
+    d = tokenize(load_table(spark, sf_dir, "documents"))
+    fp = simhash(d)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+            for c in range(SIMHASH_CHUNKS)
+        ],
+    )
+    stacked = chunks.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack({}, {}) AS (chunk_id, chunk_val)".format(
+            SIMHASH_CHUNKS, ", ".join(f"{c}, c_{c}" for c in range(SIMHASH_CHUNKS))
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,223 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.8).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+every one a pure JVM column-expression pipeline (split / filter / aggregate
+folds), so 100 TB of text streams through whole-stage codegen with zero
+Python and zero shuffles except the final small aggregates.
+
+Each operator's math is replicated expression-for-expression in its DuckDB
+oracle; per-row arithmetic (ratios, folds) is deterministic on both engines,
+and cross-row sums follow the DECIMAL accumulation policy of
+operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from iceberg_table_generator_spark.operators.relational import sql_dsum
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+# Tiny per-language marker lexicons (public stopword lists, abridged).
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-word scoring)
+# --------------------------------------------------------------------------
+_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang AS labeled_lang, string_split(lower(text), ' ') AS ws
+  FROM documents),
+scores AS (
+  SELECT doc_id, labeled_lang,
+         len(list_filter(ws, w -> w IN ({_sql_list(LANG_MARKERS['en'])}))) AS s_en,
+         len(list_filter(ws, w -> w IN ({_sql_list(LANG_MARKERS['de'])}))) AS s_de,
+         len(list_filter(ws, w -> w IN ({_sql_list(LANG_MARKERS['fr'])}))) AS s_fr,
+         len(list_filter(ws, w -> w IN ({_sql_list(LANG_MARKERS['es'])}))) AS s_es
+  FROM tok)
+SELECT doc_id, labeled_lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+            WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'und' END AS predicted_lang,
+       CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+       CAST(s_fr AS INT) AS s_fr, CAST(s_es AS INT) AS s_es
+FROM scores
+"""
+
+
+@query("text_language_id", oracle=_LANGID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with a deterministic argmax tie-break
+    (en > de > fr > es).  The synthetic corpus shares one vocabulary across
+    labels, so accuracy is not the point — the operator shape (token filter
+    → scores → argmax) is, and it matches its oracle exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.split(F.lower("text"), " ").alias("ws"),
+    )
+    score = {
+        lang: F.size(F.filter("ws", lambda w: w.isin(markers))).alias(f"s_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = tok.select("doc_id", "labeled_lang", *score.values())
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        predicted.alias("predicted_lang"),
+        *[F.col(f"s_{lang}").cast("int").alias(f"s_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+_QUALITY_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS text_len,
+         length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ({_sql_list(STOPWORDS)}))) AS n_stop
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(n_words AS INT)                                  AS n_words,
+       round(text_len * 1.0 / n_words, 6)                    AS avg_word_len,
+       round(n_punct * 1.0 / text_len, 6)                    AS punct_ratio,
+       round(n_stop * 1.0 / n_words, 6)                      AS stopword_ratio,
+       round(least(n_words / 50.0, 1.0) * 0.5
+             + least(n_stop * 1.0 / n_words, 0.2) * 2.5, 6)  AS quality_score
+FROM feat
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, punctuation ratio, stopword
+    ratio) + a composite score — narrow per-row transforms only; at 100 TB
+    this is a zero-shuffle streaming pass."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    text_len = F.length("text")
+    n_punct = text_len - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    n_stop = F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(STOPWORDS)))
+    feat = d.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"), text_len.alias("text_len"),
+        n_punct.alias("n_punct"), n_stop.alias("n_stop"),
+    )
+    return feat.select(
+        "doc_id", "lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(F.col("text_len") * 1.0 / F.col("n_words"), 6).alias("avg_word_len"),
+        F.round(F.col("n_punct") * 1.0 / F.col("text_len"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") * 1.0 / F.col("n_words"), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_words") / 50.0, F.lit(1.0)) * 0.5
+            + F.least(F.col("n_stop") * 1.0 / F.col("n_words"), F.lit(0.2)) * 2.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex), aggregated per (lang, source)
+# --------------------------------------------------------------------------
+_TOKEN_ORACLE = f"""
+WITH t AS (
+  SELECT lang, source,
+         len(string_split(text, ' '))                          AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
+         n_chars
+  FROM documents)
+SELECT lang, source,
+       count(*)                    AS n_docs,
+       {sql_dsum('ws_tokens', 0)}  AS total_ws_tokens,
+       {sql_dsum('re_tokens', 0)}  AS total_re_tokens,
+       {sql_dsum('n_chars', 0)}    AS total_chars,
+       round(CAST(sum(CAST(re_tokens AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+           AS avg_tokens_per_doc
+FROM t GROUP BY lang, source
+"""
+
+
+@query("text_token_count", oracle=_TOKEN_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts rolled up per (lang,
+    source) — the training-data token-budget accounting query.  Counting is
+    per-row expression work; one small aggregate shuffle at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split("text", " "))
+    re_tokens = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0))
+    t = d.select(
+        "lang", "source",
+        ws_tokens.alias("ws_tokens"), re_tokens.alias("re_tokens"), F.col("n_chars"),
+    )
+    dec = "decimal(25,6)"
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(F.col("ws_tokens").cast(dec)).cast("double"), 0).alias("total_ws_tokens"),
+        F.round(F.sum(F.col("re_tokens").cast(dec)).cast("double"), 0).alias("total_re_tokens"),
+        F.round(F.sum(F.col("n_chars").cast(dec)).cast("double"), 0).alias("total_chars"),
+        F.round(
+            F.sum(F.col("re_tokens").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash)
+# --------------------------------------------------------------------------
+_FP_ORACLE = """
+WITH codes AS (
+  SELECT doc_id, lang,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+  FROM documents)
+SELECT doc_id, lang,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM codes
+"""
+
+
+@query("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling polynomial hash (base 31, mod 1e9+7) over the
+    document characters — a content fingerprint computable in one fold,
+    identical expression on both engines.  Per-row fold, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    codes = F.transform(F.split("text", ""), F.ascii)
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % 1000000007,
+    )
+    return d.select("doc_id", "lang", fp.alias("fingerprint"))
