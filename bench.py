@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full materialization, no
+collect-to-driver cost).  A small warmup query absorbs JVM/codegen startup
+so per-query numbers measure the plans, not the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_table_generator_spark import all_queries, get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multiway_revenue",
+    "agg_groupby_having",
+    "window_topk_per_group",
+    "topk_global",
+    "events_sessionize",
+    "events_hourly_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_token_count",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

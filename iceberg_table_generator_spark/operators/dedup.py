@@ -108,22 +108,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency above a cap) to bound the worst bucket — the LSH
     operator below is the designed scale path."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
-    sh = d.select("doc_id", F.explode("shingles").alias("s"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Set size rides along from the array (F.size) — no count aggregation,
+    # no post-join back to a counts table.  The join key is the xxhash64 of
+    # the shingle: an 8-byte shuffle key instead of a ~20-byte string; a
+    # 64-bit collision would need ~2^32 distinct shingles to matter.
+    sh = d.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("shared"))
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return pairs.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -138,9 +145,10 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """64 minhash values per doc from one explode pass.
 
-    One aggregation computes all 64 permutations: min(xxhash64(i, shingle))
-    per i — xxhash64 is a JVM codegen'd expression, and the shuffle carries
-    just (doc_id, 64×8 bytes)."""
+    One aggregation computes all 64 permutations: min(xxhash64(i, h)) per i,
+    where `h` is the shingle pre-hashed to a long — so the string is hashed
+    once and each permutation re-hashes 8 bytes, all JVM codegen'd.  The
+    shuffle carries just (doc_id, 64×8 bytes)."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(N_PERM)
     ]
@@ -157,7 +165,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets bound candidates; a hot bucket (boilerplate shingles) is
     handled by salting the band key or capping bucket size."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
-    sh = d.select("doc_id", F.explode("shingles").alias("s"))
+    sh = d.select("doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"))
     sig = minhash_signatures(sh)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
