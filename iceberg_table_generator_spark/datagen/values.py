@@ -3,10 +3,16 @@
 Reference surface: `ValueGenerator.java` (single instance seeded 42,
 row-at-a-time `java.util.Random`).  Per SURVEY.md §2.4 we do NOT emulate the
 Java PRNG bit-for-bit; we reproduce the distribution + determinism contract
-with Spark-native seeded expressions.  Determinism contract: `F.rand(seed)`
-is deterministic for a fixed partition layout, so every builder pins the
-partitioning via `spark.range(n, numPartitions=...)` — same (seed, n,
-partitions) ⇒ identical output, re-runnable anywhere in the plan.
+with Spark-native seeded expressions.
+
+Determinism contract — stronger than the reference's: every "random" value
+is a pure hash of (row id, seed, salt) via xxhash64, NOT a stateful RNG
+stream.  `F.rand(seed)` is only deterministic per partition layout and
+desynchronizes between expression instances when conditional branches skip
+evaluation; a counter-free hash is reproducible for ANY partitioning, any
+executor count, any re-run — the property that matters when regenerating a
+100 TB table across 1000 executors.  Requires the input to carry the
+`spark.range` id column (all builders here do).
 
 All generators are pure column expressions (JVM-side, codegen'd): generating
 10^12 rows is `spark.range` parallelized across the cluster with zero Python
@@ -44,9 +50,15 @@ def ids(spark: SparkSession, n: int, num_partitions: int = 32, start: int = 0) -
     return spark.range(start, start + n, 1, num_partitions)
 
 
-def _r(seed: int, salt: int) -> Column:
-    """Independent uniform [0,1) stream per (seed, salt)."""
-    return F.rand(seed * 1_000_003 + salt)
+_DENOM = float(1 << 40)
+
+
+def _r(seed: int, salt: int, id_col: str = "id") -> Column:
+    """Independent uniform [0,1) per (row id, seed, salt): a pure hash, so
+    the same row always sees the same value regardless of partitioning,
+    evaluation order, or how many expressions reference it."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed), F.lit(salt))
+    return F.pmod(h, F.lit(1 << 40)).cast("double") / F.lit(_DENOM)
 
 
 def uniform_int(lo: int, hi: int, seed: int = DEFAULT_SEED, salt: int = 0) -> Column:

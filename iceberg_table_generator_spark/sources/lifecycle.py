@@ -1,0 +1,269 @@
+"""Versioned-table lifecycle: create / append / delete / evolve / time-travel.
+
+This is the Spark-native re-expression of the reference's core surface
+(`IcebergTableGenerator.java`): multi-snapshot table histories with
+merge-on-read deletes, schema evolution, and partition-spec evolution.
+
+Two backends:
+
+- `IcebergTable` (preferred): real Iceberg v2 via Spark SQL DML — one DML
+  statement = one snapshot, positional deletes from
+  `write.delete.mode=merge-on-read`, `ALTER TABLE` evolution.  Activated
+  only when the iceberg-spark-runtime jar is present
+  (`session.iceberg_runtime_available()`), which it is not in this
+  container — the class is the documented scale path.
+- `ParquetSnapshotTable`: the same semantics on plain Parquet — each commit
+  appends an immutable snapshot entry to a JSON metadata log; deletes are
+  merge-on-read delete files (row-id keyed) applied with an anti-join at
+  read time; schema evolution reconciles via unionByName(allowMissingColumns);
+  time travel = reading an older snapshot's file list.  This keeps every
+  lifecycle scenario runnable and testable with zero connector dependencies.
+
+Semantics mapping (reference → here):
+- `Transaction.commitTransaction()` → one `_commit()` JSON entry
+  (`IcebergTableGenerator.java:367-379`)
+- positional delete file (path, pos, row) → delete-file parquet keyed by
+  `__row_id` (`IcebergTableGenerator.java:237-245`)
+- equality delete (field values) → predicate-computed delete file; identical
+  row-visibility semantics (`IcebergTableGenerator.java:288-365`, SURVEY §7)
+- `updateSchema().addColumn/deleteColumn` → `add_column`/`drop_column`
+  (`Main.java:440-443`)
+- `updateSpec().addField/removeField` → `set_partition_fields`
+  (`IcebergTableGenerator.java:94-101`)
+
+Scale posture: data/delete files are plain columnar Parquet readable by any
+executor count; the metadata log is O(snapshots) JSON (driver-side, tiny);
+reads are `spark.read.parquet(*files)` + one broadcast-able anti-join on
+row ids (delete files are small relative to data, as in Iceberg MoR).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+ROW_ID = "__row_id"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    operation: str
+    data_files: list[str] = field(default_factory=list)
+    delete_files: list[str] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)
+    timestamp_ms: int = 0
+
+
+class ParquetSnapshotTable:
+    """Merge-on-read versioned table over plain Parquet files."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._meta_path = os.path.join(path, "metadata.json")
+
+    # -- metadata -----------------------------------------------------------
+    def _load(self) -> list[Snapshot]:
+        with open(self._meta_path) as f:
+            return [Snapshot(**s) for s in json.load(f)]
+
+    def _save(self, snaps: list[Snapshot]) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([vars(s) for s in snaps], f, indent=1)
+        os.replace(tmp, self._meta_path)  # atomic commit, HadoopTableOperations-style
+
+    def _commit(self, op: str, **changes) -> Snapshot:
+        snaps = self._load()
+        prev = snaps[-1]
+        snap = Snapshot(
+            snapshot_id=prev.snapshot_id + 1,
+            operation=op,
+            data_files=changes.get("data_files", list(prev.data_files)),
+            delete_files=changes.get("delete_files", list(prev.delete_files)),
+            columns=changes.get("columns", list(prev.columns)),
+            partition_by=changes.get("partition_by", list(prev.partition_by)),
+            timestamp_ms=int(time.time() * 1000),
+        )
+        snaps.append(snap)
+        self._save(snaps)
+        return snap
+
+    # -- lifecycle ----------------------------------------------------------
+    def create(self, columns: list[str], partition_by: list[str] | None = None) -> "ParquetSnapshotTable":
+        """S2: create (drop-if-exists).  `columns` excludes the row-id."""
+        if os.path.exists(self.path):
+            import shutil
+
+            shutil.rmtree(self.path)  # drop-with-purge semantics
+        os.makedirs(self.path)
+        self._save(
+            [
+                Snapshot(
+                    snapshot_id=0,
+                    operation="create",
+                    columns=list(columns),
+                    partition_by=list(partition_by or []),
+                    timestamp_ms=int(time.time() * 1000),
+                )
+            ]
+        )
+        return self
+
+    def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
+        """S3/S4: append one batch of rows as a new snapshot.
+
+        Row ids are (snapshot_id << 40) + per-batch sequence — globally
+        unique and stable, the positional-delete anchor.  `num_files`
+        controls the physical file count (the reference's files-per-append
+        knob, `IcebergTableGenerator.java:103-127`)."""
+        snaps = self._load()
+        cur = snaps[-1]
+        sid = cur.snapshot_id + 1
+        out = df
+        if ROW_ID not in df.columns:
+            out = df.withColumn(
+                ROW_ID, (F.lit(sid).cast("long") * (1 << 40)) + F.monotonically_increasing_id()
+            )
+        if num_files:
+            out = out.repartition(num_files)
+        file_dir = os.path.join(self.path, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        writer = out.write.mode("overwrite")
+        if cur.partition_by:
+            writer = writer.partitionBy(*cur.partition_by)
+        writer.parquet(file_dir)
+        new_cols = cur.columns + [c for c in df.columns if c not in cur.columns and c != ROW_ID]
+        return self._commit("append", data_files=cur.data_files + [file_dir], columns=new_cols)
+
+    def delete_where(self, condition: str, mode: str = "equality") -> Snapshot:
+        """D1/D2: merge-on-read delete — writes a delete file of matching
+        row ids, visible rows = data anti-join deletes.
+
+        `mode` is descriptive ('equality' vs 'positional'): both reduce to
+        row-visibility via the row-id key, which is exactly the semantics
+        the reference's two delete-file kinds produce for readers
+        (SURVEY.md §7 equality-delete note)."""
+        matching = self.read().filter(condition).select(ROW_ID)
+        sid = self._load()[-1].snapshot_id + 1
+        del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        matching.write.mode("overwrite").parquet(del_dir)
+        cur = self._load()[-1]
+        return self._commit(f"delete-{mode}", delete_files=cur.delete_files + [del_dir])
+
+    def add_column(self, name: str) -> Snapshot:
+        """E2: ALTER TABLE ADD COLUMN (null-filled for existing rows)."""
+        cur = self._load()[-1]
+        return self._commit("add-column", columns=cur.columns + [name])
+
+    def drop_column(self, name: str) -> Snapshot:
+        """E2: ALTER TABLE DROP COLUMN (projection-level; files untouched,
+        exactly like Iceberg's metadata-only drop)."""
+        cur = self._load()[-1]
+        return self._commit("drop-column", columns=[c for c in cur.columns if c != name])
+
+    def set_partition_fields(self, partition_by: list[str]) -> Snapshot:
+        """E1: partition-spec evolution — old files keep their layout, new
+        appends use the new spec (Iceberg REPLACE PARTITION FIELD)."""
+        return self._commit("replace-partition-field", partition_by=list(partition_by))
+
+    # -- reads --------------------------------------------------------------
+    def snapshots(self) -> list[Snapshot]:
+        return self._load()
+
+    def read(self, version: int | None = None, with_row_id: bool = True) -> DataFrame:
+        """Current (or VERSION AS OF) visible rows: union data files with
+        schema reconciliation, anti-join the accumulated delete files."""
+        snaps = self._load()
+        if version is None:
+            snap = snaps[-1]
+        else:
+            try:
+                snap = next(s for s in snaps if s.snapshot_id == version)
+            except StopIteration:
+                raise ValueError(
+                    f"no snapshot {version}; table has versions 0..{snaps[-1].snapshot_id}"
+                ) from None
+        if not snap.data_files:
+            cols = snap.columns + ([ROW_ID] if with_row_id else [])
+            return self.spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
+        df: DataFrame | None = None
+        for path in snap.data_files:
+            part = self.spark.read.parquet(path)
+            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+        if snap.delete_files:
+            deletes: DataFrame | None = None
+            for path in snap.delete_files:
+                d = self.spark.read.parquet(path)
+                deletes = d if deletes is None else deletes.union(d)
+            # Delete files are small relative to data (MoR invariant) —
+            # broadcast the anti-join so the data side never shuffles.
+            df = df.join(F.broadcast(deletes), ROW_ID, "left_anti")
+        cols = [c for c in snap.columns if c in df.columns]
+        return df.select(*cols, *([ROW_ID] if with_row_id else []))
+
+
+class IcebergTable:
+    """Real Iceberg v2 lifecycle via Spark SQL — the scale path, active when
+    iceberg-spark-runtime is on the classpath (see session.get_spark, which
+    registers the `itg` hadoop catalog).
+
+    Cites: create+v2 props (`IcebergTableGenerator.java:71-88`), MoR deletes
+    (`:177-286`), spec evolution (`:94-101`), schema evolution
+    (`Main.java:440-443`)."""
+
+    def __init__(self, spark: SparkSession, name: str, catalog: str = "itg"):
+        from iceberg_table_generator_spark.session import iceberg_runtime_available
+
+        if not iceberg_runtime_available():
+            raise RuntimeError(
+                "iceberg-spark-runtime jar not available in this environment; "
+                "use ParquetSnapshotTable (same semantics on plain parquet)"
+            )
+        self.spark = spark
+        self.full_name = f"{catalog}.{name}"
+
+    def create(self, schema_ddl: str, partition_by: str | None = None,
+               props: dict[str, str] | None = None) -> "IcebergTable":
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.full_name} PURGE")
+        parts = f" PARTITIONED BY ({partition_by})" if partition_by else ""
+        tbl_props = {"format-version": "2", "write.delete.mode": "merge-on-read"}
+        tbl_props.update(props or {})
+        props_sql = ", ".join(f"'{k}'='{v}'" for k, v in tbl_props.items())
+        self.spark.sql(
+            f"CREATE TABLE {self.full_name} ({schema_ddl}) USING iceberg{parts} "
+            f"TBLPROPERTIES ({props_sql})"
+        )
+        return self
+
+    def append(self, df: DataFrame, num_files: int | None = None) -> None:
+        (df.repartition(num_files) if num_files else df).writeTo(self.full_name).append()
+
+    def delete_where(self, condition: str) -> None:
+        self.spark.sql(f"DELETE FROM {self.full_name} WHERE {condition}")
+
+    def add_column(self, name: str, type_ddl: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.full_name} ADD COLUMN {name} {type_ddl}")
+
+    def drop_column(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.full_name} DROP COLUMN {name}")
+
+    def replace_partition_field(self, old: str, new: str) -> None:
+        self.spark.sql(
+            f"ALTER TABLE {self.full_name} REPLACE PARTITION FIELD {old} WITH {new}"
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is not None:
+            return self.spark.read.option("versionAsOf", version).table(self.full_name)
+        return self.spark.table(self.full_name)
+
+    def snapshots(self) -> DataFrame:
+        return self.spark.sql(f"SELECT * FROM {self.full_name}.snapshots")

@@ -1,0 +1,95 @@
+"""Structured Streaming pipelines over the events stream (SURVEY.md §2.7).
+
+The reference is batch-only; streams are driver-mandated extension surface.
+Pipelines here are the streaming twins of the batch event queries in
+operators/relational.py — same windowing semantics, plus watermarks for
+late data.  Tests run them with `Trigger.AvailableNow` over the testdata
+parquet and assert equality with the batch results (the stream-batch parity
+contract of Structured Streaming).
+
+Scale posture: event-time windows + watermark bound state; the aggregation
+state store is keyed by (window, event_type) — small; sessionization state
+is per-user and dropped at watermark expiry.  On a cluster, swap the file
+source for Kafka and the memory sink for an Iceberg/parquet sink — the
+unbounded logical plan is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_table_generator_spark.session import ensure_session_confs
+from iceberg_table_generator_spark.sources.tables import table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same ns→µs
+    timestamp normalization as the batch loader (sources/tables.py).
+
+    Watermark-bearing column: `ts` (event time).  maxFilesPerTrigger keeps
+    micro-batches bounded when replaying a directory."""
+    ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
+    batch_schema = spark.read.parquet(path).schema
+    # The file stream source only accepts directories (new files arrive as
+    # directory entries).  The testdata table is a single parquet file, so
+    # stage a directory containing a symlink to it — a real deployment
+    # streams from a landing directory or Kafka and skips this.
+    if os.path.isfile(path):
+        stage = os.path.join(
+            tempfile.gettempdir(), f"stream_stage_{os.path.basename(sf_dir)}_events"
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # Watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ —
+        # with the session pinned to UTC the wall-clock values are identical
+        # to the batch loader's NTZ column.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_window_stream(spark: SparkSession, sf_dir: str, late_threshold: str = "2 hours") -> DataFrame:
+    """Streaming tumbling 1-hour aggregate with watermark — the unbounded
+    twin of `events_hourly_window`.  State per (window, event_type) is
+    finalized and dropped `late_threshold` past the window end."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", late_threshold)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+    """Drain everything currently available through the streaming engine into
+    an in-memory sink table and return it as a DataFrame (test/dev runner;
+    production uses a durable sink + continuous trigger)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,72 @@
+"""Similarity search: ANN recall vs exact, local/global top-k equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iceberg_table_generator_spark.operators import similarity
+
+
+def test_ann_recall_vs_exact(spark, sf_medium):
+    exact = similarity.similarity_cosine_topk(spark, sf_medium)
+    approx = similarity.similarity_ann_lsh(spark, sf_medium)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"ANN recall {recall:.2f} below 0.7"
+
+
+def test_exact_topk_self_excluded_and_ranked(spark, sf_small):
+    df = similarity.similarity_cosine_topk(spark, sf_small)
+    rows = df.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert all(1 <= r.rank <= similarity.TOP_K for r in rows)
+    assert all(-1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9 for r in rows)
+    # ranks ordered by descending sim within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True), f"query {q} not sorted"
+
+
+def test_topk_local_global_matches_window(spark, sf_small):
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = similarity.with_norm(emb)
+    qry = similarity.with_norm(emb.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.aggregate(
+                    F.zip_with("qvec", "vec", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                / (F.col("qnorm") * F.col("norm"))
+            ).alias("sim"),
+        )
+    )
+    two_phase = similarity.topk_local_global(pairs, k=5)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    window_topk = (
+        pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    )
+    a = {(r.query_id, r.neighbor_id) for r in two_phase.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in window_topk.collect()}
+    assert a == b
