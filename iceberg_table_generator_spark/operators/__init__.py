@@ -4,6 +4,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     text,
 )

@@ -1,0 +1,344 @@
+"""Relational pack, batch 2: time-series joins, pivots, grouping sets,
+percentiles, rolling range frames, fuzzy matching, deterministic sampling.
+
+These extend SURVEY.md §2.7's replacement surface with the operator shapes a
+training-data pipeline leans on daily.  Same engineering rules as batch 1
+(operators/relational.py): declarative plans, broadcast-able dims, DECIMAL
+accumulation for cross-row double sums, every query paired with a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iceberg_table_generator_spark.operators.relational import DEC, dsum, sql_dsum
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# As-of join (the classic "latest prior event" operator Spark lacks natively)
+# --------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase')),
+carried AS (
+  SELECT user_id, event_id, ts, is_p,
+         last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id,
+         max(CASE WHEN is_p = 0 THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ts
+  FROM tagged)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       asof_view_id,
+       date_diff('second', asof_view_ts, ts) AS seconds_since_view
+FROM carried
+WHERE is_p = 1 AND asof_view_id IS NOT NULL
+"""
+
+
+@query("asof_join_events", oracle=_ASOF_ORACLE)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior (or
+    same-instant) view.
+
+    Implemented as the scalable union-and-carry composition, NOT a range
+    crossJoin: tag both streams, union, and carry the last view forward with
+    one window pass — a single shuffle on user_id, O(n) state, no pair
+    blow-up.  This is the standard distributed as-of strategy (same shape
+    as sort-merge as-of in kdb/pandas.merge_asof, expressed declaratively)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("is_p") == 0, F.col("event_id"))
+    view_ts = F.when(F.col("is_p") == 0, F.col("ts"))
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_p",
+        F.last(view_id, ignorenulls=True).over(w).alias("asof_view_id"),
+        F.max(view_ts).over(w).alias("asof_view_ts"),
+    )
+    return carried.filter((F.col("is_p") == 1) & F.col("asof_view_id").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "asof_view_id",
+        (epoch(F.col("ts")) - epoch(F.col("asof_view_ts"))).alias("seconds_since_view"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "pivot_status_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot with an explicit value list — explicit values keep the plan
+    a single pass (no values-discovery job) and stable at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2))
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (beyond rollup/cube)
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (c_mktsegment, o_orderstatus))
+"""
+
+
+@query("grouping_sets", oracle=_GROUPING_SETS_SQL)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set lattice in one Expand pass (spark.sql)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles
+# --------------------------------------------------------------------------
+@query(
+    "percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS median_price,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 6) AS p90_price,
+           round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 6) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`).  At 100 TB swap to `approx_percentile` (t-digest,
+    mergeable sketch) — exact percentile requires a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# arg-max / arg-min aggregation
+# --------------------------------------------------------------------------
+@query(
+    "argmax_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS biggest_order,
+           round(max(o_totalprice), 2)                           AS biggest_price,
+           arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS smallest_order,
+           round(min(o_totalprice), 2)                           AS smallest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max) per group.  The ordering value is perturbed
+    by orderkey·1e-9 to break price ties deterministically — prices have
+    2-decimal granularity (min gap 0.01), so the perturbation can never
+    reorder distinct prices, but makes the comparison key unique."""
+    o = load_table(spark, sf_dir, "orders")
+    ordv = F.col("o_totalprice") + F.col("o_orderkey") * 1e-9
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+        F.min_by("o_orderkey", ordv).alias("smallest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("smallest_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling range frame (trailing 30-day window per customer)
+# --------------------------------------------------------------------------
+@query(
+    "rolling_30d_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE), 2)
+               AS revenue_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling aggregate via a RANGE frame over epoch days —
+    the time-series rollup shape.  One shuffle on custkey; the range frame
+    is evaluated with a sliding accumulator, not per-row rescans."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 2).alias(
+            "revenue_30d"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy matching (edit distance)
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_brand_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, c.p_brand) AS INT) AS edit_distance
+    FROM b a JOIN b c ON a.p_brand < c.p_brand
+    WHERE levenshtein(a.p_brand, c.p_brand) <= 1
+    """,
+)
+def fuzzy_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pairing over the distinct brand domain — distinct-first
+    keeps the pair space bounded by domain cardinality (25 brands → 300
+    pairs) no matter how many part rows exist."""
+    b = load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    lev = F.levenshtein(F.col("a.p_brand"), F.col("c.p_brand"))
+    return (
+        a.join(c, F.col("a.p_brand") < F.col("c.p_brand"))
+        .filter(lev <= 1)
+        .select(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("c.p_brand").alias("brand_b"),
+            lev.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling
+# --------------------------------------------------------------------------
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample selected by content hash of the key — reproducible across
+    engines, partitionings, and re-runs (unlike TABLESAMPLE/rand), and
+    consistent for the same key across tables (joinable samples).  The
+    hex-string compare keeps it expressible in any engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.md5(F.col("o_orderkey").cast("string")) < "1a").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (array_agg shape, hash-stable rendering)
+# --------------------------------------------------------------------------
+@query(
+    "string_agg_nations",
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: sort_array(collect_list) rendered to a string —
+    order made explicit so the result is deterministic under any
+    partitioning (bare collect_list order is not)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Date/time function pack
+# --------------------------------------------------------------------------
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                          AS yr,
+           CAST(quarter(o_orderdate) AS INT)                       AS qtr,
+           CAST(month(o_orderdate) AS INT)                         AS mon,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR)       AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)    AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)::VARCHAR AS plus_3m,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time surface: extract, truncate, month-end, add_months,
+    day arithmetic — all codegen'd; date outputs rendered as ISO strings for
+    bridge-stable hashing."""
+    o = load_table(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(100)) == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        # DuckDB's date_trunc('month') yields DATE; align by casting.
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("string").alias("plus_3m"),
+        F.datediff(F.to_date(F.lit("2002-01-01")), d).cast("long").alias("days_to_2002"),
+    )

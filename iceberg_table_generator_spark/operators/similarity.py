@@ -1,15 +1,19 @@
 """Similarity search over embedding columns (SURVEY.md §2.8).
 
-Two paths over the `embeddings` table (`array<float>`, 64-dim):
+Three paths over the `embeddings` table (`array<float>`, 64-dim):
 
 - exact brute-force cosine top-k: the correctness baseline, DuckDB-checked.
   Query set is broadcast; candidates stream through unshuffled; per-partition
   top-k then a tiny global merge (the REPOSE-style local/global split,
   PAPERS.md).
-- LSH-bucketed approximate top-k (random hyperplanes): the big-big scale
-  path — both sides bucketed by signature, join per bucket.  Approximate →
-  rows-only driver check; recall asserted against the exact path in
-  tests/test_similarity.py.
+- LSH-bucketed approximate top-k (random hyperplanes): signature buckets on
+  both sides, join per bucket.
+- IVF approximate top-k (k-means coarse quantizer + nprobe): inverted lists
+  per centroid, queries probe only their nearest lists — the preferred scale
+  structure for clustered corpora.
+
+Approximate paths → rows-only driver check; recall asserted against the
+exact path in tests/test_similarity.py.
 
 All vector math is JVM-side (`zip_with`/`aggregate` fold) — no Python in the
 hot path.  Floats are cast to double BEFORE any arithmetic so Spark and the
@@ -109,8 +113,8 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (near-orthogonal random embeddings), so collision probability per plane is
 # ~(1 - θ/π) ≈ 0.6 and recall needs few planes + many tables: 4×16 measures
 # ~0.9 recall@5.  For corpora this weakly clustered LSH prunes little
-# (~35%); an IVF (k-means coarse quantizer) variant is the better scale
-# structure when clusters exist and is the planned second ANN path.
+# (~35%); the IVF operator below is the better scale structure when real
+# clusters exist.
 N_PLANES = 4  # 2^4 = 16 buckets per table
 N_TABLES = 16  # independent hash tables to boost recall
 
@@ -176,6 +180,114 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))  # dedupe multi-table hits
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate: IVF (k-means coarse quantizer + nprobe search)
+# --------------------------------------------------------------------------
+IVF_CLUSTERS = 16
+IVF_ITERS = 4
+IVF_NPROBE = 6
+
+
+def _sq_dist(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> DataFrame:
+    """Distributed Lloyd's k-means over DataFrame ops (no MLlib dependency).
+
+    Init: the k vectors with the smallest xxhash64(vec_id) — deterministic
+    and scan-cheap.  Each iteration: broadcast centroids → nearest-centroid
+    assignment (narrow pass) → elementwise mean via posexplode + two small
+    aggregations.  Centroid state is k×dim doubles — always broadcastable;
+    the big side is never shuffled, so each iteration is one scan + one
+    tiny agg shuffle.  Returns (cluster_id, centroid array<double>)."""
+    dim_df = emb.select(F.size("vec").alias("d")).limit(1)
+    centroids = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(k)
+        .select("h", F.col("vec").alias("centroid"))
+        .withColumn("cluster_id", F.row_number().over(Window.orderBy("h")) - 1)
+        .select("cluster_id", "centroid")
+    )
+    for _ in range(iters):
+        assigned = _assign(emb, centroids)
+        centroids = (
+            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast crossJoin + rank 1."""
+    pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2", _sq_dist("vec", "centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cluster_id")
+    )
+
+
+@query("similarity_ivf_topk")  # approx → rows-only driver check; recall in pytest
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k: k-means partitions the corpus into inverted lists; each
+    query probes only its IVF_NPROBE nearest lists.
+
+    At 100 TB: fit on a sample, assignment is one narrow pass, and the
+    search join hits nprobe/k of the corpus (4/16 = 25 % here) — and the
+    candidate join co-partitions both sides on cluster_id.  Better than
+    hyperplane LSH when the corpus is genuinely clustered (this testdata
+    has 10 labeled clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    centroids = ivf_fit(emb)
+    lists = _assign(emb, centroids)
+    cand = with_norm(lists)
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES))
+    # nprobe nearest clusters per query
+    qc = qry.crossJoin(F.broadcast(centroids)).withColumn("d2", _sq_dist("vec", "centroid"))
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            "cluster_id",
+        )
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

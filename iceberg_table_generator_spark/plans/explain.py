@@ -1,0 +1,74 @@
+"""Physical-plan introspection: assert the plan we designed is the plan we got.
+
+"Correct but mis-planned" regressions (lost pushdown, surprise sort-merge
+join, full-width scans) don't fail correctness tests — they fail at 100 TB.
+These helpers make plan properties assertable in the test suite, so a plan
+regression is a red test, not a production incident.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries from every scan node in the plan."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_text(df)):
+        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[list[str]]:
+    """Column lists each parquet scan actually reads (pruning evidence)."""
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan_text(df)):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def plan_nodes(df: DataFrame) -> list[str]:
+    """Physical operator names, one per node (from the formatted detail
+    headers `(N) OperatorName`, which list each node exactly once)."""
+    return re.findall(r"^\(\d+\) (\w+)", plan_text(df), flags=re.MULTILINE)
+
+
+def join_kinds(df: DataFrame) -> dict[str, int]:
+    nodes = plan_nodes(df)
+    return {
+        kind: nodes.count(kind)
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
+    }
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the initial plan (AQE may later coalesce).
+    BroadcastExchange is excluded — broadcasts are not shuffles."""
+    return plan_nodes(df).count("Exchange")
+
+
+def has_operator(df: DataFrame, name: str) -> bool:
+    return name in plan_text(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """Number of whole-stage codegen regions (wider regions = fewer ids)."""
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan_text(df, mode="simple")))
+    return len(ids)

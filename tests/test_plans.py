@@ -1,0 +1,68 @@
+"""Plan-quality assertions: pushdown, pruning, join strategy, top-k plans.
+
+A query that returns correct rows through a bad plan passes correctness
+but dies at 100 TB — these tests pin the plan properties the operators
+were designed around (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from iceberg_table_generator_spark.operators import multimodal, relational
+from iceberg_table_generator_spark.plans import explain
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    df = relational.filter_predicates(spark, sf_small)
+    pushed = explain.pushed_filters(df)
+    # range + equality + IN-list must reach the parquet scan
+    assert any("o_totalprice" in f for f in pushed), pushed
+    assert any("o_orderstatus" in f for f in pushed), pushed
+    assert any("o_orderpriority" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark, sf_small):
+    df = relational.q1_pricing_summary(spark, sf_small)
+    (schema,) = explain.read_schemas(df)
+    # 7 of 11 lineitem columns needed; o_orderkey etc. must not be read
+    assert set(schema) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, schema
+
+
+def test_metadata_query_prunes_text_payload(spark, sf_small):
+    df = multimodal.multimodal_binary_meta(spark, sf_small)
+    (schema,) = explain.read_schemas(df)
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_small):
+    df = relational.join_broadcast_dims(spark, sf_small)
+    kinds = explain.join_kinds(df)
+    assert kinds["BroadcastHashJoin"] == 2, kinds
+    assert kinds["SortMergeJoin"] == 0, kinds
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_small):
+    df = relational.join_multiway_revenue(spark, sf_small)
+    kinds = explain.join_kinds(df)
+    # nation+region hinted broadcast; no nested-loop anywhere
+    assert kinds["BroadcastHashJoin"] >= 2, kinds
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+def test_global_topk_avoids_full_sort(spark, sf_small):
+    df = relational.topk_global(spark, sf_small)
+    assert explain.has_operator(df, "TakeOrderedAndProject")
+
+
+def test_q1_single_aggregation_shuffle(spark, sf_small):
+    df = relational.q1_pricing_summary(spark, sf_small)
+    # partial+final hash aggregate → exactly one exchange
+    assert explain.exchange_count(df) == 1
+
+
+def test_sessionize_single_shuffle(spark, sf_small):
+    df = relational.events_sessionize(spark, sf_small)
+    # both window passes and the final aggregate share the user_id
+    # partitioning → one exchange total
+    assert explain.exchange_count(df) == 1

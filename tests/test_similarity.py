@@ -16,6 +16,16 @@ def test_ann_recall_vs_exact(spark, sf_medium):
     assert recall >= 0.7, f"ANN recall {recall:.2f} below 0.7"
 
 
+def test_ivf_recall_vs_exact(spark, sf_medium):
+    exact = similarity.similarity_cosine_topk(spark, sf_medium)
+    approx = similarity.similarity_ivf_topk(spark, sf_medium)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # nprobe/k = 6/16 of the corpus scanned; weakly clustered testdata
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below 0.6"
+
+
 def test_exact_topk_self_excluded_and_ranked(spark, sf_small):
     df = similarity.similarity_cosine_topk(spark, sf_small)
     rows = df.collect()
