@@ -28,10 +28,13 @@ HEADLINE = [
     "topk_global",
     "events_sessionize",
     "events_hourly_window",
+    "asof_join_events",
+    "rolling_30d_revenue",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
+    "similarity_ivf_topk",
     "text_token_count",
     "text_fingerprint",
 ]

@@ -263,7 +263,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    centroids = ivf_fit(emb)
+    # Fit on a deterministic ~25% hash sample: k-means quality needs only a
+    # representative sample, and the fit is the iterative (expensive) part —
+    # at 100 TB the sample rate drops further while assignment stays one
+    # full narrow pass.
+    fit_sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+    centroids = ivf_fit(fit_sample)
     lists = _assign(emb, centroids)
     cand = with_norm(lists)
     qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES))
