@@ -194,6 +194,44 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus word frequencies (extreme-skew aggregation shape)
+# --------------------------------------------------------------------------
+_WORD_FREQ_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+counts AS (
+  SELECT lang, word, count(*) AS n FROM tok GROUP BY lang, word),
+ranked AS (
+  SELECT lang, word, n,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS INT) AS rank
+  FROM counts)
+SELECT lang, word, n, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("text_word_freq", oracle=_WORD_FREQ_ORACLE)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words per language — the classic extreme-skew aggregate: a
+    ~30-word vocabulary over millions of exploded tokens means each key is
+    a heavy hitter.  Safe at scale because Spark's partial (map-side)
+    aggregation collapses each partition to ≤|vocab| rows before the
+    shuffle, so the shuffle carries O(partitions × vocab), not O(tokens).
+    (If the combine step ever disappeared — e.g. distinct-style rewrites —
+    explicit key salting would be the fallback.)"""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    counts = tok.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "word", "n", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (rolling polynomial hash)
 # --------------------------------------------------------------------------
 _FP_ORACLE = """

@@ -174,6 +174,27 @@ class ParquetSnapshotTable:
         appends use the new spec (Iceberg REPLACE PARTITION FIELD)."""
         return self._commit("replace-partition-field", partition_by=list(partition_by))
 
+    def compact(self, target_files: int = 4) -> Snapshot:
+        """Compaction (Iceberg `rewrite_data_files` + delete-file
+        elimination): materialize the current visible rows into
+        `target_files` fresh files and drop every delete file from the new
+        snapshot.  Read amplification from accumulated MoR delete files
+        resets to zero; older snapshots still reference the original files,
+        so time travel is unaffected.
+
+        At 100 TB this runs per partition (bin-packing small files) rather
+        than table-wide; the per-partition variant is the same code with a
+        partition predicate on `read()`."""
+        cur = self._load()[-1]
+        sid = cur.snapshot_id + 1
+        current = self.read()  # visible rows, deletes applied, row ids kept
+        file_dir = os.path.join(self.path, "data", f"compact-{sid}-{uuid.uuid4().hex[:8]}")
+        writer = current.repartition(target_files).write.mode("overwrite")
+        if cur.partition_by:
+            writer = writer.partitionBy(*cur.partition_by)
+        writer.parquet(file_dir)
+        return self._commit("compact", data_files=[file_dir], delete_files=[])
+
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:
         return self._load()

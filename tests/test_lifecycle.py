@@ -98,6 +98,23 @@ def test_wide_metrics(spark, tmp_path):
     assert df.count() == 30
 
 
+def test_compaction_preserves_rows_and_history(spark, tmp_path):
+    """rewrite_data_files semantics: same visible rows, zero delete files,
+    bounded file count, time travel intact."""
+    t = scenarios.products_with_deletes(spark, str(tmp_path / "cmp"))
+    before = {r.product_id for r in t.read(with_row_id=False).select("product_id").collect()}
+    snap = t.compact(target_files=2)
+    after = {r.product_id for r in t.read(with_row_id=False).select("product_id").collect()}
+    assert after == before and len(after) == 450
+    assert snap.delete_files == []
+    assert len(snap.data_files) == 1  # one compacted dir replaces 5 append dirs
+    # time travel to pre-compaction snapshots still resolves old files
+    assert t.read(version=5).count() == 933
+    # further deletes work against the compacted layout
+    t.delete_where("product_id >= 900")
+    assert t.read().count() == 450 - len({p for p in after if p >= 900})
+
+
 def test_read_respects_column_projection_order(spark, tmp_path):
     t = ParquetSnapshotTable(spark, str(tmp_path / "proj")).create(["a", "b"])
     t.append(spark.range(10).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b")))
