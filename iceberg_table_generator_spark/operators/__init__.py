@@ -5,6 +5,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     relational_ext,
+    scalar_ext,
     similarity,
     text,
 )

@@ -1,0 +1,107 @@
+"""Scalar-surface extensions: string pack, null semantics, approx sketches.
+
+Rounds out SURVEY.md §2.7's "scalar function library" replacement with the
+string-manipulation and null-handling shapes the reference's generators
+imply (`Main.java:525-531` templating) plus the mergeable sketch aggregates
+(HLL, t-digest) that replace exact distinct/percentile at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS padded_key,
+           reverse(p_brand)                                 AS rev_brand,
+           repeat('*', CAST(p_size % 5 AS INT))             AS stars,
+           split_part(p_name, ' ', 1)                       AS first_word,
+           replace(p_type, ' ', '_')                        AS type_snake,
+           CAST(length(p_name) AS INT)                      AS name_len,
+           CAST(position('Brand' IN p_brand) AS INT)        AS brand_pos,
+           left(p_name, 5)                                  AS name_prefix,
+           trim(concat('  ', p_brand, '  '))                AS trimmed
+    FROM part
+    WHERE p_partkey % 20 = 0
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: pad/reverse/repeat/split_part/replace/
+    length/position/substring/trim — all whole-stage-codegen expressions."""
+    p = load_table(spark, sf_dir, "part").filter(F.pmod("p_partkey", F.lit(20)) == 0)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.repeat(F.lit("*"), F.pmod("p_size", F.lit(5)).cast("int")).alias("stars"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.replace("p_type", F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.instr("p_brand", "Brand").cast("int").alias("brand_pos"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P')      AS status_or_null,
+             CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+      FROM orders WHERE o_orderkey % 50 = 0)
+    SELECT coalesce(status_or_null, 'PENDING')               AS status_filled,
+           count(*)                                          AS n,
+           count(big_price)                                  AS n_big,
+           count(*) - count(big_price)                       AS n_null_big,
+           CAST(count(DISTINCT status_or_null) AS BIGINT)    AS n_distinct_status,
+           count(CASE WHEN status_or_null IS NOT DISTINCT FROM NULL THEN 1 END)
+               AS n_null_status
+    FROM t
+    GROUP BY coalesce(status_or_null, 'PENDING')
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pack: nullif/coalesce, count vs count(col) null
+    skipping, distinct-over-nulls, null-safe comparison (<=> ≡ IS NOT
+    DISTINCT FROM)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.pmod("o_orderkey", F.lit(50)) == 0)
+    t = o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_or_null"),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).alias("big_price"),
+    )
+    return t.groupBy(
+        F.coalesce("status_or_null", F.lit("PENDING")).alias("status_filled")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("big_price").alias("n_big"),
+        (F.count("*") - F.count("big_price")).alias("n_null_big"),
+        F.countDistinct("status_or_null").alias("n_distinct_status"),
+        F.count(F.when(F.col("status_or_null").eqNullSafe(F.lit(None)), 1)).alias(
+            "n_null_status"
+        ),
+    )
+
+
+@query("approx_sketches")  # rows-only: sketch results are estimates by design
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates — the 100 TB replacements for exact
+    distinct counts and percentiles: HLL++ (`approx_count_distinct`) and
+    t-digest-style (`approx_percentile`).  Estimates, so rows-only for the
+    driver; tests/test_scalar_ext.py bounds the relative error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )

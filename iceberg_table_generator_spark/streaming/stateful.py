@@ -97,3 +97,64 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _sessionize_user_evicting(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """EventTimeTimeout variant: emits ONLY closed sessions; open sessions
+    are evicted (closed + emitted) when the watermark passes their gap
+    deadline, so state holds just the genuinely-open tail of users."""
+    (user_id,) = key
+    cols = ["user_id", "session_start", "session_end", "n_events", "closed"]
+    if state.hasTimedOut:
+        start_us, last_us, n_events = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, pd.Timestamp(start_us * 1000), pd.Timestamp(last_us * 1000), n_events, True)],
+            columns=cols,
+        )
+        return
+
+    if state.exists:
+        start_us, last_us, n_events = state.get
+    else:
+        start_us = last_us = None
+        n_events = 0
+    out: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and ts_us - last_us > SESSION_GAP_SECONDS * 1_000_000:
+                out.append(
+                    (user_id, pd.Timestamp(start_us * 1000), pd.Timestamp(last_us * 1000), n_events, True)
+                )
+                start_us, n_events = ts_us, 0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n_events += 1
+    if start_us is not None:
+        state.update((start_us, last_us, n_events))
+        # Evict when event-time reaches last event + gap.
+        state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_SECONDS * 1000)
+    yield pd.DataFrame(out, columns=cols)
+
+
+def sessionize_stream_evicting(events: DataFrame, late_threshold: str = "10 seconds") -> DataFrame:
+    """Watermarked sessionization with event-time state eviction — the
+    unbounded-stream production shape: state size tracks only open
+    sessions; everything older is finalized and dropped."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", late_threshold)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_user_evicting,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
