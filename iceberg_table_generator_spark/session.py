@@ -59,6 +59,33 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cloud_fs_confs(
+    s3_endpoint: str | None = None,
+    gcs_keyfile: str | None = None,
+    abfs_account: str | None = None,
+    abfs_key: str | None = None,
+) -> dict[str, str]:
+    """Hadoop filesystem wiring for cloud warehouses — the Spark equivalent
+    of the reference's Configuration setup (`Main.java:97-116`, S3A/GCS/ABFS
+    at :99-102).  Pass the result to `get_spark(extra_conf=...)`.  Inert in
+    this container (no cloud credentials); parity surface for S1."""
+    conf: dict[str, str] = {}
+    if s3_endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = s3_endpoint
+        conf["spark.hadoop.fs.s3a.impl"] = "org.apache.hadoop.fs.s3a.S3AFileSystem"
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        )
+    if gcs_keyfile:
+        conf["spark.hadoop.fs.gs.impl"] = (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        )
+        conf["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = gcs_keyfile
+    if abfs_account and abfs_key:
+        conf[f"spark.hadoop.fs.azure.account.key.{abfs_account}.dfs.core.windows.net"] = abfs_key
+    return conf
+
+
 def get_spark(
     app_name: str = "iceberg_table_generator_spark",
     master: str | None = None,
