@@ -74,7 +74,9 @@ def orders_partitioned(
         df = orders(spark, rows_per_partition, seed=seed + pv)
         df = df.withColumn(partition_col, F.lit(pv).cast("int"))
         if partition_col != "order_year":
-            df = df.withColumn("order_year", V.uniform_int(2019, 2022, seed=seed + pv, salt=9))
+            df = df.withColumn(
+                "order_year", V.uniform_int(2019, 2022, seed=seed + pv, salt=9, id_col="order_id")
+            )
         out = df if out is None else out.unionByName(df)
     return out
 

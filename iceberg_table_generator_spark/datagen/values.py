@@ -61,11 +61,13 @@ def _r(seed: int, salt: int, id_col: str = "id") -> Column:
     return F.pmod(h, F.lit(1 << 40)).cast("double") / F.lit(_DENOM)
 
 
-def uniform_int(lo: int, hi: int, seed: int = DEFAULT_SEED, salt: int = 0) -> Column:
+def uniform_int(
+    lo: int, hi: int, seed: int = DEFAULT_SEED, salt: int = 0, id_col: str = "id"
+) -> Column:
     """G3: uniform int in [lo, hi)."""
     if hi <= lo:
         raise ValueError(f"require hi > lo, got [{lo}, {hi})")
-    return (F.floor(_r(seed, salt) * (hi - lo)) + lo).cast("int")
+    return (F.floor(_r(seed, salt, id_col) * (hi - lo)) + lo).cast("int")
 
 
 def uniform_double(lo: float, hi: float, seed: int = DEFAULT_SEED, salt: int = 0) -> Column:

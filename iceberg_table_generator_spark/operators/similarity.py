@@ -209,10 +209,17 @@ def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> Da
     Init: the k vectors with the smallest xxhash64(vec_id) — deterministic
     and scan-cheap.  Each iteration: broadcast centroids → nearest-centroid
     assignment (narrow pass) → elementwise mean via posexplode + two small
-    aggregations.  Centroid state is k×dim doubles — always broadcastable;
-    the big side is never shuffled, so each iteration is one scan + one
-    tiny agg shuffle.  Returns (cluster_id, centroid array<double>)."""
-    dim_df = emb.select(F.size("vec").alias("d")).limit(1)
+    aggregations.
+
+    The iteration chain stays lazy (Catalyst fuses it into one job), and
+    the FINAL centroids — k×dim doubles, a few KB of model state — are
+    collected once and re-injected as a literal DataFrame.  Downstream
+    consumers reference centroids several times (corpus assignment + query
+    probing); without the collect each reference would re-execute the whole
+    iteration chain.  Collecting model-parameter-sized state is the
+    standard shape for iterative algorithms on Spark (MLlib does the same);
+    the data-sized side stays fully distributed."""
+    spark = emb.sparkSession
     centroids = (
         emb.withColumn("h", F.xxhash64("vec_id"))
         .orderBy("h")
@@ -234,7 +241,11 @@ def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> Da
                 ).alias("centroid")
             )
         )
-    return centroids
+    final = centroids.collect()
+    return spark.createDataFrame(
+        [(r.cluster_id, r.centroid) for r in final],
+        "cluster_id int, centroid array<double>",
+    )
 
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:

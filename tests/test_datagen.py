@@ -75,6 +75,17 @@ def test_products_deterministic_columns(spark):
     assert all(0 <= r.quantity < 10000 for r in rows.values())
 
 
+def test_orders_partitioned_fixed_partition_values(spark):
+    """R2 shape (`Main.java:486-497`): the partition column is pinned per
+    slice; other generators still run per row."""
+    df = R.orders_partitioned(spark, [0, 1, 2], 100, partition_col="source_id")
+    assert df.count() == 300
+    per = {r.source_id: r.n for r in df.groupBy("source_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 100, 1: 100, 2: 100}
+    years = df.select("order_year").distinct().collect()
+    assert all(2019 <= r.order_year < 2022 for r in years)
+
+
 def test_products_schema_projection(spark):
     narrow = R.products(spark, 10, columns=["product_id", "name", "category"])
     assert narrow.columns == ["product_id", "name", "category"]
