@@ -20,7 +20,7 @@ explode + groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.registry import query
@@ -141,6 +141,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
     return pairs.filter(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: connected components over the pair graph
+# --------------------------------------------------------------------------
+_CC_ORACLE = """
+WITH RECURSIVE pairs AS (
+  -- the exact 3-gram near-dup pairs (same logic as dedup_ngram_jaccard)
+  SELECT doc_a, doc_b FROM (
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+           FROM w),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b
+    FROM p JOIN cnt ca ON p.doc_a = ca.doc_id JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.5)),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+members AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT cluster_id, doc_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM members
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair graph,
+    labeled by the component's minimum doc_id (the canonical keeper —
+    "connected components keep-min", SURVEY.md §2.8).
+
+    Implemented as distributed min-label propagation: every node starts as
+    its own label; each round joins labels across edges and keeps the min;
+    stops when a round changes nothing.  Rounds = graph diameter (near-dup
+    components are tiny — 2-3 rounds); each round is one broadcast-able
+    join on the pair set, NOT on the corpus.  The oracle computes the same
+    components with a recursive CTE."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):  # diameter bound; near-dup components are tiny
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("label").alias("cluster_id"),
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

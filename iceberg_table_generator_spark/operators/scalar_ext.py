@@ -92,6 +92,47 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_table",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT)   AS d_status,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT)       AS d_custkey,
+             round(min(o_totalprice), 2)                     AS min_price,
+             round(max(o_totalprice), 2)                     AS max_price,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+                 AS mean_price,
+             CAST(min(o_orderdate) AS VARCHAR)               AS min_date,
+             CAST(max(o_orderdate) AS VARCHAR)               AS max_date
+      FROM orders)
+    SELECT * FROM s
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (the ANALYZE TABLE shape): row count, distinct
+    cardinalities, numeric range/mean, date range — all in a single
+    aggregate so the table is scanned once regardless of width.  At 100 TB
+    swap exact distincts for approx_count_distinct (same plan shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_price"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+
+
 @query("approx_sketches")  # rows-only: sketch results are estimates by design
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB replacements for exact
