@@ -346,6 +346,98 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UNPIVOT / melt (wide → long)
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, round(value, 2) AS value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+    WHERE c_custkey % 10 = 0
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot (Spark plans one Expand node —
+    a single pass regardless of how many columns melt)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.pmod("c_custkey", F.lit(10)) == 0)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        ids=["c_custkey"], values=["acctbal", "nationkey"],
+        variableColumnName="metric", valueColumnName="v",
+    ).select("c_custkey", "metric", F.round("v", 2).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# Range (interval-containment) join via bucketing
+# --------------------------------------------------------------------------
+_RANGE_JOIN_ORACLE = """
+WITH win AS (
+  SELECT CAST(r.range AS INT) AS w_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+             + to_minutes(CAST(r.range * 97 AS BIGINT))  AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00'
+             + to_minutes(CAST(r.range * 97 + 45 AS BIGINT)) AS w_end
+  FROM range(0, 200) r)
+SELECT w.w_id, count(*) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_id
+"""
+
+
+@query("range_join_events", oracle=_RANGE_JOIN_ORACLE)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (events within maintenance windows) done
+    the scalable way: a naive theta join plans as BroadcastNestedLoop —
+    O(|events|·|windows|) compares.  Instead each interval explodes into
+    the fixed-width time buckets it overlaps, events map to their single
+    bucket, and the join becomes an EQUI join on bucket with an exact
+    post-filter — compares drop to O(|events| + |windows|·spread).  This is
+    the standard bucketed-range-join rewrite (Databricks range-join hints
+    do the same under the hood)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_s = 3600  # bucket width ≥ max interval length (45 min)
+    win = (
+        spark.range(0, 200)
+        .select(
+            F.col("id").cast("int").alias("w_id"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id").cast("int") * 97)).alias("w_start"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id").cast("int") * 97 + 45)).alias("w_end"),
+        )
+    )
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    # every bucket the interval [start, end) overlaps
+    win_b = win.select(
+        "w_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(F.col("w_start")) / bucket_s),
+                F.floor((epoch(F.col("w_end")) - 1) / bucket_s),
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.select(
+        "event_id", "user_id", "ts", F.floor(epoch(F.col("ts")) / bucket_s).alias("bucket")
+    )
+    joined = ev_b.join(F.broadcast(win_b), "bucket").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return joined.groupBy("w_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy matching (edit distance)
 # --------------------------------------------------------------------------
 @query(
