@@ -61,6 +61,14 @@ def test_q1_single_aggregation_shuffle(spark, sf_small):
     assert explain.exchange_count(df) == 1
 
 
+def test_range_join_avoids_nested_loop(spark, sf_small):
+    from iceberg_table_generator_spark.operators.relational_ext import range_join_events
+
+    kinds = explain.join_kinds(range_join_events(spark, sf_small))
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+    assert kinds["BroadcastHashJoin"] == 1, kinds
+
+
 def test_sessionize_single_shuffle(spark, sf_small):
     df = relational.events_sessionize(spark, sf_small)
     # both window passes and the final aggregate share the user_id
