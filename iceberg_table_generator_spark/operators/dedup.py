@@ -36,10 +36,15 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Distinct n-word shingles per document (array column `shingles`).
 
     Built with sequence+transform over the token array — pure JVM
-    expressions, no explode until the consumer needs one."""
+    expressions, no explode until the consumer needs one.  Documents with
+    fewer than n tokens get an empty shingle set (the CASE guard is load-
+    bearing: sequence(0, -1) would descend to [0, -1] and slice(·, 0, n)
+    throws INVALID_PARAMETER_VALUE.START)."""
     expr = f"""
-      array_distinct(transform(sequence(0, greatest(size(tokens) - {n}, -1)),
-                     i -> concat_ws(' ', slice(tokens, i + 1, {n}))))
+      CASE WHEN size(tokens) < {n} THEN array()
+           ELSE array_distinct(transform(sequence(0, size(tokens) - {n}),
+                               i -> concat_ws(' ', slice(tokens, i + 1, {n}))))
+      END
     """
     return df.withColumn("shingles", F.expr(expr))
 
@@ -97,16 +102,30 @@ WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= 0.5
 """
 
 
+JACCARD_DF_CAP = 1000  # stop-shingle document-frequency cap (no-op at test SFs)
+
+
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = JACCARD_DF_CAP
+) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5).
 
     Inverted index: explode shingles → self-join on the shingle → count
     shared per pair → Jaccard from per-doc distinct-shingle counts.  The
     join key is the shingle, so only genuinely overlapping pairs are ever
-    materialized; at 100 TB add a stop-shingle filter (drop shingles with
-    document frequency above a cap) to bound the worst bucket — the LSH
-    operator below is the designed scale path."""
+    materialized.
+
+    Stop-shingle cap: shingles whose document frequency exceeds `df_cap`
+    (boilerplate headers, licence text) are dropped from the inverted
+    index BEFORE the self-join — one boilerplate shingle shared by 10⁶
+    docs would otherwise create a 10¹²-pair bucket.  The hot set is tiny
+    by construction (few shingles exceed the cap), so it applies as a
+    broadcast anti-join — the candidate-generation shuffle never sees the
+    hot buckets.  Per-doc set sizes are computed before the cap, so
+    Jaccard values of surviving pairs are unchanged; pairs overlapping
+    ONLY in capped shingles are the (intended) loss, and the cap is set
+    far above any df at oracle scale so the driver check stays exact."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
     # Set size rides along from the array (F.size) — no count aggregation,
     # no post-join back to a counts table.  The join key is the xxhash64 of
@@ -117,6 +136,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
     )
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     # Size-ratio prefilter (sound for t=0.5): jaccard ≥ t requires
     # shared ≥ t/(1+t)·(na+nb) and shared ≤ min(na,nb), which together force
@@ -197,7 +223,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    for _ in range(20):  # diameter bound; near-dup components are tiny
+    changed = -1
+    for _ in range(50):  # safety bound well past any near-dup component diameter
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -219,6 +246,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence would return wrong cluster labels and
+        # surface only as a baffling oracle hash-mismatch — fail loudly.
+        raise RuntimeError(
+            "connected-components min-label propagation did not converge "
+            f"within 50 rounds ({changed} labels still changing)"
+        )
     w = Window.partitionBy("label")
     return labels.select(
         F.col("label").alias("cluster_id"),
@@ -253,28 +287,98 @@ WHERE list_sum(list_transform(generate_series(1, len(a.vec)),
 
 @query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs: embedding cosine ≥ threshold.
+    """Semantic near-dup pairs: embedding cosine ≥ threshold — EXACT, but
+    cluster-pruned instead of all-pairs.
 
-    This exact all-pairs form is the correctness baseline (oracle-checked
-    bit-exact — both engines fold the same double arrays sequentially).
-    At 100 TB the pair space is bounded exactly like ANN search: bucket
-    both sides with the LSH/IVF structures in operators/similarity.py and
-    compare only within buckets — same formula, pruned candidates."""
-    from iceberg_table_generator_spark.operators.similarity import _dot, with_norm
+    Shape: k-means coarse clusters (reused from operators/similarity) give
+    every vector a cluster id; a cluster PAIR (ci, cj) can contain a
+    qualifying vector pair only if the angular triangle inequality allows
+    it:  angle(a,b) ≥ angle(ci,cj) − r_i − r_j  (r = the cluster's max
+    angular radius), so pairs with  angle(ci,cj) − r_i − r_j > arccos(t)
+    are provably empty and never joined.  The survivors join with plain
+    equi-joins on cluster ids — shuffle-hash co-partitioned, ZERO
+    BroadcastNestedLoopJoin — and the exact cosine + threshold runs only
+    on those candidates.  Output is bit-identical to the all-pairs form
+    (the prune is sound, never lossy), which is what keeps this
+    oracle-checkable while the old `vec_a < vec_b`-only join was an O(n²)
+    nested loop.
+
+    At 100 TB: clustered corpora prune most of the k² cluster grid; in the
+    worst (unclustered) case the compare count matches all-pairs but the
+    work distributes by hash shuffle across executors instead of looping
+    over a broadcast copy of the whole corpus."""
+    import math
+
+    from iceberg_table_generator_spark.operators.similarity import (
+        _d2_structs,
+        _dot,
+        ivf_index,
+        with_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    n = with_norm(emb)
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    cents = ivf_index(emb, cache_key=sf_dir)
+    # Assignment + angular radius in one narrow pass: nearest centroid by
+    # squared distance, then angle(vec, centroid) from the same struct.
+    best = F.array_min(_d2_structs("vec", cents))
+    assigned = with_norm(emb).select(
+        "vec_id",
+        "vec",
+        "norm",
+        best["cluster_id"].alias("cluster_id"),
+        best["d2"].alias("d2"),
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    # cos(angle to own centroid) via the law of cosines:
+    #   d2 = |v|^2 + |c|^2 − 2|v||c|cosθ  ⇒  cosθ = (|v|^2+|c|^2−d2)/(2|v||c|)
+    cnorm2 = {cid: sum(x * x for x in vec) for cid, vec in cents}
+    cnorm2_map = F.create_map(
+        *[F.lit(v) for kv in cnorm2.items() for v in kv]
+    )
+    cos_theta = (
+        (F.col("norm") * F.col("norm") + cnorm2_map[F.col("cluster_id")] - F.col("d2"))
+        / (2.0 * F.col("norm") * F.sqrt(cnorm2_map[F.col("cluster_id")]))
+    )
+    ang = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cos_theta)))
+    clustered = assigned.withColumn("ang", ang).localCheckpoint(eager=True)
+    radii = {
+        r.cluster_id: r.r
+        for r in clustered.groupBy("cluster_id").agg(F.max("ang").alias("r")).collect()
+    }
+
+    def _cent_angle(u: list[float], v: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return math.acos(max(-1.0, min(1.0, dot / (nu * nv))))
+
+    acos_t = math.acos(COSINE_DUP_THRESHOLD)
+    admissible = [
+        (ci, cj)
+        for ci in radii
+        for cj in radii
+        if _cent_angle(dict(cents)[ci], dict(cents)[cj]) - radii[ci] - radii[cj]
+        <= acos_t + 1e-9
+    ]
+    adm = spark.createDataFrame(admissible, "ca int, cb int")
+    a = clustered.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        F.col("cluster_id").alias("ca"),
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"),
+        F.col("cluster_id").alias("cb"),
     )
     sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(adm), "ca")
+        .join(b, "cb")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("sim_raw", sim)
         .filter(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))

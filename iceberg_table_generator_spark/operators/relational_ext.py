@@ -367,22 +367,30 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "argmax_orders",
     oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)  AS rmin
+      FROM orders)
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS biggest_order,
-           round(max(o_totalprice), 2)                           AS biggest_price,
-           arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS smallest_order,
-           round(min(o_totalprice), 2)                           AS smallest_price
-    FROM orders
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+           round(max(o_totalprice), 2)                 AS biggest_price,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+           round(min(o_totalprice), 2)                 AS smallest_price
+    FROM ranked
     GROUP BY o_orderpriority
     """,
 )
 def argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (arg-max) per group.  The ordering value is perturbed
-    by orderkey·1e-9 to break price ties deterministically — prices have
-    2-decimal granularity (min gap 0.01), so the perturbation can never
-    reorder distinct prices, but makes the comparison key unique."""
+    """max_by/min_by (arg-max) per group, tie-broken by a composite
+    (price, orderkey) struct ordering — lexicographic struct comparison is
+    identical in Spark and DuckDB and stays correct at any scale factor
+    (an additive epsilon perturbation would drift once keys grow past the
+    price granularity)."""
     o = load_table(spark, sf_dir, "orders")
-    ordv = F.col("o_totalprice") + F.col("o_orderkey") * 1e-9
+    ordv = F.struct("o_totalprice", "o_orderkey")
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", ordv).alias("biggest_order"),
         F.round(F.max("o_totalprice"), 2).alias("biggest_price"),

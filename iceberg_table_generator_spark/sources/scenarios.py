@@ -100,6 +100,58 @@ def orders_with_partition_evolution(spark: SparkSession, path: str) -> ParquetSn
     return t
 
 
+MULTI_RG_PROPS = {
+    "write.parquet.row-group-size-bytes": str(16 * 1024),
+    "write.parquet.page-size-bytes": str(4 * 1024),
+    "write.parquet.dict-size-bytes": str(4 * 1024),
+}
+
+LONG_TABLE_NAME = (
+    "orders_with_a_table_name_that_is_longer_than_two_hundred_and_fifty_six_"
+    "characters_so_that_i_can_reproduce_a_bug_due_to_very_very_very_very_very_"
+    "very_very_very_very_very_very_very_very_very_very_very_very_very_very_"
+    "long_paths"
+)
+
+
+def multi_rowgroup_orders_with_deletes(spark: SparkSession, path: str) -> ParquetSnapshotTable:
+    """`createMultiRowGroupOrdersWithDeletes` (`Main.java:176-206`): 16 KiB
+    row groups / 4 KiB pages force many row groups per file, then three
+    positional-delete commits whose predicates straddle row-group
+    boundaries — the reference's MoR-reader stress shape."""
+    t = ParquetSnapshotTable(spark, path).create(
+        ORDERS_COLUMNS, partition_by=["order_year"], properties=MULTI_RG_PROPS
+    )
+    for year in (2019, 2020, 2021):
+        df = R.orders(spark, 3000, seed=30 + year).withColumn("order_year", F.lit(year))
+        t.append(df, num_files=3)
+    t.delete_where("order_year = 2021 AND order_id % 10 < 3", mode="positional")
+    t.delete_where(
+        "order_year = 2021 AND order_id % 10 > 0 AND order_id % 100 = 5", mode="positional"
+    )
+    t.delete_where(
+        "order_year IN (2020, 2021) AND order_id % 3000 >= 700 AND order_id % 3000 < 1200",
+        mode="positional",
+    )
+    return t
+
+
+def orders_with_long_paths(spark: SparkSession, base_path: str) -> ParquetSnapshotTable:
+    """`createOrdersWithLongPaths` (`Main.java:228-249`): the >200-char
+    table identifier bug-repro — every data/delete file lives under the
+    overlong directory name, exercising long-path handling end to end."""
+    import os
+
+    t = ParquetSnapshotTable(spark, os.path.join(base_path, LONG_TABLE_NAME)).create(
+        ORDERS_COLUMNS, partition_by=["order_year"], properties=MULTI_RG_PROPS
+    )
+    for year in (2019, 2020, 2021):
+        df = R.orders(spark, 1000, seed=50 + year).withColumn("order_year", F.lit(year))
+        t.append(df, num_files=3)
+    t.delete_where("order_year = 2019 AND order_id < 900", mode="positional")
+    return t
+
+
 def wide_metrics_table(spark: SparkSession, path: str, n_rows: int = 30) -> ParquetSnapshotTable:
     """`createWideMetrics` (`Main.java:463-473`): 1,000-column table,
     30 rows across 30 files."""

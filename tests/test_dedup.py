@@ -53,3 +53,65 @@ def test_exact_dedup_drops_planted_duplicates(spark, sf_small):
     assert kept.count() == n  # every duplicate collapsed
     # keep-first: all surviving ids are the original (lower) ones
     assert kept.filter("keep >= 100000").count() == 0
+
+
+def test_shingles_short_documents(spark):
+    """Documents with fewer than n tokens must yield an empty shingle set,
+    not a SparkRuntimeException from slice(tokens, 0, n) (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "exactly three tokens"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.shingles
+        for r in dedup.shingles(dedup.tokenize(df)).collect()
+    }
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["exactly three tokens"]
+    assert got[4] == []
+
+
+def test_connected_components_convergence_on_chain(spark):
+    """A long chain (diameter >> 1) must converge to one cluster, and the
+    loop must not exit silently before the fixed point (ADVICE r1)."""
+    import iceberg_table_generator_spark.operators.dedup as dd
+
+    # build a chain graph 0-1-2-...-30 directly through the propagation code
+    # path by monkey-patching the pair source
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a bigint, doc_b bigint"
+    )
+    orig = dd.dedup_ngram_jaccard
+    dd.dedup_ngram_jaccard = lambda s, d: pairs
+    try:
+        out = dd.dedup_connected_components(spark, "unused")
+        rows = out.collect()
+    finally:
+        dd.dedup_ngram_jaccard = orig
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 31
+    assert all(r.cluster_size == 31 for r in rows)
+
+
+def test_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by every doc must be droppable via the
+    df-cap so one hot inverted-index bucket cannot go quadratic
+    (VERDICT r1 #3)."""
+    import iceberg_table_generator_spark.operators.dedup as dd
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    orig = dd.load_table
+    dd.load_table = lambda s, d, name: docs
+    try:
+        uncapped = dd.dedup_ngram_jaccard(spark, "unused")
+        capped = dd.dedup_ngram_jaccard(spark, "unused", df_cap=5)
+        n_uncapped, n_capped = uncapped.count(), capped.count()
+    finally:
+        dd.load_table = orig
+    assert n_uncapped == 190  # C(20,2): all pairs share the boilerplate
+    assert n_capped == 0  # hot shingles dropped -> no candidate explosion

@@ -119,3 +119,113 @@ def test_read_respects_column_projection_order(spark, tmp_path):
     t = ParquetSnapshotTable(spark, str(tmp_path / "proj")).create(["a", "b"])
     t.append(spark.range(10).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b")))
     assert t.read(with_row_id=False).columns == ["a", "b"]
+
+
+def test_row_ids_unique_across_snapshots_many_partitions(spark, tmp_path):
+    """Row ids must stay unique when a batch has >=128 input partitions —
+    the r1 packed (sid << 40) + monotonically_increasing_id scheme
+    collided across snapshots because mono ids embed partitionId << 33
+    (ADVICE r1).  Now ids are Iceberg's (file, pos) tuple, unique by
+    construction."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "many_parts")).create(["k"])
+    df = spark.range(300).select(F.col("id").alias("k")).repartition(150)
+    t.append(df)
+    t.append(df)
+    read = t.read()
+    assert read.count() == 600
+    assert read.select("__row_id").distinct().count() == 600
+    # positional delete scoped to snapshot 2's files must not touch
+    # snapshot 1's identical rows
+    t.delete_where("__row_id.file LIKE '%/snap-2-%' AND k < 1000", mode="positional")
+    assert t.read().count() == 300
+
+
+def test_add_files_registers_external_parquet(spark, tmp_path):
+    """S5: pre-made parquet registered in place (no rewrite) becomes
+    visible rows and participates in positional deletes."""
+    ext = str(tmp_path / "external_files")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).coalesce(1).write.parquet(ext)
+    t = ParquetSnapshotTable(spark, str(tmp_path / "with_ext")).create(["k", "v"])
+    t.append(spark.range(100, 150).select(F.col("id").alias("k"), F.lit(9).alias("v")))
+    t.add_files([ext])
+    assert t.read().count() == 150
+    assert t.snapshots()[-1].operation == "add-files"
+    # external rows are deletable positionally like native ones
+    t.delete_where("v = 1", mode="positional")  # 33 external rows
+    assert t.read().count() == 150 - 33
+    # time travel still sees the pre-delete state
+    assert t.read(version=2).count() == 150
+
+
+def test_empty_table_read_preserves_types(spark, tmp_path):
+    """A freshly created or fully-deleted table must read back with the
+    recorded column types, not all-string fabrication (ADVICE r1)."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "typed_empty")).create(["k", "v"])
+    # snapshot-0 (never appended): falls back to string, but must not crash
+    assert dict(t.read(with_row_id=False).dtypes) == {"k": "string", "v": "string"}
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    t.append(df)
+    t.delete_where("k >= 0", mode="equality")
+    empty = t.read(with_row_id=False)
+    assert empty.count() == 0
+
+
+def test_multi_rowgroup_layout_control(spark, tmp_path):
+    """E3: write.parquet.row-group-size-bytes must reach the parquet writer —
+    16 KiB row groups over 3000 rows/file must yield multiple row groups
+    (reference `createMultiRowGroupOrdersWithDeletes`, Main.java:176-206)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from iceberg_table_generator_spark.sources.scenarios import (
+        multi_rowgroup_orders_with_deletes,
+    )
+
+    t = multi_rowgroup_orders_with_deletes(spark, str(tmp_path / "multi_rg"))
+    files = glob.glob(str(tmp_path / "multi_rg" / "data" / "*" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    rg_counts = [pq.ParquetFile(f).metadata.num_row_groups for f in files]
+    assert max(rg_counts) > 1, rg_counts
+    # ledger: 9000 inserted; deletes only touch 2020/2021 as in the reference
+    assert t.read(version=3).count() == 9000
+    assert t.read().count() < 9000
+    # snapshot history: create + 3 appends + 3 delete commits
+    assert len(t.snapshots()) == 7
+
+
+def test_forced_100_row_rowgroups(spark, tmp_path):
+    """row-group-size-bytes=1 forces parquet-mr's 100-row check interval to
+    flush every 100 rows (reference Main.java:363-368)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "tiny_rg")).create(
+        ["k"], properties={"write.parquet.row-group-size-bytes": "1"}
+    )
+    t.append(spark.range(400).select(F.col("id").alias("k")), num_files=1)
+    files = glob.glob(str(tmp_path / "tiny_rg" / "data" / "*" / "*.parquet"))
+    assert len(files) == 1
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.num_row_groups == 4, meta.num_row_groups
+    assert all(meta.row_group(i).num_rows == 100 for i in range(4))
+
+
+def test_long_identifier_table(spark, tmp_path):
+    """>200-char table identifier end to end (reference Main.java:228-249)."""
+    from iceberg_table_generator_spark.sources.scenarios import (
+        LONG_TABLE_NAME,
+        orders_with_long_paths,
+    )
+
+    assert len(LONG_TABLE_NAME) > 200
+    t = orders_with_long_paths(spark, str(tmp_path))
+    assert LONG_TABLE_NAME in t.path
+    assert t.read(version=3).count() == 3000
+    assert t.read().count() == 3000 - 900  # order_id < 900 in 2019 deleted

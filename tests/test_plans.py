@@ -74,3 +74,83 @@ def test_sessionize_single_shuffle(spark, sf_small):
     # both window passes and the final aggregate share the user_id
     # partitioning → one exchange total
     assert explain.exchange_count(df) == 1
+
+
+# --------------------------------------------------------------------------
+# §2.8 dedup / similarity / text plan properties (round-2 additions)
+# --------------------------------------------------------------------------
+def test_embedding_cosine_dedup_no_nested_loop(spark, sf_small):
+    """The cluster-pruned exact cosine join must be equi-join only — the
+    r1 form was an all-pairs BroadcastNestedLoopJoin (VERDICT r1 #1)."""
+    from iceberg_table_generator_spark.operators.dedup import dedup_embedding_cosine
+
+    kinds = explain.join_kinds(dedup_embedding_cosine(spark, sf_small))
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+def test_ivf_assignment_no_shuffle(spark, sf_small):
+    """Nearest-centroid assignment is a narrow projection over broadcast
+    centroid literals: zero Exchange, zero joins, zero windows
+    (VERDICT r1 #2)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.similarity import _assign
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = [(i, [float(i)] * 64) for i in range(4)]
+    assigned = _assign(emb, cents)
+    assert explain.exchange_count(assigned) == 0
+    nodes = explain.plan_nodes(assigned)
+    assert "Window" not in nodes, nodes
+    assert explain.join_kinds(assigned)["BroadcastNestedLoopJoin"] == 0
+
+
+def test_minhash_and_simhash_no_nested_loop(spark, sf_small):
+    from iceberg_table_generator_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    for fn in (dedup_minhash_lsh, dedup_simhash, dedup_ngram_jaccard):
+        kinds = explain.join_kinds(fn(spark, sf_small))
+        assert kinds["BroadcastNestedLoopJoin"] == 0, (fn.__name__, kinds)
+
+
+def test_similarity_lsh_no_nested_loop(spark, sf_small):
+    from iceberg_table_generator_spark.operators.similarity import similarity_ann_lsh
+
+    kinds = explain.join_kinds(similarity_ann_lsh(spark, sf_small))
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+def test_dedup_exact_single_shuffle(spark, sf_small):
+    from iceberg_table_generator_spark.operators.dedup import dedup_exact
+
+    assert explain.exchange_count(dedup_exact(spark, sf_small)) == 1
+
+
+def test_text_aggregates_single_shuffle(spark, sf_small):
+    from iceberg_table_generator_spark.operators.text import (
+        text_token_count,
+        text_word_freq,
+    )
+
+    # token accounting: one agg shuffle; word freq: partial agg then one
+    # exchange for the final agg + one for the global sort/top-k at most
+    assert explain.exchange_count(text_token_count(spark, sf_small)) <= 1
+    assert explain.exchange_count(text_word_freq(spark, sf_small)) <= 2
+
+
+def test_text_narrow_ops_zero_shuffle(spark, sf_small):
+    from iceberg_table_generator_spark.operators.text import (
+        text_fingerprint,
+        text_language_id,
+        text_quality_score,
+    )
+
+    for fn in (text_language_id, text_quality_score, text_fingerprint):
+        assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
