@@ -41,6 +41,11 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_token_count",
     "text_fingerprint",
+    # round-2 additions
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "pipeline_chunk_documents",
+    "pipeline_quality_verdict",
 ]
 
 

@@ -3,9 +3,11 @@
 from iceberg_table_generator_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    pipeline,
     relational,
     relational_ext,
     scalar_ext,
     similarity,
     text,
+    tpch_ext,
 )

@@ -128,14 +128,18 @@ def dedup_ngram_jaccard(
     far above any df at oracle scale so the driver check stays exact."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
     # Set size rides along from the array (F.size) — no count aggregation,
-    # no post-join back to a counts table.  The join key is the xxhash64 of
-    # the shingle: an 8-byte shuffle key instead of a ~20-byte string; a
+    # no post-join back to a counts table.  The index key is the xxhash64
+    # of the shingle: an 8-byte shuffle key instead of a ~20-byte string; a
     # 64-bit collision would need ~2^32 distinct shingles to matter.
+    # Materialized once (localCheckpoint): the hot-shingle pass and the
+    # posting-list build both consume it, and re-deriving it would re-run
+    # tokenization+shingling per consumer — the same conscious
+    # write-the-intermediate trade a shuffle makes.
     sh = d.select(
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -143,25 +147,31 @@ def dedup_ngram_jaccard(
         .select("s")
     )
     sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
-    # Size-ratio prefilter (sound for t=0.5): jaccard ≥ t requires
-    # shared ≥ t/(1+t)·(na+nb) and shared ≤ min(na,nb), which together force
-    # min/max ≥ t — so size-incompatible pairs are pruned AT THE JOIN,
-    # before the pair-count aggregation ever sees them.
+    # Inverted-index pair enumeration via posting lists: one shuffle groups
+    # the index by shingle; pairs are generated in-row from each (sorted,
+    # cap-bounded) posting list — no self-join, and singleton shingles
+    # (the vast majority) die at the size(docs) >= 2 filter before any
+    # pair exists.  The size-ratio prefilter (sound for t=0.5: jaccard ≥ t
+    # forces min(na,nb)/max(na,nb) ≥ t) prunes inside the same expression,
+    # before the pair-count aggregation ever sees a row.
+    posting = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(docs, (a, i) ->
+          filter(transform(slice(docs, i + 2, size(docs)), b ->
+                   struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.n AS na, b.n AS nb)),
+                 p -> p.na <= 2 * p.nb AND p.nb <= 2 * p.na)))
+        """
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") <= 2 * F.col("b.n"))
-            & (F.col("b.n") <= 2 * F.col("a.n")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("shared"))
     )
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))

@@ -1,0 +1,217 @@
+"""Training-data pipeline operators over `documents` (SURVEY.md §2.8).
+
+The three stages every large-scale LLM data pipeline runs between raw text
+and the tokenizer, each expressed as pure DataFrame ops:
+
+- chunking: overlapping token windows per document (explode of an in-row
+  window computation — zero shuffle);
+- benchmark-contamination check: n-gram overlap between the corpus and a
+  held-out benchmark set via an inverted-index equi-join (the dedup
+  machinery pointed across corpora instead of within one);
+- quality-filter verdict: the keep/drop decision combining the
+  text-quality features with explicit, auditable reject reasons.
+
+All three are DuckDB-oracle-paired; cross-row sums follow the decimal
+accumulation policy of operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (CHUNK_SIZE-48 = 16 overlap)
+
+
+# --------------------------------------------------------------------------
+# Document chunking: overlapping token windows
+# --------------------------------------------------------------------------
+_CHUNK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+starts AS (
+  SELECT doc_id, lang, ws,
+         unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS start
+  FROM tok)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(start AS INT) AS chunk_start,
+       CAST(least({CHUNK_SIZE}, len(ws) - start) AS INT) AS n_tokens,
+       array_to_string(list_slice(ws, start + 1, start + {CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM starts
+"""
+
+
+@query("pipeline_chunk_documents", oracle=_CHUNK_ORACLE)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows ({CHUNK_SIZE} tokens, stride
+    {CHUNK_STRIDE}) — the context-window packing step before tokenization.
+    The windows are computed inside one row (sequence + slice over the
+    token array) and exploded: a zero-shuffle narrow pass whose output
+    rows ≈ input tokens / stride, embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("ws"))
+    starts = tok.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("ws") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("chunk_start"),
+        F.least(F.lit(CHUNK_SIZE), F.size("ws") - F.col("start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("ws", F.col("start") + 1, F.lit(CHUNK_SIZE))).alias(
+            "chunk_text"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check (cross-corpus n-gram overlap)
+# --------------------------------------------------------------------------
+BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark set
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS n,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM w),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+bench  AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(count(*) AS BIGINT) AS shared_ngrams,
+       round(count(*) * 1.0 / any_value(c.n), 6) AS contamination_rate
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id, b.doc_id
+HAVING round(count(*) * 1.0 / any_value(c.n), 6) >= 0.2
+"""
+
+
+@query("pipeline_contamination_check", oracle=_CONTAMINATION_ORACLE)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: corpus documents sharing ≥20% of their
+    3-gram shingles with a held-out benchmark document (doc_id % 20 == 0
+    stands in for the benchmark corpus).  Same inverted-index equi-join
+    as the Jaccard dedup — the join key is the shingle hash, so only true
+    overlaps materialize, and the benchmark side is small (broadcast) at
+    any corpus scale."""
+    from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
+
+    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    sh = d.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    )
+    corpus = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) != 0).select(
+        "doc_id", "n", F.xxhash64("s").alias("h")
+    )
+    bench = sh.filter(F.pmod("doc_id", F.lit(BENCH_MOD)) == 0).select(
+        F.col("doc_id").alias("bench_id"), F.xxhash64("s").alias("h")
+    )
+    rate = F.round(F.count("*") * 1.0 / F.first("n"), 6)
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count("*").alias("shared_ngrams"),
+            rate.alias("contamination_rate"),
+        )
+        .filter(F.col("contamination_rate") >= 0.2)
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter verdict (keep/drop with auditable reasons)
+# --------------------------------------------------------------------------
+MIN_WORDS = 25
+MIN_STOPWORD_RATIO = 0.03
+MAX_PUNCT_RATIO = 0.2
+
+_VERDICT_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+           * 1.0 / length(text) AS punct_ratio,
+         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ({_sql_list(STOPWORDS)})))
+           * 1.0 / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(n_words AS INT) AS n_words,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       n_words >= {MIN_WORDS}
+         AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+         AND punct_ratio <= {MAX_PUNCT_RATIO} AS keep,
+       concat_ws(',',
+         CASE WHEN n_words < {MIN_WORDS} THEN 'too_short' END,
+         CASE WHEN stopword_ratio < {MIN_STOPWORD_RATIO} THEN 'low_stopword' END,
+         CASE WHEN punct_ratio > {MAX_PUNCT_RATIO} THEN 'high_punct' END)
+         AS reject_reasons
+FROM feat
+"""
+
+
+@query("pipeline_quality_verdict", oracle=_VERDICT_ORACLE)
+def pipeline_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop gate of the quality pipeline: every document gets a
+    boolean verdict plus the exact list of rules it violated (auditable
+    filtering, the shape used to debug recall of aggressive filters).
+    Pure per-row expressions — zero shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    text_len = F.length("text")
+    punct_ratio = (
+        (text_len - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))) * 1.0 / text_len
+    )
+    stopword_ratio = (
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w.isin(STOPWORDS)))
+        * 1.0
+        / n_words
+    )
+    feat = d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+    )
+    return feat.select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        (
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+            & (F.col("punct_ratio") <= MAX_PUNCT_RATIO)
+        ).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_words") < MIN_WORDS, "too_short"),
+            F.when(F.col("stopword_ratio") < MIN_STOPWORD_RATIO, "low_stopword"),
+            F.when(F.col("punct_ratio") > MAX_PUNCT_RATIO, "high_punct"),
+        ).alias("reject_reasons"),
+    )

@@ -66,8 +66,17 @@ ROW_ID_TYPE = "struct<file:string,pos:bigint>"
 class Snapshot:
     snapshot_id: int
     operation: str
-    data_files: list[str] = field(default_factory=list)
-    delete_files: list[str] = field(default_factory=list)
+    # data file entries: [path, sequence_number] — the sequence is the
+    # committing snapshot id, which is what equality deletes compare
+    # against (Iceberg's data-sequence-number rule).
+    data_files: list = field(default_factory=list)
+    # delete file entries: [path, sequence_number, mode, equality_columns]
+    # mode 'positional' → file holds __row_id (file, pos) tuples, applied
+    #   to every data file (ids are globally unique);
+    # mode 'equality'   → file holds distinct equality-column value rows,
+    #   applied only to rows whose data file has sequence < the delete's
+    #   (`IcebergTableGenerator.java:288-365`, equality ids at :336).
+    delete_files: list = field(default_factory=list)
     columns: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
     timestamp_ms: int = 0
@@ -189,7 +198,7 @@ class ParquetSnapshotTable:
                 new_types[f_.name] = f_.dataType.simpleString()
         return self._commit(
             "append",
-            data_files=cur.data_files + [file_dir],
+            data_files=cur.data_files + [[file_dir, sid]],
             columns=new_cols,
             column_types=new_types,
         )
@@ -203,6 +212,7 @@ class ParquetSnapshotTable:
         with zero preparation.  The claimed-record-count corruption half of
         the reference scenario is a survey-declared non-goal."""
         cur = self._load()[-1]
+        sid = cur.snapshot_id + 1
         schema = self.spark.read.parquet(*file_dirs).schema
         new_cols = cur.columns + [
             f.name for f in schema.fields if f.name not in cur.columns and f.name != ROW_ID
@@ -213,25 +223,46 @@ class ParquetSnapshotTable:
                 new_types[f_.name] = f_.dataType.simpleString()
         return self._commit(
             "add-files",
-            data_files=cur.data_files + list(file_dirs),
+            data_files=cur.data_files + [[d, sid] for d in file_dirs],
             columns=new_cols,
             column_types=new_types,
         )
 
-    def delete_where(self, condition: str, mode: str = "equality") -> Snapshot:
-        """D1/D2: merge-on-read delete — writes a delete file of matching
-        row ids, visible rows = data anti-join deletes.
+    def delete_where(
+        self,
+        condition: str,
+        mode: str = "equality",
+        equality_columns: list[str] | None = None,
+    ) -> Snapshot:
+        """D1/D2: merge-on-read delete — writes a delete FILE, never
+        rewrites data; visible rows = data anti-join deletes at read time.
 
-        `mode` is descriptive ('equality' vs 'positional'): both reduce to
-        row-visibility via the row-id key, which is exactly the semantics
-        the reference's two delete-file kinds produce for readers
-        (SURVEY.md §7 equality-delete note)."""
-        matching = self.read().filter(condition).select(ROW_ID)
-        sid = self._load()[-1].snapshot_id + 1
-        del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-        matching.write.mode("overwrite").parquet(del_dir)
+        mode='positional': the file holds the (file, pos) row ids matching
+        `condition` right now — Iceberg's positional delete
+        (`IcebergTableGenerator.java:237-245`).
+
+        mode='equality' with `equality_columns`: a TRUE equality-delete
+        file — it stores the distinct equality-column value tuples of the
+        matching rows, and readers apply it to any row of an EARLIER data
+        sequence with those values (`IcebergTableGenerator.java:288-365`;
+        equality ids at `:336`).  Rows appended later with the same values
+        stay visible, exactly the Iceberg sequence-number rule.
+
+        mode='equality' without `equality_columns` degrades to the
+        row-visibility-equivalent positional file (the r1 behavior)."""
         cur = self._load()[-1]
-        return self._commit(f"delete-{mode}", delete_files=cur.delete_files + [del_dir])
+        sid = cur.snapshot_id + 1
+        del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        if mode == "equality" and equality_columns:
+            values = self.read().filter(condition).select(*equality_columns).distinct()
+            values.write.mode("overwrite").parquet(del_dir)
+            entry = [del_dir, sid, "equality", list(equality_columns)]
+        else:
+            matching = self.read().filter(condition).select(ROW_ID)
+            matching.write.mode("overwrite").parquet(del_dir)
+            entry = [del_dir, sid, "positional", []]
+        cur = self._load()[-1]
+        return self._commit(f"delete-{mode}", delete_files=cur.delete_files + [entry])
 
     def add_column(self, name: str) -> Snapshot:
         """E2: ALTER TABLE ADD COLUMN (null-filled for existing rows)."""
@@ -273,7 +304,7 @@ class ParquetSnapshotTable:
         if cur.partition_by:
             writer = writer.partitionBy(*cur.partition_by)
         writer.parquet(file_dir)
-        return self._commit("compact", data_files=[file_dir], delete_files=[])
+        return self._commit("compact", data_files=[[file_dir, sid]], delete_files=[])
 
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:
@@ -299,24 +330,39 @@ class ParquetSnapshotTable:
                 f"`{c}` {snap.column_types.get(c, 'string')}" for c in snap.columns
             ] + ([f"`{ROW_ID}` {ROW_ID_TYPE}"] if with_row_id else [])
             return self.spark.createDataFrame([], ", ".join(fields))
+        seq_col = "__seq"
         df: DataFrame | None = None
-        for path in snap.data_files:
-            part = self.spark.read.parquet(path).withColumn(
-                ROW_ID,
-                F.struct(
-                    F.col("_metadata.file_path").alias("file"),
-                    F.col("_metadata.row_index").alias("pos"),
-                ),
+        for path, seq in snap.data_files:
+            part = (
+                self.spark.read.parquet(path)
+                .withColumn(
+                    ROW_ID,
+                    F.struct(
+                        F.col("_metadata.file_path").alias("file"),
+                        F.col("_metadata.row_index").alias("pos"),
+                    ),
+                )
+                .withColumn(seq_col, F.lit(seq))
             )
             df = part if df is None else df.unionByName(part, allowMissingColumns=True)
-        if snap.delete_files:
-            deletes: DataFrame | None = None
-            for path in snap.delete_files:
-                d = self.spark.read.parquet(path)
-                deletes = d if deletes is None else deletes.union(d)
+        # Positional deletes: one union of (file, pos) tuples, one broadcast
+        # anti-join — ids are globally unique, no sequence check needed.
+        pos_files = [e[0] for e in snap.delete_files if e[2] == "positional"]
+        if pos_files:
+            deletes = self.spark.read.parquet(*pos_files)
             # Delete files are small relative to data (MoR invariant) —
             # broadcast the anti-join so the data side never shuffles.
             df = df.join(F.broadcast(deletes), ROW_ID, "left_anti")
+        # Equality deletes: each applies to rows of an EARLIER data sequence
+        # whose equality-column values appear in the delete file (Iceberg's
+        # sequence-number rule — later re-inserts of the same values stay).
+        for path, del_seq, mode, eq_cols in snap.delete_files:
+            if mode != "equality":
+                continue
+            vals = self.spark.read.parquet(path)
+            cond = [df[c].eqNullSafe(vals[c]) for c in eq_cols]
+            cond.append(df[seq_col] < F.lit(del_seq))
+            df = df.join(F.broadcast(vals), cond, "left_anti")
         cols = [c for c in snap.columns if c in df.columns]
         return df.select(*cols, *([ROW_ID] if with_row_id else []))
 

@@ -61,11 +61,15 @@ def products_with_deletes(spark: SparkSession, path: str) -> ParquetSnapshotTabl
     """
     t = ParquetSnapshotTable(spark, path).create(PRODUCTS_COLUMNS, partition_by=["category"])
     t.append(R.products(spark, 200, seed=1, category="widget"), num_files=1)
-    t.delete_where("product_id < 30", mode="equality")
+    # True equality-delete files (value tuples + sequence rule), matching
+    # the reference's equality ids (`IcebergTableGenerator.java:336`).
+    t.delete_where("product_id < 30", mode="equality", equality_columns=["product_id"])
     t.append(R.products(spark, 200, seed=2, category="gizmo", id_start=200), num_files=1)
-    t.delete_where("color = 'green'", mode="equality")
+    t.delete_where("color = 'green'", mode="equality", equality_columns=["color"])
     t.append(R.products(spark, 600, seed=3, category="gadget", id_start=400), num_files=3)
-    t.delete_where("product_id % 200 >= 100", mode="equality")
+    t.delete_where(
+        "product_id % 200 >= 100", mode="equality", equality_columns=["product_id"]
+    )
     t.delete_where("product_id >= 50 AND product_id < 53", mode="positional")
     return t
 

@@ -30,7 +30,14 @@ def test_lifecycle_random_ops_match_model(spark, tmp_path):
             next_k += n
         elif op == "delete":
             m, r = rng.randint(2, 7), rng.randint(0, 1)
-            t.delete_where(f"k % {m} = {r}", mode=rng.choice(["equality", "positional"]))
+            mode = rng.choice(["equality", "positional", "equality_true"])
+            if mode == "equality_true":
+                # true equality-delete file (value tuples + sequence rule);
+                # equivalent to the eager model here because every append
+                # uses fresh k values
+                t.delete_where(f"k % {m} = {r}", mode="equality", equality_columns=["k"])
+            else:
+                t.delete_where(f"k % {m} = {r}", mode=mode)
             model = [k for k in model if k % m != r]
         else:
             t.compact(target_files=2)

@@ -154,3 +154,22 @@ def test_text_narrow_ops_zero_shuffle(spark, sf_small):
 
     for fn in (text_language_id, text_quality_score, text_fingerprint):
         assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
+
+
+def test_pipeline_narrow_ops_zero_shuffle(spark, sf_small):
+    from iceberg_table_generator_spark.operators.pipeline import (
+        pipeline_chunk_documents,
+        pipeline_quality_verdict,
+    )
+
+    for fn in (pipeline_chunk_documents, pipeline_quality_verdict):
+        assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
+
+
+def test_contamination_no_nested_loop(spark, sf_small):
+    from iceberg_table_generator_spark.operators.pipeline import (
+        pipeline_contamination_check,
+    )
+
+    kinds = explain.join_kinds(pipeline_contamination_check(spark, sf_small))
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
