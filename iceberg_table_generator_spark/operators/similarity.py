@@ -346,6 +346,69 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Scalar quantization (int8) — the storage tier of a vector index
+# --------------------------------------------------------------------------
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+s AS (
+  SELECT vec_id, vec,
+         greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM v),
+q AS (
+  SELECT vec_id, vec, scale,
+         list_transform(vec, x -> round(x / scale)) AS qv
+  FROM s)
+SELECT vec_id,
+       scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+       sqrt(list_sum(list_transform(
+           generate_series(1, len(vec)),
+           i -> (vec[i] - qv[i] * scale) * (vec[i] - qv[i] * scale))))
+         AS l2_error
+FROM q
+"""
+
+
+@query("similarity_quantize_int8", oracle=_QUANT_ORACLE)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the compression
+    step that shrinks a vector index 4x before ANN search: scale =
+    max|x|/127, q_i = round(x_i/scale), plus the reconstruction L2 error
+    that decides whether int8 is acceptable for a corpus.  Pure per-row
+    folds (zero shuffle).  scale and l2_error are emitted as RAW doubles:
+    both engines run the identical IEEE op sequence on identical inputs,
+    so the bits match exactly — whereas round(x, 9) itself diverges
+    between engines (BigDecimal string rounding vs multiply-round-divide)
+    and was observed flipping the 9th digit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("vec", lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / 127.0
+    )
+    s = emb.withColumn("scale", scale)
+    q = s.withColumn("qv", F.transform("vec", lambda x: F.round(x / F.col("scale"))))
+    err2 = F.aggregate(
+        F.zip_with("vec", "qv", lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).cast("long").alias("q_max"),
+        F.sqrt(err2).alias("l2_error"),
+    )
+
+
 def topk_local_global(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
     """Scale path for huge query sets: per-partition top-k heaps before the
     global rank — bounds the shuffle to partitions × queries × k rows.

@@ -264,6 +264,25 @@ class ParquetSnapshotTable:
         cur = self._load()[-1]
         return self._commit(f"delete-{mode}", delete_files=cur.delete_files + [entry])
 
+    def merge_upsert(self, df: DataFrame, keys: list[str]) -> Snapshot:
+        """MERGE INTO (upsert-by-key): rows in `df` replace current rows
+        with the same key values; new keys append.  Composed from the MoR
+        primitives exactly as Iceberg's merge-on-read MERGE does it — one
+        equality-delete file on the key columns (victims = earlier
+        sequences only) plus one append, so the data files are never
+        rewritten.  Two snapshots = delete + append, matching the
+        one-operation-per-commit cadence of the reference (D5)."""
+        key_rows = df.select(*keys).distinct()
+        cur = self._load()[-1]
+        sid = cur.snapshot_id + 1
+        del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        key_rows.write.mode("overwrite").parquet(del_dir)
+        self._commit(
+            "merge-delete",
+            delete_files=cur.delete_files + [[del_dir, sid, "equality", list(keys)]],
+        )
+        return self.append(df)
+
     def add_column(self, name: str) -> Snapshot:
         """E2: ALTER TABLE ADD COLUMN (null-filled for existing rows)."""
         cur = self._load()[-1]

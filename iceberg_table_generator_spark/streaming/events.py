@@ -79,14 +79,71 @@ def hourly_window_stream(spark: SparkSession, sf_dir: str, late_threshold: str =
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join: each click joins the same user's
+    purchases landing within 30 minutes after it — the attribution query.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store provably expires rows: a buffered click
+    can stop waiting once the purchase-side watermark passes click_ts +
+    30 min (Spark derives the state-cleanup predicate from the interval
+    condition — without it, stream-stream join state grows forever).
+    Output mode append; the batch twin is the same join over the static
+    table, asserted equal in tests."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain everything currently available through the streaming engine into
     an in-memory sink table and return it as a DataFrame (test/dev runner;
-    production uses a durable sink + continuous trigger)."""
+    production uses a durable sink + continuous trigger).  Stream-stream
+    joins and non-aggregating pipelines use output_mode='append'."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -229,3 +229,29 @@ def test_long_identifier_table(spark, tmp_path):
     assert LONG_TABLE_NAME in t.path
     assert t.read(version=3).count() == 3000
     assert t.read().count() == 3000 - 900  # order_id < 900 in 2019 deleted
+
+
+def test_merge_upsert_by_key(spark, tmp_path):
+    """MERGE INTO semantics from the MoR primitives: matched keys take the
+    new row version, unmatched keys append, data files never rewritten."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "merge")).create(["k", "v"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("k"), F.lit("old").alias("v"))
+    )
+    upd = spark.createDataFrame(
+        [(5, "new"), (7, "new"), (100, "new")], "k bigint, v string"
+    )
+    t.merge_upsert(upd, keys=["k"])
+    rows = {r.k: r.v for r in t.read(with_row_id=False).collect()}
+    assert len(rows) == 11
+    assert rows[5] == "new" and rows[7] == "new" and rows[100] == "new"
+    assert rows[0] == "old" and rows[9] == "old"
+    # merge = delete-commit + append-commit on top of create + first append
+    ops = [s.operation for s in t.snapshots()]
+    assert ops == ["create", "append", "merge-delete", "append"]
+    # a second merge on the same key wins again (sequence rule end to end)
+    t.merge_upsert(
+        spark.createDataFrame([(5, "newest")], "k bigint, v string"), keys=["k"]
+    )
+    rows = {r.k: r.v for r in t.read(with_row_id=False).collect()}
+    assert rows[5] == "newest" and len(rows) == 11

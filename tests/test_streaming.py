@@ -26,3 +26,37 @@ def test_stream_watermark_column_present(spark, sf_small):
     ev = streaming_events.read_events_stream(spark, sf_small)
     assert dict(ev.dtypes)["ts"].startswith("timestamp")
     assert ev.isStreaming
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
+    """Attribution join (click -> purchase within 30 min, same user) must
+    produce the same pairs through the streaming engine as the static
+    interval join over the same data."""
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    stream_df = streaming_events.click_purchase_join_stream(spark, sf_small)
+    assert stream_df.isStreaming
+    result = streaming_events.run_available_now(
+        stream_df, "attribution_test", str(tmp_path / "ckpt_ss"), output_mode="append"
+    )
+    ev = load_table(spark, sf_small, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    s = {(r.click_id, r.purchase_id) for r in result.collect()}
+    b = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert s == b
+    assert s, "interval join should be non-empty on this data"
