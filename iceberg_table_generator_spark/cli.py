@@ -25,6 +25,8 @@ SCENARIOS = {
     "products_with_schema_evolution": S.products_with_schema_evolution,
     "orders_with_partition_evolution": S.orders_with_partition_evolution,
     "wide_metrics": S.wide_metrics_table,
+    "multi_rowgroup_orders_with_deletes": S.multi_rowgroup_orders_with_deletes,
+    "orders_with_long_paths": S.orders_with_long_paths,
 }
 
 

@@ -215,3 +215,114 @@ def pipeline_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("punct_ratio") > MAX_PUNCT_RATIO, "high_punct"),
         ).alias("reject_reasons"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition statistics (Gopher-style repetition quality signal)
+# --------------------------------------------------------------------------
+_REPETITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bi AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+  FROM tok),
+counts AS (
+  SELECT doc_id, len(bigrams) AS n_bigrams,
+         unnest(bigrams) AS bg
+  FROM bi),
+freq AS (
+  SELECT doc_id, any_value(n_bigrams) AS n_bigrams, bg, count(*) AS n
+  FROM counts GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id, any_value(n_bigrams) AS n_bigrams, max(n) AS top_n,
+         CAST(count(*) AS BIGINT) AS distinct_bigrams
+  FROM freq GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_bigrams AS INT) AS n_bigrams,
+       distinct_bigrams,
+       CAST(top_n AS INT) AS top_bigram_count,
+       round(top_n * 1.0 / n_bigrams, 6) AS top_bigram_ratio,
+       round(distinct_bigrams * 1.0 / n_bigrams, 6) AS distinct_ratio
+FROM top
+"""
+
+
+@query("pipeline_repetition_stats", oracle=_REPETITION_ORACLE)
+def pipeline_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/MassiveText family of rules):
+    per document, the most-frequent-bigram share and the distinct-bigram
+    ratio — high top-bigram share or low distinct ratio marks boilerplate
+    and degenerate repetition.  Computed entirely in-row: the bigram
+    frequency map is an aggregate over the exploded array per doc_id —
+    one partial-aggregated shuffle keyed by (doc_id, bigram), nothing
+    corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    bi = tok.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"
+        ).alias("bigrams"),
+    )
+    counts = bi.select(
+        "doc_id", F.size("bigrams").alias("n_bigrams"), F.explode("bigrams").alias("bg")
+    )
+    freq = counts.groupBy("doc_id", "bg").agg(
+        F.first("n_bigrams").alias("n_bigrams"), F.count("*").alias("n")
+    )
+    top = freq.groupBy("doc_id").agg(
+        F.first("n_bigrams").alias("n_bigrams"),
+        F.max("n").alias("top_n"),
+        F.count("*").alias("distinct_bigrams"),
+    )
+    return top.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        "distinct_bigrams",
+        F.col("top_n").cast("int").alias("top_bigram_count"),
+        F.round(F.col("top_n") * 1.0 / F.col("n_bigrams"), 6).alias("top_bigram_ratio"),
+        F.round(F.col("distinct_bigrams") * 1.0 / F.col("n_bigrams"), 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-stratified deterministic sampling
+# --------------------------------------------------------------------------
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+_SAMPLE_SEED = 77
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{la}' THEN {r}" for la, r in STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0.05 END"
+
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (hash(CAST(doc_id AS BIGINT) + {_SAMPLE_SEED}) % 10000) / 10000.0
+      < {_sql_rate_case()}
+ORDER BY doc_id
+"""
+
+
+@query("pipeline_stratified_sample")  # hash fns differ across engines → rows-only
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: each language keeps its
+    own rate (the data-mixture reweighting step of corpus building), and
+    membership is a pure hash of doc_id — the same rows are kept on any
+    cluster, any partitioning, any rerun.  Zero shuffle.  Driver check is
+    rows-only (Spark xxhash64 and DuckDB hash are different functions);
+    the per-stratum rate behavior is asserted in pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.pmod(F.xxhash64(F.col("doc_id") + _SAMPLE_SEED), F.lit(10000)) / 10000.0)
+    rate = F.lit(0.05)
+    for la, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == la, F.lit(r)).otherwise(rate)
+    return d.filter(u < rate).select("doc_id", "lang").orderBy("doc_id")

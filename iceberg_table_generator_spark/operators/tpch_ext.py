@@ -763,3 +763,47 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape: important part values (self-referential HAVING threshold)
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
+    FROM pv
+    -- multiplication-only compare (value*n > 1.5*total): exact decimal on
+    -- both engines, unlike decimal division whose result scale differs
+    WHERE value * (SELECT count(*) FROM pv)
+          > (SELECT CAST(1.5 AS DECIMAL(18,6)) * sum(value) FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value → lineitem revenue per part): parts
+    whose total value exceeds 1.5x the MEAN part value — the
+    self-referential scalar-threshold query.  (Q11's fixed corpus-share
+    fraction degenerates on this data: above it every part qualifies at
+    one SF and none at the next, so the threshold is expressed relative
+    to the mean, which keeps the selection meaningful at any scale.)  The
+    per-part aggregate is computed once and consumed twice (group rows +
+    global threshold); exact decimal arithmetic end to end, so the >
+    comparison cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(rev_dec()).alias("value"))
+    threshold = pv.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.lit(1.5).cast(DEC18) * F.sum("value")).alias("total_x15"),
+    )
+    return (
+        pv.join(
+            F.broadcast(threshold),
+            F.col("value") * F.col("n_parts") > F.col("total_x15"),
+        )
+        .select("l_partkey", F.round("value", 2).cast("double").alias("part_value"))
+    )

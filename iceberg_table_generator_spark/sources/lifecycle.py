@@ -167,7 +167,12 @@ class ParquetSnapshotTable:
         )
         return self
 
-    def append(self, df: DataFrame, num_files: int | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        num_files: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> Snapshot:
         """S3/S4: append one batch of rows as a new snapshot.
 
         Row ids are NOT written: `read()` derives the (file, pos) key from
@@ -176,12 +181,24 @@ class ParquetSnapshotTable:
         monotonically_increasing_id can renumber rows when a task is
         speculatively re-executed).  `num_files` controls the physical
         file count (the reference's files-per-append knob,
-        `IcebergTableGenerator.java:103-127`)."""
+        `IcebergTableGenerator.java:103-127`).
+
+        `sort_by` is Iceberg's write sort order (`write.sort-order`):
+        range-partition + sort-within-partitions clusters the data so
+        parquet row-group min/max stats become tight, disjoint ranges —
+        the reader then prunes row groups on sorted-column predicates
+        instead of scanning every file.  At 100 TB this is the difference
+        between a point-lookup touching one row group and touching all of
+        them."""
         snaps = self._load()
         cur = snaps[-1]
         sid = cur.snapshot_id + 1
         out = df.drop(ROW_ID)  # ids are positional; rewritten rows get new ones
-        if num_files:
+        if sort_by:
+            out = out.repartitionByRange(num_files or 4, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif num_files:
             out = out.repartition(num_files)
         file_dir = os.path.join(self.path, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")

@@ -56,3 +56,23 @@ def incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream_within_watermark(spark, sf_dir: str) -> DataFrame:
+    """Built-in streaming exact dedup: `dropDuplicatesWithinWatermark` on
+    the event id over a synthetically duplicated stream (each event
+    emitted twice).  Unlike plain dropDuplicates — whose state grows
+    unboundedly — the watermark variant evicts a key's state once the
+    event-time watermark passes it, so the state store holds only the
+    in-flight window at any corpus scale.  The foreachBatch operator
+    above is the dedup-against-ALL-history complement; this one is
+    dedup-within-the-stream."""
+    from iceberg_table_generator_spark.streaming.events import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    duplicated = ev.withColumn(
+        "__copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("__copy")
+    return duplicated.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -255,3 +255,54 @@ def test_merge_upsert_by_key(spark, tmp_path):
     )
     rows = {r.k: r.v for r in t.read(with_row_id=False).collect()}
     assert rows[5] == "newest" and len(rows) == 11
+
+
+def test_sorted_append_clusters_row_groups(spark, tmp_path):
+    """Iceberg write.sort-order equivalent: sort_by clustering must give
+    row groups with tight, non-overlapping min/max ranges so sorted-column
+    predicates prune at the row-group level."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "sorted")).create(
+        ["k", "v"], properties={"write.parquet.row-group-size-bytes": "1"}
+    )
+    df = spark.range(2000).select(
+        (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("v")
+    )
+    t.append(df, num_files=2, sort_by=["k"])
+    files = sorted(glob.glob(str(tmp_path / "sorted" / "data" / "*" / "*.parquet")))
+    assert len(files) == 2
+    all_ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        assert meta.num_row_groups > 1
+        ranges = [
+            (
+                meta.row_group(i).column(0).statistics.min,
+                meta.row_group(i).column(0).statistics.max,
+            )
+            for i in range(meta.num_row_groups)
+        ]
+        # row groups within a sorted file must be non-overlapping
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (f, ranges)
+        all_ranges.append((ranges[0][0], ranges[-1][1]))
+    # range partitioning: files themselves cover disjoint key ranges
+    all_ranges.sort()
+    assert all_ranges[0][1] <= all_ranges[1][0]
+    assert t.read().count() == 2000
+
+
+def test_lifecycle_read_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must reach the scan as a partition
+    filter (directory pruning), not a row filter over all partitions."""
+    from iceberg_table_generator_spark.plans import explain
+
+    t = scenarios.create_small_orders(spark, str(tmp_path / "pp_orders"))
+    df = t.read(with_row_id=False).filter("order_year = 2020")
+    plan = explain.plan_text(df)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+    assert df.count() == 200

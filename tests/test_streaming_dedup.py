@@ -36,3 +36,27 @@ def test_incremental_dedup_across_batches(spark, sf_small, tmp_path):
     assert out.count() == n_unique  # second arrival fully deduped
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == n_unique
+
+
+def test_drop_duplicates_within_watermark(spark, sf_small, tmp_path):
+    """A doubled stream must come out exactly deduplicated, matching the
+    batch distinct count."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.sources.tables import load_table
+    from iceberg_table_generator_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+    from iceberg_table_generator_spark.streaming.events import run_available_now
+
+    stream_df = dedup_stream_within_watermark(spark, sf_small)
+    assert stream_df.isStreaming
+    result = run_available_now(
+        stream_df, "wm_dedup_test", str(tmp_path / "ckpt_wm"), output_mode="append"
+    )
+    n_distinct = (
+        load_table(spark, sf_small, "events").select("event_id").distinct().count()
+    )
+    got = result.select("event_id").collect()
+    assert len(got) == n_distinct
+    assert len({r.event_id for r in got}) == n_distinct
