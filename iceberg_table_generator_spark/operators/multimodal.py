@@ -130,3 +130,90 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5("text").alias("content_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling (video-style payloads)
+# --------------------------------------------------------------------------
+FRAME_BYTES = 256  # fixed-size frame stand-in (real codecs: keyframe index)
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), nullable=False),
+        StructField("frame_idx", IntegerType(), nullable=False),
+        StructField("features", ArrayType(FloatType()), nullable=True),
+    ]
+)
+
+
+@query(
+    "multimodal_frame_index",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
+    idx AS (
+      SELECT doc_id, byte_len,
+             unnest(generate_series(0, CAST((byte_len - 1) / {FRAME_BYTES} AS BIGINT),
+                                    {FRAME_STRIDE})) AS frame_idx
+      FROM m)
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+           CAST(least({FRAME_BYTES}, byte_len - frame_idx * {FRAME_BYTES}) AS INT)
+             AS frame_len
+    FROM idx
+    """,
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling INDEX over binary payloads: every FRAME_STRIDE-th
+    fixed-size frame's (offset, length), computed without touching the
+    payload bytes — the planning half of video frame extraction (a real
+    pipeline swaps the fixed grid for the container's keyframe index).
+    Zero shuffle; the byte-ranges then drive the batched decode below."""
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    idx = media.select(
+        "doc_id",
+        "byte_len",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.col("byte_len") - 1) / FRAME_BYTES).cast("bigint"),
+                F.lit(FRAME_STRIDE),
+            )
+        ).alias("frame_idx"),
+    )
+    return idx.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * FRAME_BYTES).cast("bigint").alias("frame_offset"),
+        F.least(
+            F.lit(FRAME_BYTES), F.col("byte_len") - F.col("frame_idx") * FRAME_BYTES
+        )
+        .cast("int")
+        .alias("frame_len"),
+    )
+
+
+def sample_frame_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Frame-level feature extraction: one mapInPandas pass slices each
+    payload into its sampled frames and featurizes them — the per-frame
+    fan-out happens INSIDE the Arrow batch (no pre-explode of binary
+    columns through a shuffle), so each payload's bytes cross the Python
+    boundary exactly once."""
+
+    def run(batches):  # Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES)
+                for frame_idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = raw[frame_idx * FRAME_BYTES : (frame_idx + 1) * FRAME_BYTES]
+                    d = decode_stub(frame, "video/frame", fake=fake_decode)
+                    out.append((doc_id, frame_idx, d["features"]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "features"])
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -645,3 +645,44 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 3).cast("string").alias("plus_3m"),
         F.datediff(F.to_date(F.lit("2002-01-01")), d).cast("long").alias("days_to_2002"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time window (overlapping windows, 1h every 15min)
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH k AS (SELECT unnest(generate_series(0, 3)) AS k),
+    w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+               - k.k * INTERVAL '15 minutes' AS window_start,
+             e.event_type, e.value
+      FROM events e CROSS JOIN k)
+    SELECT window_start, event_type,
+           count(*)            AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window advancing every 15 minutes — each event lands
+    in exactly 4 overlapping windows (the rate-monitoring shape tumbling
+    windows can't express).  Spark expands the window memberships in-row
+    before the aggregate, so the shuffle carries (window, type) keys with
+    map-side partial aggregation; the oracle reproduces the same 4-window
+    expansion with an explicit series cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

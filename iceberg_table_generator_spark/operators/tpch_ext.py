@@ -793,7 +793,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the mean, which keeps the selection meaningful at any scale.)  The
     per-part aggregate is computed once and consumed twice (group rows +
     global threshold); exact decimal arithmetic end to end, so the >
-    comparison cannot drift."""
+    comparison cannot drift.  (The plan shows a BroadcastNestedLoopJoin
+    against the ONE-ROW threshold — that is Catalyst's own plan for a
+    scalar subquery compare and is O(n), unlike a data×data nested
+    loop.)"""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(rev_dec()).alias("value"))
     threshold = pv.agg(

@@ -101,6 +101,10 @@ _LAYOUT_PROPS = {
 }
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between read and commit (optimistic CAS)."""
+
+
 class ParquetSnapshotTable:
     """Merge-on-read versioned table over plain Parquet files."""
 
@@ -120,9 +124,19 @@ class ParquetSnapshotTable:
             json.dump([vars(s) for s in snaps], f, indent=1)
         os.replace(tmp, self._meta_path)  # atomic commit, HadoopTableOperations-style
 
-    def _commit(self, op: str, **changes) -> Snapshot:
+    def _commit(self, op: str, expected_parent: int | None = None, **changes) -> Snapshot:
+        """Append one snapshot.  `expected_parent` enables optimistic
+        concurrency (Iceberg's commit model): if another writer committed
+        since the caller read the table, the parent id no longer matches
+        and the commit raises instead of silently clobbering — the caller
+        re-reads and retries, exactly like HadoopTableOperations CAS."""
         snaps = self._load()
         prev = snaps[-1]
+        if expected_parent is not None and prev.snapshot_id != expected_parent:
+            raise ConcurrentCommitError(
+                f"concurrent commit detected: expected parent snapshot "
+                f"{expected_parent}, table is now at {prev.snapshot_id}"
+            )
         snap = Snapshot(
             snapshot_id=prev.snapshot_id + 1,
             operation=op,
@@ -215,6 +229,7 @@ class ParquetSnapshotTable:
                 new_types[f_.name] = f_.dataType.simpleString()
         return self._commit(
             "append",
+            expected_parent=sid - 1,
             data_files=cur.data_files + [[file_dir, sid]],
             columns=new_cols,
             column_types=new_types,
@@ -279,7 +294,11 @@ class ParquetSnapshotTable:
             matching.write.mode("overwrite").parquet(del_dir)
             entry = [del_dir, sid, "positional", []]
         cur = self._load()[-1]
-        return self._commit(f"delete-{mode}", delete_files=cur.delete_files + [entry])
+        return self._commit(
+            f"delete-{mode}",
+            expected_parent=sid - 1,
+            delete_files=cur.delete_files + [entry],
+        )
 
     def merge_upsert(self, df: DataFrame, keys: list[str]) -> Snapshot:
         """MERGE INTO (upsert-by-key): rows in `df` replace current rows
@@ -340,7 +359,63 @@ class ParquetSnapshotTable:
         if cur.partition_by:
             writer = writer.partitionBy(*cur.partition_by)
         writer.parquet(file_dir)
-        return self._commit("compact", data_files=[[file_dir, sid]], delete_files=[])
+        return self._commit(
+            "compact",
+            expected_parent=sid - 1,
+            data_files=[[file_dir, sid]],
+            delete_files=[],
+        )
+
+    def rollback_to(self, version: int) -> Snapshot:
+        """Iceberg `rollback_to_snapshot`: a NEW snapshot that points back
+        at an older snapshot's file lists — history is append-only, the
+        rollback itself is recorded, and the rolled-past snapshots stay
+        time-travelable."""
+        snaps = self._load()
+        try:
+            target = next(s for s in snaps if s.snapshot_id == version)
+        except StopIteration:
+            raise ValueError(
+                f"no snapshot {version}; table has versions 0..{snaps[-1].snapshot_id}"
+            ) from None
+        return self._commit(
+            "rollback",
+            data_files=list(target.data_files),
+            delete_files=list(target.delete_files),
+            columns=list(target.columns),
+            partition_by=list(target.partition_by),
+            column_types=dict(target.column_types),
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg `expire_snapshots`: drop all but the last `keep_last`
+        snapshot entries and DELETE data/delete files referenced only by
+        the expired history (orphan cleanup).  Time travel to expired
+        versions becomes impossible — that is the point: bounded metadata
+        and storage.  Returns the removed file directories."""
+        import shutil
+
+        snaps = self._load()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep = snaps[-keep_last:]
+        expired = snaps[: -keep_last]
+        if not expired:
+            return []
+        live: set[str] = set()
+        for s in keep:
+            live.update(path for path, _ in s.data_files)
+            live.update(e[0] for e in s.delete_files)
+        dead: set[str] = set()
+        for s in expired:
+            dead.update(path for path, _ in s.data_files)
+            dead.update(e[0] for e in s.delete_files)
+        orphans = sorted(dead - live)
+        for path in orphans:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        self._save(keep)
+        return orphans
 
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:

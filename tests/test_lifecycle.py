@@ -306,3 +306,50 @@ def test_lifecycle_read_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "order_year" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
     assert df.count() == 200
+
+
+def test_rollback_and_expire(spark, tmp_path):
+    """rollback_to records a new snapshot pointing at old state;
+    expire_snapshots prunes history and deletes orphaned files."""
+    import glob
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "maint")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 30).select(F.col("id").alias("k")))
+    t.delete_where("k < 5", mode="positional")
+    assert t.read().count() == 25
+    # rollback to snapshot 1 (only the first 10 rows, no deletes)
+    t.rollback_to(1)
+    assert t.read().count() == 10
+    assert t.snapshots()[-1].operation == "rollback"
+    # pre-rollback state is still time-travelable...
+    assert t.read(version=3).count() == 25
+    # ...until expiration prunes it and removes the now-orphaned files
+    n_dirs_before = len(glob.glob(str(tmp_path / "maint" / "*" / "*")))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed, "expire should remove the orphaned snap-2 data dir"
+    assert len(glob.glob(str(tmp_path / "maint" / "*" / "*"))) < n_dirs_before
+    assert t.read().count() == 10  # current state untouched
+    assert len(t.snapshots()) == 1
+
+
+def test_concurrent_commit_detection(spark, tmp_path):
+    """Optimistic concurrency: a writer whose parent snapshot moved under
+    it must fail with ConcurrentCommitError, not clobber history."""
+    import pytest
+
+    from iceberg_table_generator_spark.sources.lifecycle import ConcurrentCommitError
+
+    path = str(tmp_path / "cc")
+    t1 = ParquetSnapshotTable(spark, path).create(["k"])
+    t1.append(spark.range(5).select(F.col("id").alias("k")))
+    # writer 2 commits in between
+    ParquetSnapshotTable(spark, path).append(
+        spark.range(5, 9).select(F.col("id").alias("k"))
+    )
+    # t1's next commit uses a stale parent via the internal API
+    with pytest.raises(ConcurrentCommitError):
+        t1._commit("append", expected_parent=1, data_files=[])
+    # the normal path re-reads metadata and proceeds fine
+    t1.append(spark.range(9, 10).select(F.col("id").alias("k")))
+    assert t1.read().count() == 10

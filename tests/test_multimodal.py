@@ -48,3 +48,29 @@ def test_real_decode_raises_through_spark(spark, sf_small):
 
     with pytest.raises((Py4JJavaError, PythonException)):
         feats.first()
+
+
+def test_frame_features_match_frame_index(spark, sf_small):
+    """The batched frame featurizer must produce exactly the frames the
+    zero-shuffle index query plans, with fixed-size feature vectors."""
+    from iceberg_table_generator_spark.operators.multimodal import (
+        attach_payload,
+        multimodal_frame_index,
+        sample_frame_features,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    media = attach_payload(docs)
+    feats = sample_frame_features(media).collect()
+    planned = {
+        (r.doc_id, r.frame_idx)
+        for r in multimodal_frame_index(spark, sf_small).collect()
+    }
+    got = {(r.doc_id, r.frame_idx) for r in feats}
+    assert got <= planned
+    assert all(len(r.features) == 8 for r in feats)
+    # deterministic fake decode: same input -> same features
+    again = {(r.doc_id, r.frame_idx): r.features for r in sample_frame_features(media).collect()}
+    for r in feats:
+        assert again[(r.doc_id, r.frame_idx)] == r.features
