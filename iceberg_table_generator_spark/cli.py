@@ -27,6 +27,7 @@ SCENARIOS = {
     "wide_metrics": S.wide_metrics_table,
     "multi_rowgroup_orders_with_deletes": S.multi_rowgroup_orders_with_deletes,
     "orders_with_long_paths": S.orders_with_long_paths,
+    "small_orders_with_deletes": S.small_orders_with_deletes,
 }
 
 

@@ -421,11 +421,29 @@ class ParquetSnapshotTable:
     def snapshots(self) -> list[Snapshot]:
         return self._load()
 
-    def read(self, version: int | None = None, with_row_id: bool = True) -> DataFrame:
-        """Current (or VERSION AS OF) visible rows: union data files with
-        schema reconciliation, anti-join the accumulated delete files."""
+    def read(
+        self,
+        version: int | None = None,
+        with_row_id: bool = True,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """Current (or VERSION AS OF / TIMESTAMP AS OF) visible rows: union
+        data files with schema reconciliation, anti-join the accumulated
+        delete files.  `as_of_timestamp_ms` selects the last snapshot
+        committed at or before the given wall-clock (Iceberg's FOR
+        TIMESTAMP AS OF)."""
         snaps = self._load()
-        if version is None:
+        if version is not None and as_of_timestamp_ms is not None:
+            raise ValueError("pass either version or as_of_timestamp_ms, not both")
+        if as_of_timestamp_ms is not None:
+            eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before {as_of_timestamp_ms} "
+                    f"(oldest is {snaps[0].timestamp_ms})"
+                )
+            snap = eligible[-1]
+        elif version is None:
             snap = snaps[-1]
         else:
             try:

@@ -118,6 +118,40 @@ LONG_TABLE_NAME = (
 )
 
 
+def small_orders_with_deletes(spark: SparkSession, path: str) -> ParquetSnapshotTable:
+    """`createSmallOrdersWithDeletes` (`Main.java:149-175`): appends and
+    positional deletes INTERLEAVED across snapshots (deletes bind to the
+    rows visible at delete time; later appends to the same partitions are
+    untouched), plus the reference's `appendEmptyFile` — a pre-made
+    zero-row parquet registered in place (via add_files), exercising the
+    empty-rowgroup reader edge."""
+    t = ParquetSnapshotTable(spark, path).create(ORDERS_COLUMNS, partition_by=["order_year"])
+    for year in (2019, 2020):
+        t.append(
+            R.orders(spark, 200, seed=60 + year).withColumn("order_year", F.lit(year)),
+            num_files=2,
+        )
+    t.delete_where(
+        "order_year IN (2019, 2020) AND order_id % 10 = 0", mode="positional"
+    )
+    for year in (2020, 2021):
+        t.append(
+            R.orders(spark, 200, seed=70 + year).withColumn("order_year", F.lit(year)),
+            num_files=2,
+        )
+    t.delete_where(
+        "order_year IN (2019, 2020) AND order_id % 10 = 3", mode="positional"
+    )
+    # appendEmptyFile: register a pre-made EMPTY parquet (schema, no rows)
+    import os
+
+    empty_dir = os.path.join(path, "premade", "empty-rowgroup")
+    t.read(with_row_id=False).limit(0).coalesce(1).write.parquet(empty_dir)
+    t.add_files([empty_dir])
+    t.delete_where("order_year = 2021 AND order_id % 10 = 6", mode="positional")
+    return t
+
+
 def multi_rowgroup_orders_with_deletes(spark: SparkSession, path: str) -> ParquetSnapshotTable:
     """`createMultiRowGroupOrdersWithDeletes` (`Main.java:176-206`): 16 KiB
     row groups / 4 KiB pages force many row groups per file, then three

@@ -353,3 +353,41 @@ def test_concurrent_commit_detection(spark, tmp_path):
     # the normal path re-reads metadata and proceeds fine
     t1.append(spark.range(9, 10).select(F.col("id").alias("k")))
     assert t1.read().count() == 10
+
+
+def test_timestamp_as_of_read(spark, tmp_path):
+    """FOR TIMESTAMP AS OF: reads resolve to the last snapshot committed
+    at or before the wall-clock."""
+    import time as _time
+
+    import pytest
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "ts_travel")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")))
+    t1 = t.snapshots()[-1].timestamp_ms
+    _time.sleep(0.05)
+    t.append(spark.range(10, 30).select(F.col("id").alias("k")))
+    assert t.read(as_of_timestamp_ms=t1).count() == 10
+    assert t.read(as_of_timestamp_ms=t.snapshots()[-1].timestamp_ms).count() == 30
+    with pytest.raises(ValueError):
+        t.read(as_of_timestamp_ms=t1 - 1_000_000)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of_timestamp_ms=t1)
+
+
+def test_small_orders_with_deletes_interleaved_ledger(spark, tmp_path):
+    """Interleaved append/delete ledger (Main.java:149-175): deletes bind
+    to rows visible at delete time; the empty registered file adds zero
+    rows but a real snapshot."""
+    t = scenarios.small_orders_with_deletes(spark, str(tmp_path / "interleaved"))
+    # +200(2019) +200(2020) = 400; -%10==0 in 19/20 = -40 -> 360
+    # +200(2020) +200(2021) -> 760; -%10==3 in 19/20 (3 batches x 20) = -60 -> 700
+    # +empty file -> 700; -%10==6 in 2021 = -20 -> 680
+    expected = {2: 400, 3: 360, 5: 760, 6: 700, 7: 700, 8: 680}
+    for sid, want in expected.items():
+        assert t.read(version=sid).count() == want, sid
+    ops = [s.operation for s in t.snapshots()]
+    assert ops == [
+        "create", "append", "append", "delete-positional", "append", "append",
+        "delete-positional", "add-files", "delete-positional",
+    ]

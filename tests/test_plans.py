@@ -173,3 +173,45 @@ def test_contamination_no_nested_loop(spark, sf_small):
 
     kinds = explain.join_kinds(pipeline_contamination_check(spark, sf_small))
     assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+# --------------------------------------------------------------------------
+# TPC-H wave 2 plan properties
+# --------------------------------------------------------------------------
+def test_q7_all_dims_broadcast_single_agg_exchange(spark, sf_small):
+    from iceberg_table_generator_spark.operators.tpch_ext import q7_nation_volume
+
+    df = q7_nation_volume(spark, sf_small)
+    kinds = explain.join_kinds(df)
+    assert kinds["BroadcastHashJoin"] == 5, kinds
+    assert kinds["SortMergeJoin"] == 0, kinds
+    # the fact table shuffles exactly once (the final aggregate)
+    assert explain.exchange_count(df) == 1
+
+
+def test_q8_six_way_star_no_shuffle_joins(spark, sf_small):
+    from iceberg_table_generator_spark.operators.tpch_ext import q8_market_share
+
+    kinds = explain.join_kinds(q8_market_share(spark, sf_small))
+    assert kinds["BroadcastHashJoin"] == 6, kinds
+    assert kinds["SortMergeJoin"] == 0 and kinds["ShuffledHashJoin"] == 0, kinds
+
+
+def test_sliding_window_single_exchange(spark, sf_small):
+    from iceberg_table_generator_spark.operators.relational_ext import (
+        events_sliding_window,
+    )
+
+    # the 4-window expansion happens in-row; only the aggregate shuffles
+    assert explain.exchange_count(events_sliding_window(spark, sf_small)) == 1
+
+
+def test_q19_predicates_partially_pushed(spark, sf_small):
+    from iceberg_table_generator_spark.operators.tpch_ext import (
+        q19_disjunctive_revenue,
+    )
+
+    # Catalyst must extract the common quantity bounds from the OR-of-ANDs
+    # and push them to the lineitem scan
+    pushed = explain.pushed_filters(q19_disjunctive_revenue(spark, sf_small))
+    assert any("l_quantity" in f for f in pushed), pushed

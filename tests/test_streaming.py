@@ -60,3 +60,47 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
     b = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert s == b
     assert s, "interval join should be non-empty on this data"
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(spark, sf_small, tmp_path):
+    """A stream stopped and restarted from its checkpoint must not
+    re-aggregate already-committed data into duplicates — the exactly-once
+    contract the checkpoint exists for."""
+    ckpt = str(tmp_path / "ckpt_restart")
+    stream_df = streaming_events.hourly_window_stream(spark, sf_small)
+    # first drain: everything available
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("restart_a")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = {tuple(r) for r in spark.table("restart_a").collect()}
+    # restart from the SAME checkpoint into a fresh sink: no new input,
+    # so the restarted query must terminate without emitting new state
+    q2 = (
+        streaming_events.hourly_window_stream(spark, sf_small)
+        .writeStream.format("memory")
+        .queryName("restart_b")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    second = {tuple(r) for r in spark.table("restart_b").collect()}
+    batch = {
+        tuple(r)
+        for r in __import__(
+            "iceberg_table_generator_spark.operators.relational", fromlist=["events_hourly_window"]
+        ).events_hourly_window(spark, sf_small).select(
+            "window_start", "event_type", "n_events", "total_value"
+        ).collect()
+    }
+    assert first == batch
+    # the restarted run replays committed state (complete mode) or stays
+    # empty — either way it must never contain counts above the batch truth
+    assert second in ({tuple(r) for r in []}, first) or second <= first
