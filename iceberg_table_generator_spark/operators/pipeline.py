@@ -345,3 +345,53 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for la, r in STRATA_RATES.items():
         rate = F.when(F.col("lang") == la, F.lit(r)).otherwise(rate)
     return d.filter(u < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Token-rarity scoring (perplexity-proxy quality signal)
+# --------------------------------------------------------------------------
+_RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS n FROM tok),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(f.c) AS sum_c
+  FROM tok t JOIN freq f ON t.w = f.w
+  GROUP BY t.doc_id)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(sum_c AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+         AS avg_token_freq
+FROM per_doc
+"""
+
+
+@query("pipeline_token_rarity", oracle=_RARITY_ORACLE)
+def pipeline_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average corpus frequency of each document's tokens — the
+    integer-exact stand-in for LM-perplexity filtering (very high ⇒
+    boilerplate made of ultra-common words; very low ⇒ OCR garbage /
+    non-language).  Self-trained on the corpus in one pass: the unigram
+    table is vocabulary-bounded (map-side partial agg), broadcast back
+    onto the token stream, and every per-doc number stays in integer
+    arithmetic until one final double division — identical to the last
+    bit on both engines, no transcendentals to diverge."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_c"))
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (
+            F.col("sum_c").cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n").cast("double"))
+        ).alias("avg_token_freq"),
+    )
