@@ -417,6 +417,28 @@ class ParquetSnapshotTable:
         self._save(keep)
         return orphans
 
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog scan (Iceberg's CDC read): the rows that
+        became visible ('insert') or stopped being visible ('delete')
+        between two snapshots, tagged with a `_change_type` column.
+
+        Computed as a row-id diff of the two versions' visible sets — the
+        (file, pos) key makes this exact with two broadcast-able
+        anti-joins, no per-snapshot log replay.  Caveat (same as Iceberg's
+        changelog over rewrites): a compaction rewrites every surviving
+        row's physical id, so a diff spanning a compact snapshot reports
+        the physical churn; consume changelogs between data commits, or
+        compact downstream of the CDC consumer."""
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        inserted = new.join(old.select(ROW_ID), ROW_ID, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deleted = old.join(new.select(ROW_ID), ROW_ID, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserted.unionByName(deleted, allowMissingColumns=True)
+
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:
         return self._load()

@@ -391,3 +391,21 @@ def test_small_orders_with_deletes_interleaved_ledger(spark, tmp_path):
         "create", "append", "append", "delete-positional", "append", "append",
         "delete-positional", "add-files", "delete-positional",
     ]
+
+
+def test_changelog_read(spark, tmp_path):
+    """Incremental CDC read: inserts and deletes between two versions."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "cdc")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")))          # v1
+    t.append(spark.range(10, 25).select(F.col("id").alias("k")))      # v2
+    t.delete_where("k < 5", mode="positional")                        # v3
+    ch = t.read_changes(1, 3)
+    by_type = {r["_change_type"]: set() for r in ch.select("_change_type").distinct().collect()}
+    for r in ch.collect():
+        by_type[r["_change_type"]].add(r.k)
+    assert by_type["insert"] == set(range(10, 25))
+    assert by_type["delete"] == {0, 1, 2, 3, 4}
+    # full-span diff: net state vs empty-ish start
+    ch_all = t.read_changes(0)
+    assert ch_all.filter("_change_type = 'insert'").count() == 20  # final visible
+    assert ch_all.filter("_change_type = 'delete'").count() == 0
