@@ -686,3 +686,51 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Built-in session windows (dynamic-gap grouping via F.session_window)
+# --------------------------------------------------------------------------
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('second',
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged)
+    SELECT user_id,
+           min(ts)             AS session_start,
+           max(ts)             AS session_end,
+           count(*)            AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in `session_window` (dynamic gap
+    merging inside the aggregation operator) — the declarative twin of the
+    gaps-and-islands formulation in `events_sessionize`, and the exact
+    batch shape of the streaming state-store sessionizer.  One shuffle on
+    (session_window, user_id); the oracle reproduces the merge with the
+    islands CTE.  Session bounds are reported as min/max event time (the
+    window's `end` field extends past the last event by the gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
