@@ -734,3 +734,48 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "session_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Window analytics pack: lag / lead / ntile / percent_rank / first-last
+# --------------------------------------------------------------------------
+@query(
+    "window_analytics_pack",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           CAST(ntile(4) OVER w AS INT)        AS quartile,
+           percent_rank() OVER w               AS pct_rank,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window functions in one pass: lag/lead
+    (neighbor access), ntile (equi-depth bucketing), percent_rank
+    (relative position — a single exact rational division), first/last
+    value with an explicit full-partition frame (the default frame stops
+    at CURRENT ROW, which silently breaks last_value — pinned here on
+    both engines).  All functions share one window spec → one shuffle and
+    one sort serve the whole select list."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )

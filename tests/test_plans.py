@@ -215,3 +215,12 @@ def test_q19_predicates_partially_pushed(spark, sf_small):
     # and push them to the lineitem scan
     pushed = explain.pushed_filters(q19_disjunctive_revenue(spark, sf_small))
     assert any("l_quantity" in f for f in pushed), pushed
+
+
+def test_window_analytics_pack_single_shuffle(spark, sf_small):
+    from iceberg_table_generator_spark.operators.relational_ext import (
+        window_analytics_pack,
+    )
+
+    # all analytic functions share one window spec -> one exchange total
+    assert explain.exchange_count(window_analytics_pack(spark, sf_small)) == 1
