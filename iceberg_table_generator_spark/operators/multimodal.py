@@ -154,7 +154,7 @@ FRAME_SCHEMA = StructType(
       SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents),
     idx AS (
       SELECT doc_id, byte_len,
-             unnest(generate_series(0, CAST((byte_len - 1) / {FRAME_BYTES} AS BIGINT),
+             unnest(generate_series(0, (byte_len - 1) // {FRAME_BYTES},
                                     {FRAME_STRIDE})) AS frame_idx
       FROM m)
     SELECT doc_id,
@@ -177,9 +177,13 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         F.explode(
             F.sequence(
-                F.lit(0),
-                ((F.col("byte_len") - 1) / FRAME_BYTES).cast("bigint"),
-                F.lit(FRAME_STRIDE),
+                F.lit(0).cast("bigint"),
+                # integer division on BOTH engines: DuckDB's CAST(double AS
+                # BIGINT) rounds half-to-even, which fabricates an extra
+                # (negative-length) frame when (byte_len-1)/256 has
+                # fractional part >= 0.5 near a stride boundary
+                F.expr(f"(byte_len - 1) div {FRAME_BYTES}"),
+                F.lit(FRAME_STRIDE).cast("bigint"),
             )
         ).alias("frame_idx"),
     )

@@ -279,10 +279,16 @@ def pipeline_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    # Guard: for <2 tokens, sequence(1, size-1) would DESCEND ([1,0]) and
+    # fabricate bogus bigrams (or throw under ANSI).  Emit array() instead;
+    # 0-bigram docs are then dropped by the explode — matching the oracle,
+    # whose generate_series(1, 0) is empty so such docs never appear either.
     bi = tok.select(
         "doc_id",
         F.expr(
-            "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', ws[i-1], ws[i]))"
+            "CASE WHEN size(ws) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(ws) - 1), "
+            "i -> concat_ws(' ', ws[i-1], ws[i])) END"
         ).alias("bigrams"),
     )
     counts = bi.select(

@@ -697,7 +697,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN date_diff('second',
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 1800
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events),
