@@ -122,10 +122,15 @@ def dedup_ngram_jaccard(
     docs would otherwise create a 10¹²-pair bucket.  The hot set is tiny
     by construction (few shingles exceed the cap), so it applies as a
     broadcast anti-join — the candidate-generation shuffle never sees the
-    hot buckets.  Per-doc set sizes are computed before the cap, so
-    Jaccard values of surviving pairs are unchanged; pairs overlapping
-    ONLY in capped shingles are the (intended) loss, and the cap is set
-    far above any df at oracle scale so the driver check stays exact."""
+    hot buckets.  Per-doc set sizes are computed before the cap, but
+    capped shingles are also excluded from the `shared` count — so above
+    the cap the result is a CONSERVATIVE approximation: a pair sharing a
+    capped shingle has its union exact but its intersection undercounted,
+    so its Jaccard is underestimated and near-threshold pairs can be
+    dropped (not only pairs overlapping solely in capped shingles).
+    That is the standard contract of stop-shingle filtering.  The default
+    cap sits far above any df at oracle scale, so nothing is capped there
+    and the driver check stays exact."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
     # Set size rides along from the array (F.size) — no count aggregation,
     # no post-join back to a counts table.  The index key is the xxhash64

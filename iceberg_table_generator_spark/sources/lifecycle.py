@@ -41,14 +41,16 @@ row ids (delete files are small relative to data, as in Iceberg MoR).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 ROW_ID = "__row_id"
 
@@ -66,9 +68,18 @@ ROW_ID_TYPE = "struct<file:string,pos:bigint>"
 class Snapshot:
     snapshot_id: int
     operation: str
-    # data file entries: [path, sequence_number] — the sequence is the
+    # data file entries: [path, sequence_number, schema_sig] — `path` is an
+    # individual parquet FILE (Iceberg manifests track files, not
+    # directories; files from every snapshot share one `data/<partition>/`
+    # tree so the scan is a single leaf-file read).  An externally
+    # registered PARTITIONED root (add_files) stays a directory entry —
+    # its partition values need per-root inference.  The sequence is the
     # committing snapshot id, which is what equality deletes compare
-    # against (Iceberg's data-sequence-number rule).
+    # against (Iceberg's data-sequence-number rule).  `schema_sig`
+    # fingerprints the file's write schema (Iceberg's schema-id): the scan
+    # groups files by it so same-schema files share one multi-path read
+    # and cross-schema type coercion (int→bigint etc.) happens through
+    # unionByName across O(distinct schemas) groups, never per file.
     data_files: list = field(default_factory=list)
     # delete file entries: [path, sequence_number, mode, equality_columns]
     # mode 'positional' → file holds __row_id (file, pos) tuples, applied
@@ -103,6 +114,63 @@ _LAYOUT_PROPS = {
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between read and commit (optimistic CAS)."""
+
+
+def _file_path_norm() -> Column:
+    """`_metadata.file_path` with the URI scheme stripped — exactly the
+    absolute path string the metadata log records, so per-file attributes
+    (the data sequence number) attach with ONE constant-size broadcast
+    equi-join instead of one plan node per file (which made `read()`
+    analysis cost O(snapshots); the reference's flagship scenario is a
+    100-delete-commit table, `Main.java:311-326`)."""
+    return F.regexp_replace(F.col("_metadata.file_path"), r"^file:/+", "/")
+
+
+def _schema_sig(schema) -> str:
+    """Order-insensitive fingerprint of a write schema (name:type pairs,
+    ROW_ID excluded) — the grouping key that lets the scan batch
+    same-schema files into one read (parquet resolves columns by name, so
+    column order inside a group is irrelevant)."""
+    import hashlib
+
+    items = sorted(
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name != ROW_ID
+    )
+    return hashlib.md5("|".join(items).encode()).hexdigest()[:12]
+
+
+def _entry_files(path: str) -> list[str]:
+    """Expand a metadata entry to its parquet files (directory entries —
+    external partitioned roots, delete-file dirs — list their tree;
+    driver-side, the same scale class as Iceberg's manifest planning)."""
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return [path]
+
+
+def _partition_cols_of(dir_path: str) -> tuple[str, ...]:
+    """Physical partition layout of a data directory (the hive-style
+    `col=value` nesting), probed from the directory tree — one listdir
+    per level, driver-side, the same scale class as Iceberg's manifest
+    planning."""
+    cols: list[str] = []
+    d = dir_path
+    while True:
+        try:
+            subs = [
+                x
+                for x in os.listdir(d)
+                if "=" in x and os.path.isdir(os.path.join(d, x))
+            ]
+        except (FileNotFoundError, NotADirectoryError):
+            break
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        d = os.path.join(d, subs[0])
+    return tuple(cols)
 
 
 class ParquetSnapshotTable:
@@ -207,6 +275,34 @@ class ParquetSnapshotTable:
         snaps = self._load()
         cur = snaps[-1]
         sid = cur.snapshot_id + 1
+        files = self._write_data_files(df, cur, sid, num_files=num_files, sort_by=sort_by)
+        new_cols, new_types = self._evolved_schema(cur, df)
+        sig = _schema_sig(df.schema)
+        return self._commit(
+            "append",
+            expected_parent=sid - 1,
+            data_files=cur.data_files + [[f, sid, sig] for f in files],
+            columns=new_cols,
+            column_types=new_types,
+        )
+
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        cur: Snapshot,
+        sid: int,
+        num_files: int | None = None,
+        sort_by: list[str] | None = None,
+        name_prefix: str = "snap",
+    ) -> list[str]:
+        """Write a batch as data files and publish them into the shared
+        `data/<partition>/` tree (Iceberg's write-then-commit: files land
+        uncommitted in a staging dir, then move — same-filesystem rename —
+        into the table layout; only the subsequent metadata commit makes
+        them visible).  All snapshots share one partition-dir tree, so the
+        whole table scans as a single leaf-file parquet read with
+        `basePath` partition discovery.  Returns the published file
+        paths."""
         out = df.drop(ROW_ID)  # ids are positional; rewritten rows get new ones
         if sort_by:
             out = out.repartitionByRange(num_files or 4, *sort_by).sortWithinPartitions(
@@ -214,26 +310,36 @@ class ParquetSnapshotTable:
             )
         elif num_files:
             out = out.repartition(num_files)
-        file_dir = os.path.join(self.path, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+        stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
         for prop, option in _LAYOUT_PROPS.items():
             if prop in cur.properties:
                 writer = writer.option(option, cur.properties[prop])
         if cur.partition_by:
             writer = writer.partitionBy(*cur.partition_by)
-        writer.parquet(file_dir)
-        new_cols = cur.columns + [c for c in df.columns if c not in cur.columns and c != ROW_ID]
+        writer.parquet(stage)
+        data_dir = os.path.join(self.path, "data")
+        published: list[str] = []
+        for f in sorted(glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)):
+            rel = os.path.relpath(os.path.dirname(f), stage)
+            dest_dir = data_dir if rel == "." else os.path.join(data_dir, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{name_prefix}-{sid}-{os.path.basename(f)}")
+            os.rename(f, dest)
+            published.append(dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return published
+
+    @staticmethod
+    def _evolved_schema(cur: Snapshot, df: DataFrame) -> tuple[list[str], dict[str, str]]:
+        new_cols = cur.columns + [
+            c for c in df.columns if c not in cur.columns and c != ROW_ID
+        ]
         new_types = dict(cur.column_types)
-        for f_ in out.schema.fields:
+        for f_ in df.schema.fields:
             if f_.name != ROW_ID:
                 new_types[f_.name] = f_.dataType.simpleString()
-        return self._commit(
-            "append",
-            expected_parent=sid - 1,
-            data_files=cur.data_files + [[file_dir, sid]],
-            columns=new_cols,
-            column_types=new_types,
-        )
+        return new_cols, new_types
 
     def add_files(self, file_dirs: list[str]) -> Snapshot:
         """S5: register pre-made external parquet files as a new snapshot
@@ -253,9 +359,20 @@ class ParquetSnapshotTable:
         for f_ in schema.fields:
             if f_.name != ROW_ID:
                 new_types[f_.name] = f_.dataType.simpleString()
+        # Unpartitioned externals register per-FILE (uniform with native
+        # entries); a hive-partitioned external root stays one directory
+        # entry so its partition values get per-root inference at read.
+        sig = _schema_sig(schema)
+        entries: list[list] = []
+        for d in file_dirs:
+            if os.path.isdir(d) and _partition_cols_of(d):
+                entries.append([os.path.abspath(d), sid, sig])
+            else:
+                entries.extend([os.path.abspath(f), sid, sig] for f in _entry_files(d))
         return self._commit(
             "add-files",
-            data_files=cur.data_files + [[d, sid] for d in file_dirs],
+            expected_parent=sid - 1,
+            data_files=cur.data_files + entries,
             columns=new_cols,
             column_types=new_types,
         )
@@ -351,18 +468,14 @@ class ParquetSnapshotTable:
         # visible rows, deletes applied; positional ids are NOT carried over
         # (rewritten rows get fresh (file, pos) keys, as in Iceberg rewrites)
         current = self.read(with_row_id=False)
-        file_dir = os.path.join(self.path, "data", f"compact-{sid}-{uuid.uuid4().hex[:8]}")
-        writer = current.repartition(target_files).write.mode("overwrite")
-        for prop, option in _LAYOUT_PROPS.items():
-            if prop in cur.properties:
-                writer = writer.option(option, cur.properties[prop])
-        if cur.partition_by:
-            writer = writer.partitionBy(*cur.partition_by)
-        writer.parquet(file_dir)
+        files = self._write_data_files(
+            current, cur, sid, num_files=target_files, name_prefix="compact"
+        )
+        sig = _schema_sig(current.schema)
         return self._commit(
             "compact",
             expected_parent=sid - 1,
-            data_files=[[file_dir, sid]],
+            data_files=[[f, sid, sig] for f in files],
             delete_files=[],
         )
 
@@ -392,9 +505,7 @@ class ParquetSnapshotTable:
         snapshot entries and DELETE data/delete files referenced only by
         the expired history (orphan cleanup).  Time travel to expired
         versions becomes impossible — that is the point: bounded metadata
-        and storage.  Returns the removed file directories."""
-        import shutil
-
+        and storage.  Returns the removed paths."""
         snaps = self._load()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -404,16 +515,18 @@ class ParquetSnapshotTable:
             return []
         live: set[str] = set()
         for s in keep:
-            live.update(path for path, _ in s.data_files)
+            live.update(e[0] for e in s.data_files)
             live.update(e[0] for e in s.delete_files)
         dead: set[str] = set()
         for s in expired:
-            dead.update(path for path, _ in s.data_files)
+            dead.update(e[0] for e in s.data_files)
             dead.update(e[0] for e in s.delete_files)
         orphans = sorted(dead - live)
         for path in orphans:
-            if os.path.exists(path):
+            if os.path.isdir(path):
                 shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
         self._save(keep)
         return orphans
 
@@ -482,37 +595,100 @@ class ParquetSnapshotTable:
             ] + ([f"`{ROW_ID}` {ROW_ID_TYPE}"] if with_row_id else [])
             return self.spark.createDataFrame([], ", ".join(fields))
         seq_col = "__seq"
-        df: DataFrame | None = None
-        for path, seq in snap.data_files:
-            part = (
-                self.spark.read.parquet(path)
-                .withColumn(
-                    ROW_ID,
-                    F.struct(
-                        F.col("_metadata.file_path").alias("file"),
-                        F.col("_metadata.row_index").alias("pos"),
-                    ),
-                )
-                .withColumn(seq_col, F.lit(seq))
+        # Scan plan is FLAT in commit count — the previous form built one
+        # union node per data dir and one anti-join per equality-delete
+        # commit, so Catalyst analysis cost grew O(snapshots) (the
+        # reference's flagship scenario is a 100-delete-commit table).
+        # Native files all live in one shared `data/<partition>/` tree:
+        # group leaf files by partition spec (distinct specs only exist
+        # after spec evolution) and scan each group as ONE parquet read
+        # with `basePath` partition discovery — partition-column filters
+        # prune directories exactly as on a static partitioned table.
+        # mergeSchema reconciles column evolution across snapshots.
+        data_dir = os.path.join(os.path.abspath(self.path), "data")
+        file_groups: dict[tuple, list[str]] = {}
+        ext_dirs: list[str] = []
+        for entry in snap.data_files:
+            path = entry[0]
+            sig = entry[2] if len(entry) > 2 else None
+            if os.path.isdir(path):
+                ext_dirs.append(path)  # external partitioned root (add_files)
+                continue
+            comps = os.path.relpath(os.path.abspath(path), data_dir).split(os.sep)[:-1]
+            cols = tuple(c.split("=", 1)[0] for c in comps if "=" in c)
+            file_groups.setdefault((cols, sig), []).append(path)
+        row_id = F.struct(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        parts = []
+        for (cols, _sig), paths in file_groups.items():
+            rd = self.spark.read
+            if cols:
+                rd = rd.option("basePath", data_dir)
+            parts.append(rd.parquet(*paths).withColumn(ROW_ID, row_id))
+        for d in ext_dirs:
+            parts.append(self.spark.read.parquet(d).withColumn(ROW_ID, row_id))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        eq_entries = [e for e in snap.delete_files if e[2] == "equality"]
+        if eq_entries:
+            # Data sequence numbers (what equality deletes compare against)
+            # attach via ONE broadcast equi-join on the exact file path —
+            # constant plan size, no per-file literals.  The map is
+            # O(files) rows of (path, seq): Iceberg-manifest-sized state.
+            seq_map = self.spark.createDataFrame(
+                [
+                    (os.path.abspath(f), int(e[1]))
+                    for e in snap.data_files
+                    for f in _entry_files(e[0])
+                ],
+                f"__file string, {seq_col} bigint",
             )
-            df = part if df is None else df.unionByName(part, allowMissingColumns=True)
+            df = (
+                df.withColumn("__file", _file_path_norm())
+                .join(F.broadcast(seq_map), "__file")
+                .drop("__file")
+            )
         # Positional deletes: one union of (file, pos) tuples, one broadcast
         # anti-join — ids are globally unique, no sequence check needed.
+        # Delete files are small relative to data (MoR invariant) —
+        # broadcast so the data side never shuffles.
         pos_files = [e[0] for e in snap.delete_files if e[2] == "positional"]
         if pos_files:
             deletes = self.spark.read.parquet(*pos_files)
-            # Delete files are small relative to data (MoR invariant) —
-            # broadcast the anti-join so the data side never shuffles.
             df = df.join(F.broadcast(deletes), ROW_ID, "left_anti")
-        # Equality deletes: each applies to rows of an EARLIER data sequence
-        # whose equality-column values appear in the delete file (Iceberg's
-        # sequence-number rule — later re-inserts of the same values stay).
-        for path, del_seq, mode, eq_cols in snap.delete_files:
-            if mode != "equality":
-                continue
-            vals = self.spark.read.parquet(path)
+        # Equality deletes: a row is deleted iff SOME delete file over the
+        # same column set contains its value tuple with a delete sequence
+        # GREATER than the row's data sequence (Iceberg's sequence-number
+        # rule — later re-inserts of the same values stay visible).  That
+        # is equivalent to comparing against max(delete seq) per value
+        # tuple, so all delete files sharing a column set coalesce into
+        # ONE broadcast anti-join regardless of how many delete commits
+        # produced them.
+        by_cols: dict[tuple, list] = {}
+        for path, del_seq, _mode, eq_cols in eq_entries:
+            by_cols.setdefault(tuple(eq_cols), []).append((path, del_seq))
+        for eq_cols, entries in by_cols.items():
+            del_map = self.spark.createDataFrame(
+                [
+                    (os.path.abspath(f), int(s))
+                    for p, s in entries
+                    for f in _entry_files(p)
+                ],
+                "__file string, __del_seq bigint",
+            )
+            vals = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[p for p, _ in entries])
+                .withColumn("__file", _file_path_norm())
+                .join(F.broadcast(del_map), "__file")
+                .groupBy(*eq_cols)
+                .agg(F.max("__del_seq").alias("__del_seq"))
+            )
             cond = [df[c].eqNullSafe(vals[c]) for c in eq_cols]
-            cond.append(df[seq_col] < F.lit(del_seq))
+            cond.append(df[seq_col] < vals["__del_seq"])
             df = df.join(F.broadcast(vals), cond, "left_anti")
         cols = [c for c in snap.columns if c in df.columns]
         return df.select(*cols, *([ROW_ID] if with_row_id else []))

@@ -107,7 +107,15 @@ def test_compaction_preserves_rows_and_history(spark, tmp_path):
     after = {r.product_id for r in t.read(with_row_id=False).select("product_id").collect()}
     assert after == before and len(after) == 450
     assert snap.delete_files == []
-    assert len(snap.data_files) == 1  # one compacted dir replaces 5 append dirs
+    # only the rewrite's files remain (per-file entries, Iceberg-manifest
+    # style), bounded by target_files per partition
+    import os
+
+    assert all(
+        os.path.basename(e[0]).startswith("compact-") for e in snap.data_files
+    ), snap.data_files
+    n_partitions = 3  # products categories
+    assert len(snap.data_files) <= 2 * n_partitions
     # time travel to pre-compaction snapshots still resolves old files
     assert t.read(version=5).count() == 933
     # further deletes work against the compacted layout
@@ -187,7 +195,7 @@ def test_multi_rowgroup_layout_control(spark, tmp_path):
     )
 
     t = multi_rowgroup_orders_with_deletes(spark, str(tmp_path / "multi_rg"))
-    files = glob.glob(str(tmp_path / "multi_rg" / "data" / "*" / "**" / "*.parquet"),
+    files = glob.glob(str(tmp_path / "multi_rg" / "data" / "**" / "*.parquet"),
                       recursive=True)
     assert files
     rg_counts = [pq.ParquetFile(f).metadata.num_row_groups for f in files]
@@ -210,7 +218,7 @@ def test_forced_100_row_rowgroups(spark, tmp_path):
         ["k"], properties={"write.parquet.row-group-size-bytes": "1"}
     )
     t.append(spark.range(400).select(F.col("id").alias("k")), num_files=1)
-    files = glob.glob(str(tmp_path / "tiny_rg" / "data" / "*" / "*.parquet"))
+    files = glob.glob(str(tmp_path / "tiny_rg" / "data" / "**" / "*.parquet"), recursive=True)
     assert len(files) == 1
     meta = pq.ParquetFile(files[0]).metadata
     assert meta.num_row_groups == 4, meta.num_row_groups
@@ -272,7 +280,7 @@ def test_sorted_append_clusters_row_groups(spark, tmp_path):
         (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("v")
     )
     t.append(df, num_files=2, sort_by=["k"])
-    files = sorted(glob.glob(str(tmp_path / "sorted" / "data" / "*" / "*.parquet")))
+    files = sorted(glob.glob(str(tmp_path / "sorted" / "data" / "**" / "*.parquet"), recursive=True))
     assert len(files) == 2
     all_ranges = []
     for f in files:
@@ -409,3 +417,57 @@ def test_changelog_read(spark, tmp_path):
     ch_all = t.read_changes(0)
     assert ch_all.filter("_change_type = 'insert'").count() == 20  # final visible
     assert ch_all.filter("_change_type = 'delete'").count() == 0
+
+
+def test_read_plan_flat_in_commit_count(spark, tmp_path):
+    """The reference's flagship scenario is a 100-delete-commit table
+    (Main.java:311-326): read() planning must stay FLAT in commit count —
+    one leaf-file scan, one broadcast sequence-number attach, and ONE
+    coalesced equality anti-join, no matter how many commits built the
+    table (the r2 form planned one union per data dir + one anti-join per
+    delete commit: O(snapshots) Catalyst analysis cost)."""
+    import time
+
+    from iceberg_table_generator_spark.plans import explain
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "flat")).create(["k", "v"])
+    t.append(
+        spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+        num_files=2,
+    )
+    for i in range(100):
+        t.delete_where(f"k = {i * 7}", mode="equality", equality_columns=["k"])
+    assert len(t.snapshots()) == 102
+    t0 = time.time()
+    df = t.read()
+    kinds = explain.join_kinds(df)  # forces full analysis + physical planning
+    elapsed = time.time() - t0
+    n_joins = sum(kinds.values())
+    assert n_joins <= 3, kinds
+    assert kinds["SortMergeJoin"] == 0, kinds
+    # planning a 102-commit table must cost the same as a 2-commit one
+    # (typically well under a second; bound leaves headroom for slow CI)
+    assert elapsed < 2.5, f"planning took {elapsed:.1f}s"
+    # 100 deleted k values (0, 7, ..., 693), one row each
+    assert df.count() == 900
+
+
+def test_read_plan_broadcast_deletes_and_partition_pruning(spark, tmp_path):
+    """MoR delete application must stay broadcast (no sort-merge join on
+    the data side), and a partition-column predicate must reach the
+    scan's PartitionFilters — directory-level pruning in the shared
+    data/<partition>/ layout."""
+    from iceberg_table_generator_spark.plans import explain
+
+    t = scenarios.create_small_orders(spark, str(tmp_path / "planchk"))
+    t.delete_where("order_id % 10 = 0", mode="positional")
+    t.delete_where("source_id = 3", mode="equality", equality_columns=["source_id"])
+    df = t.read()
+    kinds = explain.join_kinds(df)
+    assert kinds["SortMergeJoin"] == 0 and kinds["ShuffledHashJoin"] == 0, kinds
+    # seq attach + positional anti + equality anti, all broadcast
+    assert kinds["BroadcastHashJoin"] >= 2, kinds
+    pruned = df.filter("order_year = 2020")
+    txt = explain.plan_text(pruned)
+    pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert pf and "order_year" in "".join(pf), txt[:1500]
