@@ -17,7 +17,7 @@ accumulation policy of operators/relational.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
@@ -379,17 +379,20 @@ def pipeline_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average corpus frequency of each document's tokens — the
     integer-exact stand-in for LM-perplexity filtering (very high ⇒
     boilerplate made of ultra-common words; very low ⇒ OCR garbage /
-    non-language).  Self-trained on the corpus in one pass: the unigram
-    table is vocabulary-bounded (map-side partial agg), broadcast back
-    onto the token stream, and every per-doc number stays in integer
-    arithmetic until one final double division — identical to the last
-    bit on both engines, no transcendentals to diverge."""
+    non-language).  Self-trained on the corpus in one pass, with NO
+    materialized unigram table: each token's corpus frequency is a window
+    count over its `w` partition — one shuffle of the token stream keyed
+    by token, no join.  The r2 form broadcast the grouped unigram table,
+    which is VOCABULARY-sized, not constant-sized: a web-scale corpus has
+    billions of distinct tokens (typos, numbers, code) and the broadcast
+    OOMs the executors (VERDICT r2 #3).  Every per-doc number stays in
+    integer arithmetic until one final double division — identical to the
+    last bit on both engines, no transcendentals to diverge."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
     tot = tok.agg(F.count("*").alias("n"))
     per_doc = (
-        tok.join(F.broadcast(freq), "w")
+        tok.withColumn("c", F.count("*").over(Window.partitionBy("w")))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("c").alias("sum_c"))
     )
