@@ -419,22 +419,105 @@ class ParquetSnapshotTable:
 
     def merge_upsert(self, df: DataFrame, keys: list[str]) -> Snapshot:
         """MERGE INTO (upsert-by-key): rows in `df` replace current rows
-        with the same key values; new keys append.  Composed from the MoR
-        primitives exactly as Iceberg's merge-on-read MERGE does it — one
-        equality-delete file on the key columns (victims = earlier
-        sequences only) plus one append, so the data files are never
-        rewritten.  Two snapshots = delete + append, matching the
-        one-operation-per-commit cadence of the reference (D5)."""
-        key_rows = df.select(*keys).distinct()
+        with the same key values; new keys append.  One atomic snapshot —
+        see `merge`."""
+        return self.merge(df, keys)
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched_update: dict[str, str] | str | None = "*",
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> Snapshot:
+        """Iceberg MERGE INTO with conditional clauses, composed from the
+        MoR primitives and committed as ONE snapshot (exactly Iceberg's
+        merge-on-read MERGE: the equality-delete file and the new data
+        files appear atomically — a reader never observes matched keys
+        deleted but not yet replaced, and a crash before the metadata
+        commit leaves the table untouched).
+
+        Clauses (SQL-side semantics of `MERGE INTO t USING s ON keys`):
+        - `when_matched_update="*"`: WHEN MATCHED THEN UPDATE SET * —
+          matched rows take the source row wholesale.
+        - `when_matched_update={col: expr, ...}`: UPDATE SET col = expr —
+          each expr is a SQL string over aliases `t` (target row) and `s`
+          (source row), e.g. ``{"v": "t.v + s.v"}``; unlisted columns keep
+          the target value.
+        - `when_matched_delete="cond"`: WHEN MATCHED AND cond THEN DELETE
+          (evaluated over `t`/`s`; takes precedence over the update for
+          rows satisfying it, as in SQL clause order DELETE-first).
+        - `when_not_matched_insert`: WHEN NOT MATCHED THEN INSERT *.
+
+        Mechanics: one equality-delete file on the key columns removes the
+        old version of every matched-and-affected row (sequence rule: only
+        EARLIER data sequences); updated survivors and inserts land as new
+        data files with this snapshot's sequence, so they stay visible.
+        Data files are never rewritten.  Duplicate keys in `source` are
+        the caller's responsibility (real MERGE raises on multiple
+        matches; here each source row contributes a row version)."""
         cur = self._load()[-1]
         sid = cur.snapshot_id + 1
-        del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-        key_rows.write.mode("overwrite").parquet(del_dir)
-        self._commit(
-            "merge-delete",
-            delete_files=cur.delete_files + [[del_dir, sid, "equality", list(keys)]],
+        t = self.read(with_row_id=False).alias("t")
+        s = source.drop(ROW_ID).alias("s")
+        on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        matched = t.join(s, on, "inner")
+        del_cond = (
+            F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
         )
-        return self.append(df)
+        # old versions to remove: updated rows and deleted rows
+        if when_matched_update is not None:
+            affected = matched
+        else:
+            affected = matched.filter(del_cond)
+        victims = affected.select(
+            *[F.col(f"s.{k}").alias(k) for k in keys]
+        ).distinct()
+        # new row versions: updated survivors + inserts
+        new_rows: DataFrame | None = None
+        if when_matched_update == "*":
+            new_rows = matched.filter(~del_cond).select(
+                *[F.col(f"s.{c}").alias(c) for c in s.columns]
+            )
+        elif isinstance(when_matched_update, dict):
+            new_rows = matched.filter(~del_cond).select(
+                *[
+                    F.expr(when_matched_update[c]).alias(c)
+                    if c in when_matched_update
+                    else F.col(f"t.{c}").alias(c)
+                    for c in t.columns
+                ]
+            )
+        if when_not_matched_insert:
+            inserts = source.drop(ROW_ID).join(
+                self.read(with_row_id=False).select(*keys), keys, "left_anti"
+            )
+            new_rows = (
+                inserts
+                if new_rows is None
+                else new_rows.unionByName(inserts, allowMissingColumns=True)
+            )
+        # write both files BEFORE the single metadata commit
+        del_dir = os.path.join(
+            self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        victims.write.mode("overwrite").parquet(del_dir)
+        data_entries: list[list] = []
+        new_cols, new_types = list(cur.columns), dict(cur.column_types)
+        if new_rows is not None:
+            files = self._write_data_files(new_rows, cur, sid)
+            sig = _schema_sig(new_rows.schema)
+            data_entries = [[f, sid, sig] for f in files]
+            new_cols, new_types = self._evolved_schema(cur, new_rows)
+        return self._commit(
+            "merge",
+            expected_parent=sid - 1,
+            data_files=cur.data_files + data_entries,
+            delete_files=cur.delete_files + [[del_dir, sid, "equality", list(keys)]],
+            columns=new_cols,
+            column_types=new_types,
+        )
 
     def add_column(self, name: str) -> Snapshot:
         """E2: ALTER TABLE ADD COLUMN (null-filled for existing rows)."""

@@ -254,9 +254,12 @@ def test_merge_upsert_by_key(spark, tmp_path):
     assert len(rows) == 11
     assert rows[5] == "new" and rows[7] == "new" and rows[100] == "new"
     assert rows[0] == "old" and rows[9] == "old"
-    # merge = delete-commit + append-commit on top of create + first append
+    # merge commits delete file + data files in ONE atomic snapshot
+    # (Iceberg merge-on-read MERGE; ADVICE r2)
     ops = [s.operation for s in t.snapshots()]
-    assert ops == ["create", "append", "merge-delete", "append"]
+    assert ops == ["create", "append", "merge"]
+    last = t.snapshots()[-1]
+    assert last.delete_files and last.data_files
     # a second merge on the same key wins again (sequence rule end to end)
     t.merge_upsert(
         spark.createDataFrame([(5, "newest")], "k bigint, v string"), keys=["k"]
@@ -471,3 +474,64 @@ def test_read_plan_broadcast_deletes_and_partition_pruning(spark, tmp_path):
     txt = explain.plan_text(pruned)
     pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
     assert pf and "order_year" in "".join(pf), txt[:1500]
+
+
+def test_conditional_merge_update_delete_insert(spark, tmp_path):
+    """Full MERGE INTO clause set in ONE atomic snapshot: WHEN MATCHED AND
+    cond THEN DELETE, WHEN MATCHED THEN UPDATE SET <exprs>, WHEN NOT
+    MATCHED THEN INSERT — golden-ledger style counts per clause."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "cmerge")).create(["k", "qty", "status"])
+    t.append(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("qty"),
+            F.lit("live").alias("status"),
+        )
+    )
+    src = spark.createDataFrame(
+        # k 2,4: update (qty accumulates); k 6,8: source says retire -> delete;
+        # k 100,101: new keys -> insert
+        [(2, 5, "live"), (4, 7, "live"), (6, 0, "retire"), (8, 0, "retire"),
+         (100, 1, "live"), (101, 2, "live")],
+        "k bigint, qty bigint, status string",
+    )
+    snap = t.merge(
+        src,
+        keys=["k"],
+        when_matched_update={"qty": "t.qty + s.qty", "status": "s.status"},
+        when_matched_delete="s.status = 'retire'",
+        when_not_matched_insert=True,
+    )
+    assert snap.operation == "merge"
+    assert [s.operation for s in t.snapshots()] == ["create", "append", "merge"]
+    rows = {r.k: (r.qty, r.status) for r in t.read(with_row_id=False).collect()}
+    # 10 - 2 deleted + 2 inserted
+    assert len(rows) == 10
+    assert rows[2] == (25, "live") and rows[4] == (47, "live")  # t.qty + s.qty
+    assert 6 not in rows and 8 not in rows                      # deleted
+    assert rows[100] == (1, "live") and rows[101] == (2, "live")  # inserted
+    assert rows[0] == (0, "live") and rows[9] == (90, "live")   # untouched
+    # time travel: pre-merge state intact
+    assert t.read(version=1).count() == 10
+    # sequence rule end to end: re-inserting a deleted key later stays visible
+    t.append(spark.createDataFrame([(6, 99, "live")], "k bigint, qty bigint, status string"))
+    rows = {r.k: (r.qty, r.status) for r in t.read(with_row_id=False).collect()}
+    assert rows[6] == (99, "live")
+
+
+def test_merge_delete_only_no_insert(spark, tmp_path):
+    """MERGE with only WHEN MATCHED DELETE: unmatched source rows are NOT
+    inserted, unaffected matched rows keep their target version."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "dmerge")).create(["k", "v"])
+    t.append(spark.range(6).select(F.col("id").alias("k"), F.lit("x").alias("v")))
+    src = spark.createDataFrame([(1, "kill"), (3, "keep"), (50, "kill")], "k bigint, v string")
+    t.merge(
+        src,
+        keys=["k"],
+        when_matched_update=None,
+        when_matched_delete="s.v = 'kill'",
+        when_not_matched_insert=False,
+    )
+    rows = {r.k: r.v for r in t.read(with_row_id=False).collect()}
+    assert set(rows) == {0, 2, 3, 4, 5}
+    assert rows[3] == "x"  # matched but not deleted, not updated
