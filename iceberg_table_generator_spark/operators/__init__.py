@@ -2,6 +2,7 @@
 
 from iceberg_table_generator_spark.operators import (  # noqa: F401
     dedup,
+    metadata_tables,
     multimodal,
     pipeline,
     relational,

@@ -1,0 +1,137 @@
+"""Iceberg-style metadata-table queries (SURVEY §1.1 snapshot history).
+
+The reference's snapshot history is queryable downstream
+(`table.snapshots` / `history` / `files`, `IcebergTableGenerator.java:367-379`
+commit cadence); these queries expose the same relations over the
+`ParquetSnapshotTable` JSON metadata log and are oracle-checked by DuckDB
+reading the SAME log with `read_json` — engine-independent proof that the
+metadata surface says what the log says.
+
+The queried table is a deterministic fixture built once from `documents`
+rows (doc_id < 400, present at every scale factor): create → 2 appends →
+equality delete → compact → rollback.  All reported values (ids,
+operations, file counts, sequence numbers, file paths) are
+build-time-independent, so the oracle can read a fixture created by any
+earlier run.  Timestamps are excluded from query output for exactly that
+reason.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.lifecycle import ParquetSnapshotTable
+from iceberg_table_generator_spark.sources.tables import load_table
+
+# Fixed path: the oracle SQL is a static string, so the fixture location
+# cannot vary with sf_dir.  Bump the version suffix if the fixture recipe
+# or the metadata layout changes (stale cache would desynchronize the two
+# engines' views).
+FIXTURE_PATH = "/tmp/itg_meta_fixture_v1"
+_META_JSON = f"{FIXTURE_PATH}/metadata.json"
+
+
+def _fixture_table(spark: SparkSession, sf_dir: str) -> ParquetSnapshotTable:
+    """Build-once lifecycle fixture: 7 snapshots exercising append,
+    equality delete, compact, and rollback.  doc_id < 400 rows exist at
+    every SF, so the metadata is identical no matter which sf_dir first
+    built the fixture."""
+    t = ParquetSnapshotTable(spark, FIXTURE_PATH)
+    if not os.path.exists(_META_JSON):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 400")
+            .select("doc_id", "lang", "source")
+        )
+        t.create(["doc_id", "lang", "source"])
+        t.append(docs.filter("doc_id % 2 = 0"), num_files=2)
+        t.append(docs.filter("doc_id % 2 = 1"), num_files=2)
+        t.delete_where("doc_id % 10 = 3", mode="equality", equality_columns=["doc_id"])
+        t.compact(target_files=2)
+        t.rollback_to(3)
+        t.delete_where("doc_id % 10 = 7", mode="equality", equality_columns=["doc_id"])
+    return t
+
+
+@query(
+    "meta_snapshots",
+    oracle=f"""
+    SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+           operation,
+           CAST(len(data_files) AS INT) AS n_data_files,
+           CAST(len(delete_files) AS INT) AS n_delete_files
+    FROM read_json('{_META_JSON}', format='array')
+    """,
+)
+def meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * FROM tbl.snapshots` — one row per commit with the live
+    file-entry counts; the ledger a user reads first when debugging a
+    multi-snapshot table."""
+    t = _fixture_table(spark, sf_dir)
+    return t.snapshots_table().select(
+        "snapshot_id", "operation", "n_data_files", "n_delete_files"
+    )
+
+
+@query(
+    "meta_all_files",
+    oracle=f"""
+    WITH m AS (SELECT * FROM read_json('{_META_JSON}', format='array')),
+    d AS (
+      SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+             'data' AS content,
+             unnest(data_files) AS e
+      FROM m),
+    del AS (
+      SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+             CAST(e[3]->>'$' AS VARCHAR) AS content,
+             e
+      FROM (SELECT snapshot_id, unnest(delete_files) AS e FROM m)),
+    u AS (SELECT * FROM d UNION ALL SELECT * FROM del)
+    SELECT snapshot_id, content,
+           CAST(e[1]->>'$' AS VARCHAR) AS file_path,
+           CAST(e[2] AS INT) AS sequence_number
+    FROM u
+    """,
+)
+def meta_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every snapshot's live file entries with their data sequence numbers
+    (`all_data_files`/`all_delete_files`) — the audit view of file-set
+    evolution: appends accumulate, compact collapses to its rewrite,
+    rollback restores the target's exact lists."""
+    t = _fixture_table(spark, sf_dir)
+    return t.all_files_table()
+
+
+@query(
+    "meta_history",
+    oracle=f"""
+    SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+           CASE WHEN snapshot_id = 0 THEN NULL
+                ELSE CAST(snapshot_id - 1 AS INT) END AS parent_id,
+           operation
+    FROM read_json('{_META_JSON}', format='array')
+    """,
+)
+def meta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tbl.history` lineage: parent chain of the linear log (a rollback
+    appends a NEW snapshot referencing old file lists, so history is
+    append-only and every logged snapshot stays an ancestor)."""
+    t = _fixture_table(spark, sf_dir)
+    ops = t.snapshots_table().select("snapshot_id", "operation")
+    return (
+        t.history_table()
+        .join(ops, "snapshot_id")
+        .select("snapshot_id", "parent_id", "operation")
+    )
+
+
+__all__ = [
+    "FIXTURE_PATH",
+    "meta_snapshots",
+    "meta_all_files",
+    "meta_history",
+]

@@ -639,6 +639,84 @@ class ParquetSnapshotTable:
     def snapshots(self) -> list[Snapshot]:
         return self._load()
 
+    # -- metadata tables (Iceberg's `table.snapshots` / `history` /
+    #    `files` relations, SURVEY §1.1) ------------------------------------
+    # Built from the JSON metadata log via createDataFrame: the log is
+    # driver-sized by design (same as Iceberg, whose metadata tables are
+    # computed from manifests, not from a distributed scan).
+    def snapshots_table(self) -> DataFrame:
+        """One row per snapshot: id, committed_at, operation, file counts —
+        Iceberg's `SELECT * FROM tbl.snapshots`."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                len(s.data_files),
+                len(s.delete_files),
+            )
+            for s in self._load()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, committed_at_ms bigint, operation string, "
+            "n_data_files int, n_delete_files int",
+        )
+
+    def history_table(self) -> DataFrame:
+        """Snapshot lineage — Iceberg's `tbl.history`.  The log is linear
+        (rollback appends a NEW snapshot pointing at old file lists), so
+        every logged snapshot is an ancestor of the current one."""
+        rows = [
+            (
+                s.timestamp_ms,
+                s.snapshot_id,
+                None if s.snapshot_id == 0 else s.snapshot_id - 1,
+                True,
+            )
+            for s in self._load()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id int, parent_id int, "
+            "is_current_ancestor boolean",
+        )
+
+    def files_table(self, version: int | None = None) -> DataFrame:
+        """Live file entries of one snapshot (default: current) — Iceberg's
+        `tbl.files` + `tbl.delete_files` in one relation.  `content` is
+        'data' or the delete mode; `sequence_number` is what equality
+        deletes compare against."""
+        snaps = self._load()
+        snap = (
+            snaps[-1]
+            if version is None
+            else next(s for s in snaps if s.snapshot_id == version)
+        )
+        rows = [("data", e[0], int(e[1])) for e in snap.data_files] + [
+            (e[2], e[0], int(e[1])) for e in snap.delete_files
+        ]
+        return self.spark.createDataFrame(
+            rows, "content string, file_path string, sequence_number int"
+        )
+
+    def all_files_table(self) -> DataFrame:
+        """Every snapshot's live file entries (snapshot_id, content, path,
+        sequence) — the audit view of how the file set evolved commit by
+        commit (Iceberg's `all_data_files`/`all_delete_files`)."""
+        rows = []
+        for s in self._load():
+            rows += [
+                (s.snapshot_id, "data", e[0], int(e[1])) for e in s.data_files
+            ]
+            rows += [
+                (s.snapshot_id, e[2], e[0], int(e[1])) for e in s.delete_files
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, content string, file_path string, sequence_number int",
+        )
+
     def read(
         self,
         version: int | None = None,

@@ -535,3 +535,33 @@ def test_merge_delete_only_no_insert(spark, tmp_path):
     rows = {r.k: r.v for r in t.read(with_row_id=False).collect()}
     assert set(rows) == {0, 2, 3, 4, 5}
     assert rows[3] == "x"  # matched but not deleted, not updated
+
+
+def test_metadata_tables_lineage_after_compact_and_rollback(spark, tmp_path):
+    """snapshots/history/files relations must track file-level lineage:
+    compact collapses the live set to its rewrite and drops delete files;
+    rollback restores the target snapshot's exact entries."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "metat")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")), num_files=2)   # v1
+    t.append(spark.range(10, 20).select(F.col("id").alias("k")), num_files=2)  # v2
+    t.delete_where("k % 5 = 0", mode="equality", equality_columns=["k"])    # v3
+    t.compact(target_files=1)                                               # v4
+    t.rollback_to(3)                                                        # v5
+    snaps = {r.snapshot_id: r for r in t.snapshots_table().collect()}
+    assert snaps[3].n_data_files == 4 and snaps[3].n_delete_files == 1
+    assert snaps[4].n_data_files == 1 and snaps[4].n_delete_files == 0
+    # rollback restored v3's file lists verbatim
+    assert snaps[5].n_data_files == 4 and snaps[5].n_delete_files == 1
+    v3_files = {r.file_path for r in t.files_table(version=3).collect()}
+    cur_files = {r.file_path for r in t.files_table().collect()}
+    assert cur_files == v3_files
+    # compact snapshot's live set is exactly its own rewrite
+    v4 = t.files_table(version=4).collect()
+    assert len(v4) == 1 and "compact-4-" in v4[0].file_path
+    assert v4[0].sequence_number == 4
+    # history: linear parent chain, all ancestors of current
+    hist = t.history_table().orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in hist] == [0, 1, 2, 3, 4, 5]
+    assert hist[0].parent_id is None
+    assert all(r.is_current_ancestor for r in hist)
+    assert [r.parent_id for r in hist[1:]] == [0, 1, 2, 3, 4]
