@@ -192,21 +192,66 @@ class ParquetSnapshotTable:
             json.dump([vars(s) for s in snaps], f, indent=1)
         os.replace(tmp, self._meta_path)  # atomic commit, HadoopTableOperations-style
 
-    def _commit(self, op: str, expected_parent: int | None = None, **changes) -> Snapshot:
-        """Append one snapshot.  `expected_parent` enables optimistic
-        concurrency (Iceberg's commit model): if another writer committed
-        since the caller read the table, the parent id no longer matches
-        and the commit raises instead of silently clobbering — the caller
-        re-reads and retries, exactly like HadoopTableOperations CAS."""
+    # -- refs (Iceberg branches & tags) -------------------------------------
+    # Stored beside the snapshot log (refs.json: {name: {snapshot_id,
+    # type}}), never inside it — the log stays a plain JSON array that the
+    # metadata-table oracles read directly.  Until the first
+    # create_branch/create_tag the file doesn't exist and `main` is
+    # implicitly the log tail (zero overhead for unbranched tables).
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "refs.json")
+
+    def _load_refs(self) -> dict | None:
+        if not os.path.exists(self._refs_path):
+            return None
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _save_refs(self, refs: dict) -> None:
+        tmp = self._refs_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path)
+
+    def _head(self, branch: str = "main") -> tuple[Snapshot, int]:
+        """(head snapshot of `branch`, next global snapshot id).  Snapshot
+        ids stay globally monotonic across branches (Iceberg allocates
+        snapshot ids table-wide; refs just point into the log)."""
         snaps = self._load()
-        prev = snaps[-1]
+        refs = self._load_refs()
+        if refs is None:
+            if branch != "main":
+                raise ValueError(f"unknown branch {branch!r}; create_branch() first")
+            head = snaps[-1]
+        else:
+            ref = refs.get(branch)
+            if ref is None or ref["type"] != "branch":
+                raise ValueError(f"{branch!r} is not a branch")
+            head = next(s for s in snaps if s.snapshot_id == ref["snapshot_id"])
+        return head, snaps[-1].snapshot_id + 1
+
+    def _commit(
+        self,
+        op: str,
+        expected_parent: int | None = None,
+        branch: str = "main",
+        **changes,
+    ) -> Snapshot:
+        """Append one snapshot and advance `branch` to it.  `expected_parent`
+        enables optimistic concurrency (Iceberg's commit model): if another
+        writer committed to this branch since the caller read it, the
+        parent id no longer matches and the commit raises instead of
+        silently clobbering — the caller re-reads and retries, exactly
+        like HadoopTableOperations CAS."""
+        prev, next_id = self._head(branch)
         if expected_parent is not None and prev.snapshot_id != expected_parent:
             raise ConcurrentCommitError(
                 f"concurrent commit detected: expected parent snapshot "
-                f"{expected_parent}, table is now at {prev.snapshot_id}"
+                f"{expected_parent}, branch {branch!r} is now at {prev.snapshot_id}"
             )
         snap = Snapshot(
-            snapshot_id=prev.snapshot_id + 1,
+            snapshot_id=next_id,
             operation=op,
             data_files=changes.get("data_files", list(prev.data_files)),
             delete_files=changes.get("delete_files", list(prev.delete_files)),
@@ -216,9 +261,47 @@ class ParquetSnapshotTable:
             column_types=changes.get("column_types", dict(prev.column_types)),
             properties=changes.get("properties", dict(prev.properties)),
         )
+        snaps = self._load()
         snaps.append(snap)
         self._save(snaps)
+        refs = self._load_refs()
+        if refs is not None:
+            refs[branch]["snapshot_id"] = snap.snapshot_id
+            self._save_refs(refs)
         return snap
+
+    def create_branch(self, name: str, version: int | None = None) -> None:
+        """Iceberg `CREATE BRANCH`: a named, writable head.  Materializes
+        refs.json on first use with `main` pinned to the current tail."""
+        refs = self._load_refs() or {
+            "main": {"snapshot_id": self._load()[-1].snapshot_id, "type": "branch"}
+        }
+        at = refs["main"]["snapshot_id"] if version is None else version
+        refs[name] = {"snapshot_id": at, "type": "branch"}
+        self._save_refs(refs)
+
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Iceberg `CREATE TAG`: an immutable named snapshot pointer
+        (commits to a tag are refused)."""
+        refs = self._load_refs() or {
+            "main": {"snapshot_id": self._load()[-1].snapshot_id, "type": "branch"}
+        }
+        at = refs["main"]["snapshot_id"] if version is None else version
+        refs[name] = {"snapshot_id": at, "type": "tag"}
+        self._save_refs(refs)
+
+    def fast_forward(self, branch: str, to: str) -> None:
+        """Iceberg `fast_forward(branch, to)` — the publish step of
+        write-audit-publish: move `branch` to `to`'s head after the audit
+        passes.  Metadata-only; the staged snapshots were committed (and
+        readable via the audit branch) all along."""
+        refs = self._load_refs()
+        if refs is None or branch not in refs or to not in refs:
+            raise ValueError(f"both {branch!r} and {to!r} must exist as refs")
+        if refs[branch]["type"] != "branch":
+            raise ValueError(f"{branch!r} is a tag; tags are immutable")
+        refs[branch]["snapshot_id"] = refs[to]["snapshot_id"]
+        self._save_refs(refs)
 
     # -- lifecycle ----------------------------------------------------------
     def create(
@@ -254,6 +337,7 @@ class ParquetSnapshotTable:
         df: DataFrame,
         num_files: int | None = None,
         sort_by: list[str] | None = None,
+        branch: str = "main",
     ) -> Snapshot:
         """S3/S4: append one batch of rows as a new snapshot.
 
@@ -272,15 +356,14 @@ class ParquetSnapshotTable:
         instead of scanning every file.  At 100 TB this is the difference
         between a point-lookup touching one row group and touching all of
         them."""
-        snaps = self._load()
-        cur = snaps[-1]
-        sid = cur.snapshot_id + 1
+        cur, sid = self._head(branch)
         files = self._write_data_files(df, cur, sid, num_files=num_files, sort_by=sort_by)
         new_cols, new_types = self._evolved_schema(cur, df)
         sig = _schema_sig(df.schema)
         return self._commit(
             "append",
-            expected_parent=sid - 1,
+            expected_parent=cur.snapshot_id,
+            branch=branch,
             data_files=cur.data_files + [[f, sid, sig] for f in files],
             columns=new_cols,
             column_types=new_types,
@@ -349,8 +432,7 @@ class ParquetSnapshotTable:
         time, externally produced files participate in positional deletes
         with zero preparation.  The claimed-record-count corruption half of
         the reference scenario is a survey-declared non-goal."""
-        cur = self._load()[-1]
-        sid = cur.snapshot_id + 1
+        cur, sid = self._head()
         schema = self.spark.read.parquet(*file_dirs).schema
         new_cols = cur.columns + [
             f.name for f in schema.fields if f.name not in cur.columns and f.name != ROW_ID
@@ -371,7 +453,7 @@ class ParquetSnapshotTable:
                 entries.extend([os.path.abspath(f), sid, sig] for f in _entry_files(d))
         return self._commit(
             "add-files",
-            expected_parent=sid - 1,
+            expected_parent=cur.snapshot_id,
             data_files=cur.data_files + entries,
             columns=new_cols,
             column_types=new_types,
@@ -382,6 +464,7 @@ class ParquetSnapshotTable:
         condition: str,
         mode: str = "equality",
         equality_columns: list[str] | None = None,
+        branch: str = "main",
     ) -> Snapshot:
         """D1/D2: merge-on-read delete — writes a delete FILE, never
         rewrites data; visible rows = data anti-join deletes at read time.
@@ -399,21 +482,22 @@ class ParquetSnapshotTable:
 
         mode='equality' without `equality_columns` degrades to the
         row-visibility-equivalent positional file (the r1 behavior)."""
-        cur = self._load()[-1]
-        sid = cur.snapshot_id + 1
+        cur, sid = self._head(branch)
         del_dir = os.path.join(self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
         if mode == "equality" and equality_columns:
-            values = self.read().filter(condition).select(*equality_columns).distinct()
+            values = (
+                self.read(ref=branch).filter(condition).select(*equality_columns).distinct()
+            )
             values.write.mode("overwrite").parquet(del_dir)
             entry = [del_dir, sid, "equality", list(equality_columns)]
         else:
-            matching = self.read().filter(condition).select(ROW_ID)
+            matching = self.read(ref=branch).filter(condition).select(ROW_ID)
             matching.write.mode("overwrite").parquet(del_dir)
             entry = [del_dir, sid, "positional", []]
-        cur = self._load()[-1]
         return self._commit(
             f"delete-{mode}",
-            expected_parent=sid - 1,
+            expected_parent=cur.snapshot_id,
+            branch=branch,
             delete_files=cur.delete_files + [entry],
         )
 
@@ -457,8 +541,7 @@ class ParquetSnapshotTable:
         Data files are never rewritten.  Duplicate keys in `source` are
         the caller's responsibility (real MERGE raises on multiple
         matches; here each source row contributes a row version)."""
-        cur = self._load()[-1]
-        sid = cur.snapshot_id + 1
+        cur, sid = self._head()
         t = self.read(with_row_id=False).alias("t")
         s = source.drop(ROW_ID).alias("s")
         on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
@@ -512,11 +595,43 @@ class ParquetSnapshotTable:
             new_cols, new_types = self._evolved_schema(cur, new_rows)
         return self._commit(
             "merge",
-            expected_parent=sid - 1,
+            expected_parent=cur.snapshot_id,
             data_files=cur.data_files + data_entries,
             delete_files=cur.delete_files + [[del_dir, sid, "equality", list(keys)]],
             columns=new_cols,
             column_types=new_types,
+        )
+
+    def update_where(
+        self, condition: str, set_exprs: dict[str, str], branch: str = "main"
+    ) -> Snapshot:
+        """UPDATE ... SET col = expr ... WHERE condition, merge-on-read:
+        the matched rows' exact (file, pos) ids go into a positional
+        delete file and the updated row versions append as new data files
+        — both recorded in ONE atomic snapshot, data files never
+        rewritten.  `set_exprs` values are SQL over the row's columns
+        (e.g. ``{"qty": "qty + 1"}``)."""
+        cur, sid = self._head(branch)
+        matched = self.read(ref=branch).filter(condition)
+        victims = matched.select(ROW_ID)
+        updated = matched.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        del_dir = os.path.join(
+            self.path, "deletes", f"snap-{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        victims.write.mode("overwrite").parquet(del_dir)
+        files = self._write_data_files(updated, cur, sid)
+        sig = _schema_sig(updated.schema)
+        return self._commit(
+            "update",
+            expected_parent=cur.snapshot_id,
+            branch=branch,
+            data_files=cur.data_files + [[f, sid, sig] for f in files],
+            delete_files=cur.delete_files + [[del_dir, sid, "positional", []]],
         )
 
     def add_column(self, name: str) -> Snapshot:
@@ -546,8 +661,7 @@ class ParquetSnapshotTable:
         At 100 TB this runs per partition (bin-packing small files) rather
         than table-wide; the per-partition variant is the same code with a
         partition predicate on `read()`."""
-        cur = self._load()[-1]
-        sid = cur.snapshot_id + 1
+        cur, sid = self._head()
         # visible rows, deletes applied; positional ids are NOT carried over
         # (rewritten rows get fresh (file, pos) keys, as in Iceberg rewrites)
         current = self.read(with_row_id=False)
@@ -557,7 +671,7 @@ class ParquetSnapshotTable:
         sig = _schema_sig(current.schema)
         return self._commit(
             "compact",
-            expected_parent=sid - 1,
+            expected_parent=cur.snapshot_id,
             data_files=[[f, sid, sig] for f in files],
             delete_files=[],
         )
@@ -592,8 +706,17 @@ class ParquetSnapshotTable:
         snaps = self._load()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        keep = snaps[-keep_last:]
-        expired = snaps[: -keep_last]
+        # snapshots pinned by a branch or tag never expire (Iceberg refuses
+        # to expire ref-reachable snapshots)
+        refs = self._load_refs() or {}
+        pinned = {r["snapshot_id"] for r in refs.values()}
+        keep = [
+            s
+            for i, s in enumerate(snaps)
+            if i >= len(snaps) - keep_last or s.snapshot_id in pinned
+        ]
+        keep_ids = {s.snapshot_id for s in keep}
+        expired = [s for s in snaps if s.snapshot_id not in keep_ids]
         if not expired:
             return []
         live: set[str] = set()
@@ -722,15 +845,28 @@ class ParquetSnapshotTable:
         version: int | None = None,
         with_row_id: bool = True,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Current (or VERSION AS OF / TIMESTAMP AS OF) visible rows: union
-        data files with schema reconciliation, anti-join the accumulated
-        delete files.  `as_of_timestamp_ms` selects the last snapshot
-        committed at or before the given wall-clock (Iceberg's FOR
-        TIMESTAMP AS OF)."""
+        """Current (or VERSION AS OF / TIMESTAMP AS OF / named-ref) visible
+        rows: union data files with schema reconciliation, anti-join the
+        accumulated delete files.  `as_of_timestamp_ms` selects the last
+        snapshot committed at or before the given wall-clock (Iceberg's
+        FOR TIMESTAMP AS OF); `ref` reads a branch head or tag (Iceberg's
+        VERSION AS OF 'name').  Default = the main branch head (the log
+        tail until refs exist)."""
         snaps = self._load()
-        if version is not None and as_of_timestamp_ms is not None:
-            raise ValueError("pass either version or as_of_timestamp_ms, not both")
+        if sum(x is not None for x in (version, as_of_timestamp_ms, ref)) > 1:
+            raise ValueError("pass at most one of version / as_of_timestamp_ms / ref")
+        if ref is not None:
+            refs = self._load_refs() or {}
+            if ref not in refs and ref != "main":
+                raise ValueError(f"unknown ref {ref!r}")
+            if ref in refs:
+                version = refs[ref]["snapshot_id"]
+        elif version is None and as_of_timestamp_ms is None:
+            refs = self._load_refs()
+            if refs is not None:
+                version = refs["main"]["snapshot_id"]
         if as_of_timestamp_ms is not None:
             eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
             if not eligible:

@@ -565,3 +565,51 @@ def test_metadata_tables_lineage_after_compact_and_rollback(spark, tmp_path):
     assert hist[0].parent_id is None
     assert all(r.is_current_ancestor for r in hist)
     assert [r.parent_id for r in hist[1:]] == [0, 1, 2, 3, 4]
+
+
+def test_update_where_single_snapshot(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: positional delete of the old versions +
+    appended new versions in ONE atomic snapshot."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "upd")).create(["k", "qty"])
+    t.append(spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("qty")))
+    snap = t.update_where("k >= 7", {"qty": "qty + 1000"})
+    assert snap.operation == "update"
+    assert len(t.snapshots()) == 3
+    rows = {r.k: r.qty for r in t.read(with_row_id=False).collect()}
+    assert len(rows) == 10
+    assert rows[7] == 1070 and rows[9] == 1090
+    assert rows[0] == 0 and rows[6] == 60
+    # time travel pre-update
+    assert t.read(version=1).filter("qty >= 1000").count() == 0
+    # updating an updated row works (fresh positional ids)
+    t.update_where("k = 7", {"qty": "qty + 1"})
+    assert {r.qty for r in t.read().filter("k = 7").collect()} == {1071}
+
+
+def test_branches_tags_write_audit_publish(spark, tmp_path):
+    """Iceberg refs: a staging branch takes commits invisible to main
+    (write), is readable for validation (audit), and fast-forward makes
+    it current (publish).  Tags pin immutable versions."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "wap")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")))
+    t.create_tag("v1")
+    t.create_branch("audit")
+    # write: stage commits on the branch
+    t.append(spark.range(10, 30).select(F.col("id").alias("k")), branch="audit")
+    t.delete_where("k % 2 = 1", mode="equality", equality_columns=["k"], branch="audit")
+    # main unaffected; audit sees staged state
+    assert t.read().count() == 10
+    assert t.read(ref="audit").count() == 15  # 30 rows - 15 odd
+    assert t.read(ref="v1").count() == 10
+    # audit passes -> publish
+    t.fast_forward("main", "audit")
+    assert t.read().count() == 15
+    # tag still pins the old version; tags are immutable
+    assert t.read(ref="v1").count() == 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.append(spark.range(5).select(F.col("id").alias("k")), branch="v1")
+    # expire keeps ref-pinned snapshots alive
+    t.expire_snapshots(keep_last=1)
+    assert t.read(ref="v1").count() == 10
