@@ -404,3 +404,115 @@ def pipeline_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_tokens").cast("double") * F.col("n").cast("double"))
         ).alias("avg_token_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-duplicate n-gram ratio (Gopher/RefinedWeb dedup quality signal)
+# --------------------------------------------------------------------------
+DUP_NGRAM = 8  # word n-gram length (the RefinedWeb "duplicated 8-gram" rule)
+
+_DUP_NGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - {DUP_NGRAM} + 1),
+                i -> array_to_string(list_slice(ws, i, i + {DUP_NGRAM} - 1), ' ')))
+           AS g
+  FROM tok),
+freq AS (
+  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS corpus_n
+  FROM grams)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN corpus_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN corpus_n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM freq GROUP BY doc_id
+"""
+
+
+@query("pipeline_dup_ngram_ratio", oracle=_DUP_NGRAM_ORACLE)
+def pipeline_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a document's word 8-grams that occur anywhere else in
+    the corpus — the RefinedWeb/Gopher duplicated-n-gram rule that
+    catches boilerplate and templated spam which document-level dedup
+    misses.
+
+    Plan: explode 8-grams, ONE shuffle keyed by the gram for a window
+    count (no materialized frequency table, no broadcast — the gram
+    vocabulary is corpus-sized; same reasoning as token rarity), then the
+    per-doc aggregate.  Docs shorter than 8 tokens yield no grams and are
+    omitted on both engines (Spark guarded by CASE; DuckDB's
+    generate_series is empty for start > stop).  Integer counts; one
+    final double division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    grams = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) < {DUP_NGRAM} THEN array() "
+                f"ELSE transform(sequence(0, size(ws) - {DUP_NGRAM}), "
+                f"i -> concat_ws(' ', slice(ws, i + 1, {DUP_NGRAM}))) END"
+            )
+        ).alias("g"),
+    )
+    freq = grams.withColumn("corpus_n", F.count("*").over(Window.partitionBy("g")))
+    dup = F.sum(F.when(F.col("corpus_n") > 1, 1).otherwise(0))
+    return freq.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        dup.alias("n_dup"),
+        (dup.cast("double") / F.count("*").cast("double")).alias("dup_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain / source mixture report (data-mixture accounting)
+# --------------------------------------------------------------------------
+_DOMAIN_MIX_ORACLE = """
+WITH per_doc AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per_doc)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST((SELECT corpus_tokens FROM tot) AS DOUBLE)
+         AS token_share,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_doc_tokens
+FROM per_doc GROUP BY source
+"""
+
+
+@query("pipeline_domain_mix", oracle=_DOMAIN_MIX_ORACLE)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture accounting: document and token counts, each
+    source's share of corpus tokens, and mean document length — the
+    numbers that drive sampling-weight decisions when composing a
+    training mixture from heterogeneous sources.
+
+    One partial-aggregated shuffle on `source`; the corpus total joins
+    back as a 1-row broadcast.  Counts stay integer; the two shares are
+    single double divisions of integers — bit-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select("source", F.size(F.split("text", " ")).alias("n_tokens"))
+    tot = per_doc.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("corpus_tokens").cast("double")).alias(
+                "token_share"
+            ),
+            (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avg_doc_tokens"
+            ),
+        )
+    )

@@ -779,3 +779,104 @@ def window_analytics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis (ordered multi-step conversion)
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): a user counts
+    at stage N only if the stage-N event happens strictly AFTER their
+    first stage-N-1 event — the sequential-pattern query every product
+    analytics stack runs.
+
+    Plan: three user_id-keyed min-aggregations chained by broadcast-able
+    per-user timestamps; the event scan is filtered per stage so each
+    pass reads one event type.  At 100 TB every stage is one partial-agg
+    shuffle on user_id, and the per-user timestamp tables (one row per
+    user) broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter("event_type = 'click'")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (activity matrix by signup day)
+# --------------------------------------------------------------------------
+@query(
+    "events_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT CAST(c.d0 AS VARCHAR) AS cohort_day,
+           date_diff('day', c.d0, a.d) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.d0, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each later day they return — the engagement decay curve behind
+    every DAU/WAU dashboard.
+
+    Plan: one distinct + one min-agg on user_id-keyed shuffles, then a
+    broadcast join of the (one-row-per-user) cohort table onto the
+    distinct activity set.  Day arithmetic stays integer; the cohort DATE
+    is emitted as an ISO string (both engines' DATE→pandas bridges
+    normalize differently — the string is unambiguous)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    active = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

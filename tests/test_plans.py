@@ -239,3 +239,17 @@ def test_token_rarity_no_vocabulary_broadcast(spark, sf_small):
     assert kinds["BroadcastHashJoin"] == 0, kinds
     assert kinds["SortMergeJoin"] == 0 and kinds["ShuffledHashJoin"] == 0, kinds
     assert "Window" in explain.plan_nodes(df)
+
+
+def test_dup_ngram_ratio_no_vocabulary_broadcast(spark, sf_small):
+    """Same contract as token rarity: the 8-gram vocabulary is
+    corpus-sized, so frequencies must come from the window over the
+    gram-key shuffle, never a broadcast frequency table."""
+    from iceberg_table_generator_spark.operators.pipeline import (
+        pipeline_dup_ngram_ratio,
+    )
+
+    df = pipeline_dup_ngram_ratio(spark, sf_small)
+    kinds = explain.join_kinds(df)
+    assert all(v == 0 for v in kinds.values()), kinds
+    assert "Window" in explain.plan_nodes(df)
