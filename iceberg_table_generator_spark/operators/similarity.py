@@ -474,3 +474,147 @@ def topk_local_global(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
     return local.select(
         "query_id", F.explode("top").alias("t")
     ).select("query_id", F.col("t.neighbor_id").alias("neighbor_id"), F.col("t.sim").alias("sim"))
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ codes + asymmetric-distance shortlist + rerank)
+# --------------------------------------------------------------------------
+PQ_M = 8  # subspaces (64-dim -> 8 sub-vectors of 8 dims)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 4
+PQ_SHORTLIST = 50  # ADC candidates per query before exact rerank
+
+Codebooks = list[list[list[float]]]  # [m][k][sub_dim]
+_PQ_CACHE: dict[tuple[str, int, int], Codebooks] = {}
+
+
+def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+           iters: int = PQ_ITERS) -> Codebooks:
+    """Train per-subspace codebooks on the same bounded hash sample as
+    `ivf_fit` (one Spark job; numpy Lloyd's per subspace).  Empty clusters
+    keep their previous centroid so code ids stay dense 0..k-1 — a PQ
+    code is an INDEX into the codebook and must never shift."""
+    import numpy as np
+
+    sample = (
+        emb.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(IVF_TRAIN_CAP)
+        .select("vec")
+        .collect()
+    )
+    vecs = np.asarray([r.vec for r in sample], dtype=np.float64)
+    dim = vecs.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by {m} subspaces"
+    d = dim // m
+    books: Codebooks = []
+    for j in range(m):
+        sub = vecs[:, j * d : (j + 1) * d]
+        cents = sub[: min(k, len(sub))].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in cents])
+    return books
+
+
+def pq_index(emb: DataFrame, cache_key: str, m: int = PQ_M, k: int = PQ_K) -> Codebooks:
+    key = (cache_key, m, k)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = pq_fit(emb, m=m, k=k)
+    return _PQ_CACHE[key]
+
+
+def _pq_codes(vec_col: str | Column, books: Codebooks) -> Column:
+    """Encode a vector as its per-subspace nearest-centroid indices — the
+    4-byte-per-vector representation that makes a billion-vector index
+    RAM-resident.  One packed-literal fold, zero shuffle, O(1) plan size
+    in m×k×dim (packed_model_col)."""
+    sub_dim = len(books[0][0])
+    cb = packed_model_col(books, "array<array<array<double>>>")
+    return F.transform(
+        cb,
+        lambda mcb, m: F.array_min(
+            F.transform(
+                mcb,
+                lambda c, i: F.struct(
+                    _sq_dist(F.slice(vec_col, m * sub_dim + 1, sub_dim), c).alias("d2"),
+                    i.alias("code"),
+                ),
+            )
+        )["code"],
+    )
+
+
+def _pq_query_table(vec_col: str | Column, books: Codebooks) -> Column:
+    """ADC lookup table for a query: squared distance from each query
+    sub-vector to every codebook centroid ([m][k] doubles) — computed
+    once per query, then each candidate costs m array lookups instead of
+    a full d-dim dot product."""
+    sub_dim = len(books[0][0])
+    cb = packed_model_col(books, "array<array<array<double>>>")
+    return F.transform(
+        cb,
+        lambda mcb, m: F.transform(
+            mcb, lambda c: _sq_dist(F.slice(vec_col, m * sub_dim + 1, sub_dim), c)
+        ),
+    )
+
+
+@query("similarity_pq_topk")  # approx -> rows-only driver check; recall in pytest
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC + exact rerank — the memory-bound tier of a vector index
+    (IVF prunes WHICH vectors to score; PQ compresses HOW each is scored):
+    candidates are scored by summing m table lookups over their 4-bit
+    codes (asymmetric distance), the per-query shortlist is reranked with
+    exact cosine, and only shortlist-sized data ever shuffles.
+
+    At 100 TB the candidate scan reads codes (4 bytes/vector), not
+    vectors (256 bytes/vector) — a 64x scan reduction; the rerank
+    fetches full vectors for PQ_SHORTLIST rows per query only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    books = pq_index(emb, cache_key=sf_dir)
+    cand = with_norm(emb).withColumn("codes", _pq_codes("vec", books))
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        _pq_query_table("vec", books).alias("qtab"),
+    )
+    adc = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            F.col("vec_id").alias("neighbor_id"),
+            "vec",
+            "norm",
+            F.aggregate(
+                F.zip_with(
+                    "codes", "qtab", lambda code, row: F.element_at(row, code + 1)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = adc.withColumn("adc_rank", F.row_number().over(w)).filter(
+        F.col("adc_rank") <= PQ_SHORTLIST
+    )
+    sim = (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias("sim")
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        shortlist.select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
