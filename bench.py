@@ -46,6 +46,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "pipeline_chunk_documents",
     "pipeline_quality_verdict",
+    # round-3 additions
+    "similarity_pq_topk",
+    "pipeline_dup_ngram_ratio",
+    "pipeline_token_rarity",
+    "events_funnel",
+    "events_retention",
 ]
 
 
