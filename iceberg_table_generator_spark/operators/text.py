@@ -259,3 +259,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c.cast("long")) % 1000000007,
     )
     return d.select("doc_id", "lang", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF-proxy top terms (integer-exact distinguishing-term ranking)
+# --------------------------------------------------------------------------
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w),
+ranked AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rnk
+  FROM tf JOIN df USING (w))
+SELECT doc_id, w AS term, tf, df, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document, ranked lexicographically by
+    (term frequency DESC, document frequency ASC, term ASC).
+
+    The ranking is the classic tf-idf signal expressed entirely in
+    integers: a float tf*ln(N/df) score would rank identically for fixed
+    tf (idf is monotone decreasing in df) but its last-ulp behaviour
+    differs between Java's and C's `log`, so the integer ordering is what
+    keeps the DuckDB oracle bit-exact.
+
+    Scale shape: `df` is a window count over the already-aggregated `tf`
+    relation (one row per (doc, term) — df of a term = how many tf rows
+    carry it), so no vocabulary-sized frequency table is ever
+    materialized, joined, or broadcast (same policy as
+    pipeline_token_rarity: a web corpus has billions of distinct tokens;
+    vocabularies are never broadcast-sized)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("w"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w")
+    )
+    return (
+        with_df.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", "rnk")
+    )

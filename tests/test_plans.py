@@ -253,3 +253,16 @@ def test_dup_ngram_ratio_no_vocabulary_broadcast(spark, sf_small):
     kinds = explain.join_kinds(df)
     assert all(v == 0 for v in kinds.values()), kinds
     assert "Window" in explain.plan_nodes(df)
+
+
+def test_tfidf_no_vocabulary_broadcast(spark, sf_small):
+    """tf-idf's document-frequency attach follows the same contract as
+    token rarity: df comes from a window count over the term-key shuffle
+    of the (doc, term) aggregate — no vocabulary-sized frequency table is
+    joined or broadcast."""
+    from iceberg_table_generator_spark.operators.text import text_tfidf_topk
+
+    df = text_tfidf_topk(spark, sf_small)
+    kinds = explain.join_kinds(df)
+    assert all(v == 0 for v in kinds.values()), kinds
+    assert "Window" in explain.plan_nodes(df)
