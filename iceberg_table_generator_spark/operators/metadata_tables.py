@@ -129,9 +129,85 @@ def meta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second fixture: PARTITIONED (by lang) with named refs — exercises the
+# per-file stats sidecar (partitions metadata) and refs.json (branches &
+# tags).  Kept separate from the v1 fixture so its recipe can evolve
+# without invalidating the three queries above.
+PARTS_FIXTURE_PATH = "/tmp/itg_meta_parts_fixture_v1"
+_PARTS_META_JSON = f"{PARTS_FIXTURE_PATH}/metadata.json"
+_PARTS_STATS_JSON = f"{PARTS_FIXTURE_PATH}/file_stats.json"
+_PARTS_REFS_JSON = f"{PARTS_FIXTURE_PATH}/refs.json"
+
+
+def _parts_fixture_table(spark: SparkSession, sf_dir: str) -> ParquetSnapshotTable:
+    """Partitioned lifecycle fixture: 2 appends → tag the audited state →
+    branch for write-audit-publish → compact on main.  All file counts and
+    record counts are deterministic (doc_id < 400 exists at every SF)."""
+    t = ParquetSnapshotTable(spark, PARTS_FIXTURE_PATH)
+    if not os.path.exists(_PARTS_META_JSON):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 400")
+            .select("doc_id", "lang", "source")
+        )
+        t.create(["doc_id", "lang", "source"], partition_by=["lang"])
+        t.append(docs.filter("doc_id % 2 = 0"), num_files=1)
+        t.append(docs.filter("doc_id % 2 = 1"), num_files=1)
+        t.create_tag("v1")
+        t.create_branch("audit")
+        t.compact(target_files=1)
+    return t
+
+
+@query(
+    "meta_partitions",
+    oracle=f"""
+    WITH m AS (SELECT * FROM read_json('{_PARTS_META_JSON}', format='array')),
+    last AS (
+      SELECT unnest(data_files) AS e FROM m
+      WHERE snapshot_id = (SELECT max(snapshot_id) FROM m)),
+    f AS (SELECT CAST(e[1]->>'$' AS VARCHAR) AS file_path FROM last),
+    s AS (SELECT file_path, partition_value, record_count
+          FROM read_json('{_PARTS_STATS_JSON}', format='array'))
+    SELECT partition_value,
+           CAST(count(*) AS INT) AS file_count,
+           CAST(sum(record_count) AS BIGINT) AS record_count
+    FROM f JOIN s USING (file_path)
+    GROUP BY partition_value
+    """,
+)
+def meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tbl.partitions` — per-partition file/record counts of the current
+    snapshot from the per-file stats sidecar (Iceberg answers this from
+    manifest entries the same way: no data rows touched).  The oracle
+    recomputes the aggregation from the raw sidecar + the last snapshot's
+    file list, proving the DataFrame says what the metadata says."""
+    t = _parts_fixture_table(spark, sf_dir)
+    return t.partitions_table()
+
+
+@query(
+    "meta_refs",
+    oracle=f"""
+    SELECT name, type, CAST(snapshot_id AS INT) AS snapshot_id
+    FROM read_json('{_PARTS_REFS_JSON}', format='array')
+    """,
+)
+def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`tbl.refs` — named branches and tags with the snapshot each points
+    at.  After the fixture's write-audit-publish setup: `main` at the
+    compacted head, `audit` still at the audited snapshot, tag `v1`
+    immutable at the pre-compact state."""
+    t = _parts_fixture_table(spark, sf_dir)
+    return t.refs_table()
+
+
 __all__ = [
     "FIXTURE_PATH",
+    "PARTS_FIXTURE_PATH",
     "meta_snapshots",
     "meta_all_files",
     "meta_history",
+    "meta_partitions",
+    "meta_refs",
 ]

@@ -193,10 +193,11 @@ class ParquetSnapshotTable:
         os.replace(tmp, self._meta_path)  # atomic commit, HadoopTableOperations-style
 
     # -- refs (Iceberg branches & tags) -------------------------------------
-    # Stored beside the snapshot log (refs.json: {name: {snapshot_id,
-    # type}}), never inside it — the log stays a plain JSON array that the
-    # metadata-table oracles read directly.  Until the first
-    # create_branch/create_tag the file doesn't exist and `main` is
+    # Stored beside the snapshot log (refs.json, an ARRAY of {name,
+    # snapshot_id, type} records), never inside it — both the log and the
+    # refs file stay plain JSON arrays that the metadata-table oracles
+    # read directly with DuckDB `read_json(format='array')`.  Until the
+    # first create_branch/create_tag the file doesn't exist and `main` is
     # implicitly the log tail (zero overhead for unbranched tables).
     @property
     def _refs_path(self) -> str:
@@ -206,13 +207,64 @@ class ParquetSnapshotTable:
         if not os.path.exists(self._refs_path):
             return None
         with open(self._refs_path) as f:
-            return json.load(f)
+            return {
+                r["name"]: {"snapshot_id": r["snapshot_id"], "type": r["type"]}
+                for r in json.load(f)
+            }
 
     def _save_refs(self, refs: dict) -> None:
         tmp = self._refs_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(refs, f, indent=1)
+            json.dump(
+                [{"name": n, **v} for n, v in sorted(refs.items())], f, indent=1
+            )
         os.replace(tmp, self._refs_path)
+
+    # -- per-file stats sidecar (Iceberg manifest record_count/partition) ---
+    # Files are immutable, so their stats are table-level facts: one array
+    # entry per data file ever committed ({file_path, record_count,
+    # partition_value}), accumulated once per file — the snapshot log stays
+    # O(1) in file count per commit (Iceberg keeps these in shared manifest
+    # files for the same reason).  On a cluster the write tasks would
+    # return (path, record_count, partition) with the commit — the
+    # driver-side parquet-footer read below stands in for that on local
+    # filesystems (a footer read is metadata-only, no row data touched).
+    @property
+    def _stats_path(self) -> str:
+        return os.path.join(self.path, "file_stats.json")
+
+    def _load_stats(self) -> dict[str, dict]:
+        if not os.path.exists(self._stats_path):
+            return {}
+        with open(self._stats_path) as f:
+            return {r["file_path"]: r for r in json.load(f)}
+
+    def _record_new_file_stats(self, entries: list) -> None:
+        stats = self._load_stats()
+        new = False
+        for e in entries:
+            path = e[0]
+            if path in stats or not os.path.isfile(path):
+                continue  # dir-registered external roots: inferred at read
+            import pyarrow.parquet as pq
+
+            parts = [
+                seg
+                for seg in os.path.relpath(path, self.path).split(os.sep)
+                if "=" in seg
+            ]
+            stats[path] = {
+                "file_path": path,
+                "record_count": pq.ParquetFile(path).metadata.num_rows,
+                "partition_value": "/".join(parts),
+            }
+            new = True
+        if not new:
+            return
+        tmp = self._stats_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([stats[k] for k in sorted(stats)], f, indent=1)
+        os.replace(tmp, self._stats_path)
 
     def _head(self, branch: str = "main") -> tuple[Snapshot, int]:
         """(head snapshot of `branch`, next global snapshot id).  Snapshot
@@ -261,6 +313,7 @@ class ParquetSnapshotTable:
             column_types=changes.get("column_types", dict(prev.column_types)),
             properties=changes.get("properties", dict(prev.properties)),
         )
+        self._record_new_file_stats(snap.data_files)
         snaps = self._load()
         snaps.append(snap)
         self._save(snaps)
@@ -838,6 +891,50 @@ class ParquetSnapshotTable:
         return self.spark.createDataFrame(
             rows,
             "snapshot_id int, content string, file_path string, sequence_number int",
+        )
+
+    def refs_table(self) -> DataFrame:
+        """Named refs — Iceberg's `tbl.refs` (branches and tags with the
+        snapshot each points at).  Before any branch/tag exists, `main` is
+        reported implicitly at the log tail, mirroring what `read()`
+        resolves."""
+        refs = self._load_refs() or {
+            "main": {"snapshot_id": self._load()[-1].snapshot_id, "type": "branch"}
+        }
+        rows = [
+            (name, v["type"], v["snapshot_id"]) for name, v in sorted(refs.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id int"
+        )
+
+    def partitions_table(self, version: int | None = None) -> DataFrame:
+        """Per-partition file/record counts of one snapshot (default:
+        current) — Iceberg's `tbl.partitions`, fed by the per-file stats
+        sidecar exactly as Iceberg's is fed by manifest entries
+        (record_count + partition tuple per DataFile), so it answers
+        "which partitions are skewed / fragmented" without touching a
+        single data row.  Dir-registered external roots (partitioned
+        add_files) carry no per-file stats and are excluded; their
+        partition values are inferred at scan time instead."""
+        snaps = self._load()
+        snap = (
+            snaps[-1]
+            if version is None
+            else next(s for s in snaps if s.snapshot_id == version)
+        )
+        stats = self._load_stats()
+        agg: dict[str, list[int]] = {}
+        for e in snap.data_files:
+            st = stats.get(e[0])
+            if st is None:
+                continue
+            a = agg.setdefault(st["partition_value"], [0, 0])
+            a[0] += 1
+            a[1] += int(st["record_count"])
+        rows = [(p, n, rc) for p, (n, rc) in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition_value string, file_count int, record_count bigint"
         )
 
     def read(

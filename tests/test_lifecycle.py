@@ -613,3 +613,46 @@ def test_branches_tags_write_audit_publish(spark, tmp_path):
     # expire keeps ref-pinned snapshots alive
     t.expire_snapshots(keep_last=1)
     assert t.read(ref="v1").count() == 10
+
+
+def test_partitions_table_counts_per_partition(spark, tmp_path):
+    """`tbl.partitions` answers from the per-file stats sidecar alone:
+    file/record counts per partition after append, unchanged by an MoR
+    delete (delete files are not data files), corrected by compact."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "parts")).create(
+        ["k", "grp"], partition_by=["grp"]
+    )
+    rows = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("grp")
+    )
+    t.append(rows, num_files=1)
+    p = {r["partition_value"]: r for r in t.partitions_table().collect()}
+    assert set(p) == {"grp=0", "grp=1"}
+    assert p["grp=0"]["record_count"] == 10 and p["grp=1"]["record_count"] == 10
+    # MoR delete: data files untouched, partitions metadata unchanged
+    t.delete_where("k < 4", mode="equality", equality_columns=["k"])
+    p2 = {r["partition_value"]: r["record_count"] for r in t.partitions_table().collect()}
+    assert p2 == {"grp=0": 10, "grp=1": 10}
+    # compact applies deletes and rewrites stats
+    t.compact(target_files=1)
+    p3 = {r["partition_value"]: r["record_count"] for r in t.partitions_table().collect()}
+    assert p3 == {"grp=0": 8, "grp=1": 8}
+    # historical snapshot still reports the pre-compact layout
+    pre = {r["partition_value"]: r["record_count"] for r in t.partitions_table(version=1).collect()}
+    assert pre == {"grp=0": 10, "grp=1": 10}
+
+
+def test_refs_table_lists_branches_and_tags(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "refs")).create(["k"])
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    # implicit main before any ref exists
+    assert t.refs_table().collect()[0].asDict() == {
+        "name": "main", "type": "branch", "snapshot_id": 1,
+    }
+    t.create_tag("v1")
+    t.create_branch("audit")
+    t.append(spark.range(5, 8).select(F.col("id").alias("k")))  # advances main only
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in t.refs_table().collect()}
+    assert refs == {
+        "main": ("branch", 2), "audit": ("branch", 1), "v1": ("tag", 1),
+    }
