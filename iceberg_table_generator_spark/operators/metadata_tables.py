@@ -202,6 +202,26 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.refs_table()
 
 
+@query(
+    "lifecycle_pruned_scan",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id < 400 AND doc_id % 10 NOT IN (3, 7)
+      AND doc_id >= 100 AND doc_id < 300
+    """,
+)
+def lifecycle_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`read(where=...)` through the full MoR stack: the predicate is
+    evaluated against per-file footer bounds to skip files manifest-style
+    (Iceberg InclusiveMetricsEvaluator), then applied as a row filter on
+    the delete-merged scan.  The oracle recomputes the fixture's visible
+    state (two deletes survive the rollback history) plus the predicate
+    from the raw documents table — proving pruning never drops a visible
+    row."""
+    t = _fixture_table(spark, sf_dir)
+    return t.read(with_row_id=False, where="doc_id >= 100 AND doc_id < 300")
+
+
 __all__ = [
     "FIXTURE_PATH",
     "PARTS_FIXTURE_PATH",
@@ -210,4 +230,5 @@ __all__ = [
     "meta_history",
     "meta_partitions",
     "meta_refs",
+    "lifecycle_pruned_scan",
 ]

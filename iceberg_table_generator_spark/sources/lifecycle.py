@@ -44,6 +44,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -150,6 +151,106 @@ def _entry_files(path: str) -> list[str]:
     return [path]
 
 
+def _footer_column_bounds(meta) -> dict[str, list]:
+    """Per-column [min, max] across a file's row groups, from the parquet
+    footer only — the same lower/upper bounds Iceberg persists per DataFile
+    in its manifests (`lower_bounds`/`upper_bounds`).  Restricted to types
+    whose Python ordering matches SQL ordering (ints, floats, ASCII-safe
+    strings, dates as ISO strings); anything else is simply not recorded,
+    which can only cost pruning opportunity, never correctness."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested field: no top-level bound
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            import datetime
+
+            if isinstance(lo, datetime.datetime):
+                continue  # timestamps: µs/ns physical-type ambiguity, skip
+            if isinstance(lo, datetime.date):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            else:
+                mins[name], maxs[name] = lo, hi
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+_CONJUNCT_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*(<=|>=|==|=|<|>)\s*"
+    r"(?:'([^']*)'|\"([^\"]*)\"|(-?\d+(?:\.\d+)?))\s*$"
+)
+
+
+def _skippable_conjuncts(where: str) -> list[tuple[str, str, object]]:
+    """Decompose a predicate into (col, op, literal) conjuncts usable for
+    file skipping — the binding step of Iceberg's
+    `InclusiveMetricsEvaluator`.  Conservative by construction: only
+    top-level AND is split (a top-level OR disables skipping entirely) and
+    a conjunct that doesn't match the simple comparison shape contributes
+    no pruning.  The full predicate is ALWAYS also applied as a row filter,
+    so this analysis affects which files are scanned, never the answer."""
+    if re.search(r"\bOR\b", where, flags=re.IGNORECASE):
+        return []
+    out = []
+    for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        m = _CONJUNCT_RE.match(part)
+        if not m:
+            continue
+        col, op = m.group(1), m.group(2)
+        lit: object = (
+            m.group(3)
+            if m.group(3) is not None
+            else m.group(4)
+            if m.group(4) is not None
+            else float(m.group(5))
+            if "." in m.group(5)
+            else int(m.group(5))
+        )
+        out.append((col, "=" if op == "==" else op, lit))
+    return out
+
+
+def _bounds_may_match(bounds: dict[str, list], conjuncts: list) -> bool:
+    """InclusiveMetricsEvaluator verdict for one file: False only when some
+    conjunct PROVABLY excludes every row given the file's [min,max].  A
+    column with no recorded bounds (or a type mismatch with the literal)
+    can't exclude anything."""
+    for col, op, lit in conjuncts:
+        b = bounds.get(col)
+        if b is None:
+            continue
+        lo, hi = b
+        num_stats = isinstance(lo, (int, float))
+        if num_stats != isinstance(lit, (int, float)):
+            continue  # incomparable: never skip on it
+        if (
+            (op == "=" and (lit < lo or lit > hi))
+            or (op == "<" and lo >= lit)
+            or (op == "<=" and lo > lit)
+            or (op == ">" and hi <= lit)
+            or (op == ">=" and hi < lit)
+        ):
+            return False
+    return True
+
+
 def _partition_cols_of(dir_path: str) -> tuple[str, ...]:
     """Physical partition layout of a data directory (the hive-style
     `col=value` nesting), probed from the directory tree — one listdir
@@ -253,10 +354,12 @@ class ParquetSnapshotTable:
                 for seg in os.path.relpath(path, self.path).split(os.sep)
                 if "=" in seg
             ]
+            meta = pq.ParquetFile(path).metadata
             stats[path] = {
                 "file_path": path,
-                "record_count": pq.ParquetFile(path).metadata.num_rows,
+                "record_count": meta.num_rows,
                 "partition_value": "/".join(parts),
+                "bounds": _footer_column_bounds(meta),
             }
             new = True
         if not new:
@@ -943,6 +1046,7 @@ class ParquetSnapshotTable:
         with_row_id: bool = True,
         as_of_timestamp_ms: int | None = None,
         ref: str | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Current (or VERSION AS OF / TIMESTAMP AS OF / named-ref) visible
         rows: union data files with schema reconciliation, anti-join the
@@ -950,7 +1054,18 @@ class ParquetSnapshotTable:
         snapshot committed at or before the given wall-clock (Iceberg's
         FOR TIMESTAMP AS OF); `ref` reads a branch head or tag (Iceberg's
         VERSION AS OF 'name').  Default = the main branch head (the log
-        tail until refs exist)."""
+        tail until refs exist).
+
+        `where` is a Spark SQL predicate applied to the visible rows — and,
+        first, evaluated against the per-file [min,max] bounds in the stats
+        sidecar to SKIP whole files before the scan is even planned, the way
+        Iceberg's InclusiveMetricsEvaluator prunes DataFiles from manifests.
+        At 100 TB this manifest-level pruning (not the row filter) is what
+        bounds scan cost: a selective predicate on a write-sorted column
+        touches O(matching) files instead of O(table).  The row filter is
+        always applied too, so unparseable/partial predicates only lose
+        pruning, never correctness; partition-column conjuncts additionally
+        prune hive directories through the pushed-down scan filter."""
         snaps = self._load()
         if sum(x is not None for x in (version, as_of_timestamp_ms, ref)) > 1:
             raise ValueError("pass at most one of version / as_of_timestamp_ms / ref")
@@ -981,9 +1096,22 @@ class ParquetSnapshotTable:
                 raise ValueError(
                     f"no snapshot {version}; table has versions 0..{snaps[-1].snapshot_id}"
                 ) from None
-        if not snap.data_files:
-            # Empty table: honor the recorded column types (append-time
-            # schema); columns never appended yet fall back to string.
+        scan_entries = snap.data_files
+        if where:
+            conjuncts = _skippable_conjuncts(where)
+            if conjuncts:
+                stats = self._load_stats()
+                scan_entries = [
+                    e
+                    for e in snap.data_files
+                    if (st := stats.get(e[0])) is None
+                    or not st.get("bounds")
+                    or _bounds_may_match(st["bounds"], conjuncts)
+                ]
+        if not scan_entries:
+            # Empty table (or every file pruned by the predicate): honor the
+            # recorded column types (append-time schema); columns never
+            # appended yet fall back to string.
             fields = [
                 f"`{c}` {snap.column_types.get(c, 'string')}" for c in snap.columns
             ] + ([f"`{ROW_ID}` {ROW_ID_TYPE}"] if with_row_id else [])
@@ -1002,7 +1130,7 @@ class ParquetSnapshotTable:
         data_dir = os.path.join(os.path.abspath(self.path), "data")
         file_groups: dict[tuple, list[str]] = {}
         ext_dirs: list[str] = []
-        for entry in snap.data_files:
+        for entry in scan_entries:
             path = entry[0]
             sig = entry[2] if len(entry) > 2 else None
             if os.path.isdir(path):
@@ -1085,7 +1213,8 @@ class ParquetSnapshotTable:
             cond.append(df[seq_col] < vals["__del_seq"])
             df = df.join(F.broadcast(vals), cond, "left_anti")
         cols = [c for c in snap.columns if c in df.columns]
-        return df.select(*cols, *([ROW_ID] if with_row_id else []))
+        out = df.select(*cols, *([ROW_ID] if with_row_id else []))
+        return out.filter(where) if where else out
 
 
 class IcebergTable:

@@ -656,3 +656,51 @@ def test_refs_table_lists_branches_and_tags(spark, tmp_path):
     assert refs == {
         "main": ("branch", 2), "audit": ("branch", 1), "v1": ("tag", 1),
     }
+
+
+def test_read_where_skips_files_by_footer_bounds(spark, tmp_path):
+    """Manifest-style pruning: a selective predicate on a clustered column
+    plans a scan over only the files whose [min,max] may match — the
+    InclusiveMetricsEvaluator behavior that bounds scan cost at 100 TB."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "skip")).create(["k", "v"])
+    for lo in (0, 100, 200):  # three appends -> three files with disjoint k
+        t.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            num_files=1,
+        )
+    assert len(t.read().inputFiles()) == 3
+    pruned = t.read(where="k >= 150 AND k < 250")
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(150, 250))
+    # a fully-out-of-range predicate prunes everything, schema intact
+    none = t.read(where="k > 9000")
+    assert none.count() == 0 and none.schema["k"].dataType.simpleString() == "bigint"
+    # OR / non-analyzable shapes disable skipping but stay correct
+    odd = t.read(where="k % 2 = 0 OR k = 3")
+    assert len(odd.inputFiles()) == 3 and odd.count() == 151
+    # pruning composes with MoR deletes (delete rows live in skipped files)
+    t.delete_where("k >= 160 AND k < 170", mode="equality", equality_columns=["k"])
+    assert t.read(where="k >= 150 AND k < 250").count() == 90
+    assert t.read(where="k < 100").count() == 100
+
+
+def test_read_where_prunes_string_and_partition_bounds(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "skipstr")).create(
+        ["name", "grp", "n"], partition_by=["grp"]
+    )
+    a = spark.createDataFrame(
+        [("apple", "x", 1), ("banana", "x", 2)], "name string, grp string, n int"
+    )
+    b = spark.createDataFrame(
+        [("walnut", "x", 3), ("zebra", "x", 4)], "name string, grp string, n int"
+    )
+    t.append(a, num_files=1)
+    t.append(b, num_files=1)
+    pruned = t.read(where="name <= 'cherry'")
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["name"] for r in pruned.collect()) == ["apple", "banana"]
+    # partition-column conjunct: no footer bounds (hive layout drops the
+    # column from the file), row results still exact
+    assert t.read(where="grp = 'x' AND n >= 3").count() == 2
