@@ -516,3 +516,72 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrub of emails / phone numbers / IPv4 addresses
+# --------------------------------------------------------------------------
+# The corpus text is synthetic word soup, so the query PLANTS deterministic
+# PII derived from doc_id before scrubbing — the patterns, replacement
+# order, and counting all exercise the real redaction path.  Regexes are
+# kept in the Java∩RE2 common dialect (no lookaround/backrefs) so Spark
+# and DuckDB agree character-for-character.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com or 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256)
+           AS pii_text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(pii_text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(pii_text, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IP}')) AS INT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(pii_text,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM planted
+"""
+
+
+@query("pipeline_pii_redaction", oracle=_PII_ORACLE)
+def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the compliance pass every web-scale training corpus
+    runs before tokenization.  Plants doc_id-derived email/phone/IPv4
+    strings, then redacts them with a fixed-order `regexp_replace` chain
+    (email → phone → IP, later patterns applied to earlier output so
+    counts are unambiguous) and reports per-doc match counts.
+
+    Scale posture: pure narrow per-row string ops — zero shuffle, full
+    whole-stage codegen, linearly partition-parallel at 100 TB.  Counting
+    uses `regexp_count` (JVM-side), never a Python UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 3) % 256).cast("string"),
+        ).alias("pii_text"),
+    )
+    after_email = F.regexp_replace("pii_text", _PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, _PII_PHONE, "<PHONE>")
+    return planted.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_replace(after_phone, _PII_IP, "<IP>").alias("redacted"),
+    )
