@@ -10,6 +10,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     relational_ext,
     scalar_ext,
     similarity,
+    skew,
     text,
     tpch_ext,
 )

@@ -266,3 +266,29 @@ def test_tfidf_no_vocabulary_broadcast(spark, sf_small):
     kinds = explain.join_kinds(df)
     assert all(v == 0 for v in kinds.values()), kinds
     assert "Window" in explain.plan_nodes(df)
+
+
+def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
+    """The salted join must actually take the shuffle path (that's the
+    scenario salting exists for) with the salt in the join keys, and the
+    salts must spread a hot key's rows across sub-keys."""
+    from iceberg_table_generator_spark.operators import skew
+
+    df = skew.join_skew_salted(spark, sf_small)
+    text = explain.plan_text(df)
+    assert "SortMergeJoin" in text, text[:2000]
+    # the node-detail section lists the join keys: salt must be one of them
+    detail = text[text.rfind("SortMergeJoin"):][:300]
+    assert "__salt" in detail, detail
+    # spread check: each of the 3 flags occupies many distinct salt buckets
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").limit(2000)
+    salted = li.withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", F.lit(42)), F.lit(16)).cast("int")
+    )
+    spread = salted.groupBy("l_returnflag").agg(
+        F.countDistinct("__salt").alias("n")
+    )
+    assert all(r["n"] == 16 for r in spread.collect())
