@@ -90,4 +90,36 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["salted_join", "join_skew_salted"]
+def salt_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the skewed side salted and the other side replicated —
+    the whole-row-hash variant of `salted_join` for frames with no single
+    row-unique column.  `on` must name the key column present in both
+    sides; output columns = the plain join's columns."""
+    salted_l = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
+    )
+    replicated_r = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = salted_l.join(replicated_r, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase aggregation for hot-key counting: count per (key, salt)
+    first (spreads one hot key over S reducers), then sum per key.  With
+    map-side partial aggregation Spark usually does this implicitly; the
+    explicit form documents the pattern and covers distinct-style plans
+    that lose the combine step."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("c"))
+    return partial.groupBy(key).agg(F.sum("c").alias("n"))
+
+
+__all__ = ["salted_join", "join_skew_salted", "salt_join", "salted_count"]
