@@ -494,6 +494,7 @@ class ParquetSnapshotTable:
         num_files: int | None = None,
         sort_by: list[str] | None = None,
         branch: str = "main",
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """S3/S4: append one batch of rows as a new snapshot.
 
@@ -516,13 +517,21 @@ class ParquetSnapshotTable:
         files = self._write_data_files(df, cur, sid, num_files=num_files, sort_by=sort_by)
         new_cols, new_types = self._evolved_schema(cur, df)
         sig = _schema_sig(df.schema)
+        changes: dict = dict(
+            data_files=cur.data_files + [[f, sid, sig] for f in files],
+            columns=new_cols,
+            column_types=new_types,
+        )
+        if properties:
+            # Snapshot-carried properties (Iceberg snapshot summary /
+            # TBLPROPERTIES update in the same commit) — e.g. the streaming
+            # sink's epoch marker, which must be atomic with the data.
+            changes["properties"] = {**cur.properties, **properties}
         return self._commit(
             "append",
             expected_parent=cur.snapshot_id,
             branch=branch,
-            data_files=cur.data_files + [[f, sid, sig] for f in files],
-            columns=new_cols,
-            column_types=new_types,
+            **changes,
         )
 
     def _write_data_files(
