@@ -841,6 +841,36 @@ class ParquetSnapshotTable:
             delete_files=[],
         )
 
+    def rewrite_zorder(
+        self, cols: list[str], target_files: int = 8, bits: int = 8
+    ) -> Snapshot:
+        """Iceberg `rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(...)')`: rewrite the visible rows clustered on the Morton
+        interleave of `cols`, so every rewritten file carries tight footer
+        min/max bounds on ALL the clustered columns and `read(where=)`
+        prunes files for predicates on any of them.  Like `compact`, the
+        rewrite applies accumulated delete files and resets read
+        amplification; older snapshots keep the original files."""
+        from iceberg_table_generator_spark.operators.zorder import Z_COL, with_zorder
+
+        cur, sid = self._head()
+        current = with_zorder(self.read(with_row_id=False), cols, bits=bits)
+        # range-partition on the z-value then drop it: clustering lives in
+        # the file layout (and its footer stats), not in a stored column
+        arranged = (
+            current.repartitionByRange(target_files, Z_COL)
+            .sortWithinPartitions(Z_COL)
+            .drop(Z_COL)
+        )
+        files = self._write_data_files(arranged, cur, sid, name_prefix="zorder")
+        sig = _schema_sig(arranged.schema)
+        return self._commit(
+            "zorder",
+            expected_parent=cur.snapshot_id,
+            data_files=[[f, sid, sig] for f in files],
+            delete_files=[],
+        )
+
     def rollback_to(self, version: int) -> Snapshot:
         """Iceberg `rollback_to_snapshot`: a NEW snapshot that points back
         at an older snapshot's file lists — history is append-only, the

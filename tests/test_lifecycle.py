@@ -704,3 +704,41 @@ def test_read_where_prunes_string_and_partition_bounds(spark, tmp_path):
     # partition-column conjunct: no footer bounds (hive layout drops the
     # column from the file), row results still exact
     assert t.read(where="grp = 'x' AND n >= 3").count() == 2
+
+
+def test_zorder_rewrite_prunes_on_both_dimensions(spark, tmp_path):
+    """After rewrite_zorder(["x","y"]), a box predicate on EITHER (or both)
+    dimensions skips files via footer bounds; a linear sort on x can never
+    prune on y.  This is the 100 TB layout story: z-order + manifest
+    pruning bounds scan cost for every clustered dimension."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "z")).create(["x", "y", "v"])
+    grid = spark.range(10000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+        F.col("id").alias("v"),
+    )
+    t.append(grid, num_files=4)
+    t.rewrite_zorder(["x", "y"], target_files=16)
+    assert t.snapshots()[-1].operation == "zorder"
+    assert len(t.read().inputFiles()) == 16
+
+    box = t.read(where="x >= 40 AND x < 60 AND y >= 40 AND y < 60")
+    assert len(box.inputFiles()) <= 8  # ~4 of 16 tiles for a 20x20 box
+    assert box.count() == 400
+    assert sorted(r["v"] for r in box.collect()) == sorted(
+        y * 100 + x for x in range(40, 60) for y in range(40, 60)
+    )
+    # single-dimension predicates prune too (a y-band touches one z-stripe
+    # of tiles, never the whole table)
+    yband = t.read(where="y >= 40 AND y < 60")
+    assert len(yband.inputFiles()) <= 10 and yband.count() == 2000
+    xband = t.read(where="x >= 40 AND x < 60")
+    assert len(xband.inputFiles()) <= 12 and xband.count() == 2000
+
+    # contrast: the same data linearly sorted by x cannot prune a y-band
+    t2 = ParquetSnapshotTable(spark, str(tmp_path / "lin")).create(["x", "y", "v"])
+    t2.append(grid, num_files=1)
+    t2.compact(target_files=16)  # compact preserves no clustering on y
+    t2_yband = t2.read(where="y >= 40 AND y < 60")
+    assert len(t2_yband.inputFiles()) >= len(yband.inputFiles())
+    assert t2_yband.count() == 2000
