@@ -52,6 +52,9 @@ HEADLINE = [
     "pipeline_token_rarity",
     "events_funnel",
     "events_retention",
+    "pipeline_pii_redaction",
+    "join_skew_salted",
+    "incremental_agg_maintenance",
 ]
 
 
