@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from iceberg_table_generator_spark.operators.relational import DEC, dsum, sql_dsum
+from iceberg_table_generator_spark.operators.relational import DEC, davg, dsum, sql_davg, sql_dsum
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -879,4 +879,72 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("d", "d0").alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + forward fill (gap-filling hourly grid)
+# --------------------------------------------------------------------------
+_RESAMPLE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 20),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         {sql_davg('value')} AS v
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)),
+spans AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM spans),
+j AS (
+  SELECT g.user_id, g.h, hourly.v
+  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+SELECT user_id, CAST(h AS VARCHAR) AS hour,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_ffill
+FROM j
+"""
+
+
+@query("events_resample_ffill", oracle=_RESAMPLE_ORACLE)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill — the time-series
+    normalization step (metrics pipelines, feature windows) relational
+    engines bolt on as `GAP FILL` / `timescaledb time_bucket_gapfill`.
+
+    Per user: hourly average where events exist, previous hour's value
+    carried forward across gaps.  The dense grid comes from an in-row
+    `sequence()` explode (no driver loop, no cross join against a global
+    calendar — each user materializes only its own span), the fill is one
+    `last(ignorenulls)` running window.  Shuffle count: one for the hourly
+    aggregate, one for the per-user window — both keyed on user_id, so at
+    100 TB they co-partition and AQE coalesces the tail."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("v"))
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("val_ffill"),
     )

@@ -618,3 +618,52 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Random sign projection (Achlioptas): 64-d -> 16-d, oracle-paired
+# --------------------------------------------------------------------------
+RPROJ_OUT_DIM = 16
+RPROJ_IN_DIM = 64
+
+_RPROJ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {RPROJ_OUT_DIM})) AS out_dim)
+SELECT vec_id, CAST(out_dim AS INT) AS out_dim,
+       list_sum(list_transform(generate_series(1, {RPROJ_IN_DIM}),
+         j -> vec[j] * CAST(((out_dim * 31 + j * 17) % 2) * 2 - 1 AS DOUBLE)))
+         AS val
+FROM v CROSS JOIN dims
+"""
+
+
+@query("similarity_random_projection", oracle=_RPROJ_ORACLE)
+def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: embed 64-d vectors into 16-d
+    with a DETERMINISTIC ±1 matrix computed from (out_dim, in_dim) index
+    arithmetic — no stored weights, no broadcast, no randomness (the
+    xxhash64-not-rand policy of datagen/values.py applied to projections).
+    Output exploded to (vec_id, out_dim, val) scalar rows.
+
+    Scale posture: pure per-row fold over the vector — zero shuffle, zero
+    model state, codegen size O(1) in corpus (the lambda is one expression
+    regardless of k×dim, the fix the literal-codegen ANN paths needed).
+    Both engines fold j ascending over the same doubles → bit-exact vals,
+    emitted raw per the no-rounding policy."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(RPROJ_OUT_DIM))).alias("out_dim"),
+        "vec",
+    ).select(
+        "vec_id",
+        F.col("out_dim").cast("int").alias("out_dim"),
+        F.expr(
+            f"aggregate(sequence(1, {RPROJ_IN_DIM}), cast(0.0 as double), "
+            "(acc, j) -> acc + vec[j-1] * "
+            "cast(((out_dim * 31 + j * 17) % 2) * 2 - 1 as double))"
+        ).alias("val"),
+    )
