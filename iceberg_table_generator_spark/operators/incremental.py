@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_table_generator_spark.operators.metadata_tables import _fixture_table
+from iceberg_table_generator_spark.operators.metadata_tables import _value_fixture_table
 from iceberg_table_generator_spark.registry import query
 
 
@@ -84,7 +84,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     `apply_agg_delta`.  The oracle recomputes version 3's aggregate from
     scratch on the raw documents table — incremental result must equal the
     full recompute exactly."""
-    t = _fixture_table(spark, sf_dir)
+    t = _value_fixture_table(spark, sf_dir)
     base = (
         t.read(version=1)
         .groupBy("lang")

@@ -202,6 +202,31 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.refs_table()
 
 
+def _value_fixture_table(spark: SparkSession, sf_dir: str) -> ParquetSnapshotTable:
+    """Per-SF twin of `_fixture_table` for queries whose ORACLE recomputes
+    row VALUES from the live `documents` view: lang/source per doc_id
+    differ between scale factors, so a fixture built at one SF would
+    value-mismatch an oracle reading another SF's documents.  The metadata
+    queries above don't need this (their oracles read the fixture's own
+    frozen JSON, so both engines see identical data at any SF)."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    t = ParquetSnapshotTable(spark, f"{FIXTURE_PATH}_{sf_tag}")
+    if not os.path.exists(os.path.join(t.path, "metadata.json")):
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter("doc_id < 400")
+            .select("doc_id", "lang", "source")
+        )
+        t.create(["doc_id", "lang", "source"])
+        t.append(docs.filter("doc_id % 2 = 0"), num_files=2)
+        t.append(docs.filter("doc_id % 2 = 1"), num_files=2)
+        t.delete_where("doc_id % 10 = 3", mode="equality", equality_columns=["doc_id"])
+        t.compact(target_files=2)
+        t.rollback_to(3)
+        t.delete_where("doc_id % 10 = 7", mode="equality", equality_columns=["doc_id"])
+    return t
+
+
 @query(
     "lifecycle_pruned_scan",
     oracle="""
@@ -218,7 +243,7 @@ def lifecycle_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (two deletes survive the rollback history) plus the predicate
     from the raw documents table — proving pruning never drops a visible
     row."""
-    t = _fixture_table(spark, sf_dir)
+    t = _value_fixture_table(spark, sf_dir)
     return t.read(with_row_id=False, where="doc_id >= 100 AND doc_id < 300")
 
 

@@ -227,6 +227,22 @@ def _skippable_conjuncts(where: str) -> list[tuple[str, str, object]]:
     return out
 
 
+def _partition_may_match(partition_value: str, conjuncts: list) -> bool:
+    """Match equality conjuncts against a file's hive partition path
+    ('grp=0/day=2020-01-01').  Partition columns never have footer bounds
+    (hive layout drops them from the file), so this is the manifest-level
+    counterpart of Iceberg's partition-predicate evaluation.  Only `=` is
+    evaluated (partition values are strings; range ops on them would need
+    type knowledge) — anything else can't exclude a file."""
+    if not partition_value:
+        return True
+    parts = dict(seg.split("=", 1) for seg in partition_value.split("/") if "=" in seg)
+    for col, op, lit in conjuncts:
+        if op == "=" and col in parts and parts[col] != str(lit):
+            return False
+    return True
+
+
 def _bounds_may_match(bounds: dict[str, list], conjuncts: list) -> bool:
     """InclusiveMetricsEvaluator verdict for one file: False only when some
     conjunct PROVABLY excludes every row given the file's [min,max].  A
@@ -368,6 +384,31 @@ class ParquetSnapshotTable:
         with open(tmp, "w") as f:
             json.dump([stats[k] for k in sorted(stats)], f, indent=1)
         os.replace(tmp, self._stats_path)
+
+    def _prune_entries(self, entries: list, where: str | None) -> list:
+        """Manifest-level file selection for a predicate: drop entries whose
+        footer [min,max] bounds or hive partition value PROVABLY exclude
+        every row.  Entries without stats (external roots) always survive.
+        Pruning is an optimization contract only — callers still apply the
+        full predicate to rows."""
+        if not where:
+            return entries
+        conjuncts = _skippable_conjuncts(where)
+        if not conjuncts:
+            return entries
+        stats = self._load_stats()
+        kept = []
+        for e in entries:
+            st = stats.get(e[0])
+            if st is None:
+                kept.append(e)
+                continue
+            if not _partition_may_match(st.get("partition_value", ""), conjuncts):
+                continue
+            if st.get("bounds") and not _bounds_may_match(st["bounds"], conjuncts):
+                continue
+            kept.append(e)
+        return kept
 
     def _head(self, branch: str = "main") -> tuple[Snapshot, int]:
         """(head snapshot of `branch`, next global snapshot id).  Snapshot
@@ -815,7 +856,7 @@ class ParquetSnapshotTable:
         appends use the new spec (Iceberg REPLACE PARTITION FIELD)."""
         return self._commit("replace-partition-field", partition_by=list(partition_by))
 
-    def compact(self, target_files: int = 4) -> Snapshot:
+    def compact(self, target_files: int = 4, where: str | None = None) -> Snapshot:
         """Compaction (Iceberg `rewrite_data_files` + delete-file
         elimination): materialize the current visible rows into
         `target_files` fresh files and drop every delete file from the new
@@ -823,10 +864,43 @@ class ParquetSnapshotTable:
         resets to zero; older snapshots still reference the original files,
         so time travel is unaffected.
 
-        At 100 TB this runs per partition (bin-packing small files) rather
-        than table-wide; the per-partition variant is the same code with a
-        partition predicate on `read()`."""
+        With `where`, only the FILES whose partition value / footer bounds
+        may match are rewritten (Iceberg `rewrite_data_files(where =>
+        ...)`) — whole files, not just matching rows, exactly as Iceberg
+        selects FileScanTasks.  Untouched files keep their entries, and
+        every delete file is retained for them; rewritten rows can't be
+        re-deleted because their new data sequence exceeds every existing
+        delete's (the same sequence-number rule that protects re-inserts).
+        This is how compaction runs at 100 TB: per partition, bin-packing
+        small files, never a table-wide rewrite."""
         cur, sid = self._head()
+        selected = self._prune_entries(cur.data_files, where)
+        if where is not None and len(selected) < len(cur.data_files):
+            sel_files = {f for e in selected for f in _entry_files(e[0])}
+            rest = [e for e in cur.data_files if e[0] not in {s[0] for s in selected}]
+            # visible rows OF THE SELECTED FILES ONLY (deletes applied);
+            # the row-id's file field is exactly the scan's file path
+            # row-id file field carries the reader's URI form
+            # (file:/...); normalize like the seq-map join does
+            current = (
+                self.read()
+                .filter(
+                    F.regexp_replace(
+                        F.col(f"{ROW_ID}.file"), r"^file:/+", "/"
+                    ).isin(*sorted(sel_files))
+                )
+                .drop(ROW_ID)
+            )
+            files = self._write_data_files(
+                current, cur, sid, num_files=target_files, name_prefix="compact"
+            )
+            sig = _schema_sig(current.schema)
+            return self._commit(
+                "compact",
+                expected_parent=cur.snapshot_id,
+                data_files=rest + [[f, sid, sig] for f in files],
+                delete_files=list(cur.delete_files),
+            )
         # visible rows, deletes applied; positional ids are NOT carried over
         # (rewritten rows get fresh (file, pos) keys, as in Iceberg rewrites)
         current = self.read(with_row_id=False)
@@ -840,6 +914,28 @@ class ParquetSnapshotTable:
             data_files=[[f, sid, sig] for f in files],
             delete_files=[],
         )
+
+    def remove_orphan_files(self) -> list[str]:
+        """Iceberg `remove_orphan_files`: delete files under the table
+        location referenced by NO snapshot — debris from crashed writes
+        (staged-but-uncommitted data a failed job left behind).  Never
+        touches referenced files, externally registered roots (outside the
+        table location), or the metadata itself."""
+        snaps = self._load()
+        live: set[str] = set()
+        for s in snaps:
+            for e in s.data_files + s.delete_files:
+                live.add(e[0])
+                live.update(_entry_files(e[0]))
+        removed: list[str] = []
+        for f in glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True):
+            if f not in live:
+                os.remove(f)
+                removed.append(f)
+        for stage in glob.glob(os.path.join(self.path, ".stage-*")):
+            shutil.rmtree(stage, ignore_errors=True)
+            removed.append(stage)
+        return sorted(removed)
 
     def rewrite_zorder(
         self, cols: list[str], target_files: int = 8, bits: int = 8
@@ -1135,18 +1231,7 @@ class ParquetSnapshotTable:
                 raise ValueError(
                     f"no snapshot {version}; table has versions 0..{snaps[-1].snapshot_id}"
                 ) from None
-        scan_entries = snap.data_files
-        if where:
-            conjuncts = _skippable_conjuncts(where)
-            if conjuncts:
-                stats = self._load_stats()
-                scan_entries = [
-                    e
-                    for e in snap.data_files
-                    if (st := stats.get(e[0])) is None
-                    or not st.get("bounds")
-                    or _bounds_may_match(st["bounds"], conjuncts)
-                ]
+        scan_entries = self._prune_entries(snap.data_files, where)
         if not scan_entries:
             # Empty table (or every file pruned by the predicate): honor the
             # recorded column types (append-time schema); columns never
@@ -1187,7 +1272,16 @@ class ParquetSnapshotTable:
             rd = self.spark.read
             if cols:
                 rd = rd.option("basePath", data_dir)
-            parts.append(rd.parquet(*paths).withColumn(ROW_ID, row_id))
+            p = rd.parquet(*paths).withColumn(ROW_ID, row_id)
+            # Hive partition discovery TYPE-INFERS partition values from the
+            # dir names (a string column written as "grp=0" comes back int),
+            # which would silently retype columns across rewrites; restore
+            # the append-time types recorded in the snapshot.
+            for c in cols:
+                want = snap.column_types.get(c)
+                if want and c in p.columns and p.schema[c].dataType.simpleString() != want:
+                    p = p.withColumn(c, F.col(c).cast(want))
+            parts.append(p)
         for d in ext_dirs:
             parts.append(self.spark.read.parquet(d).withColumn(ROW_ID, row_id))
         df = parts[0]
@@ -1207,8 +1301,15 @@ class ParquetSnapshotTable:
                 ],
                 f"__file string, {seq_col} bigint",
             )
+            # derive the join key from the row id (a plain column that
+            # survives unions — `_metadata` itself resolves only directly
+            # on a scan relation, so a multi-group schema union would
+            # otherwise break here)
             df = (
-                df.withColumn("__file", _file_path_norm())
+                df.withColumn(
+                    "__file",
+                    F.regexp_replace(F.col(f"{ROW_ID}.file"), r"^file:/+", "/"),
+                )
                 .join(F.broadcast(seq_map), "__file")
                 .drop("__file")
             )

@@ -742,3 +742,65 @@ def test_zorder_rewrite_prunes_on_both_dimensions(spark, tmp_path):
     t2_yband = t2.read(where="y >= 40 AND y < 60")
     assert len(t2_yband.inputFiles()) >= len(yband.inputFiles())
     assert t2_yband.count() == 2000
+
+
+def test_partial_compact_rewrites_only_matching_partition(spark, tmp_path):
+    """compact(where=) must rewrite only the selected partition's files,
+    keep the other partition's entries untouched, retain delete files for
+    them, and leave every read result identical to before."""
+    t = ParquetSnapshotTable(spark, str(tmp_path / "pc")).create(
+        ["k", "grp"], partition_by=["grp"]
+    )
+    rows = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("grp")
+    )
+    t.append(rows, num_files=2)
+    t.append(
+        spark.range(40, 80).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("grp")
+        ),
+        num_files=2,
+    )
+    t.delete_where("k % 10 = 0", mode="equality", equality_columns=["k"])
+    before = sorted(r["k"] for r in t.read().collect())
+    pre = t.snapshots()[-1]
+    grp1_files = {e[0] for e in pre.data_files if "grp=1" in e[0]}
+    assert len(grp1_files) == 4
+
+    t.compact(target_files=1, where="grp = '0'")
+    post = t.snapshots()[-1]
+    assert post.operation == "compact"
+    # grp=1 entries untouched (same paths), grp=0 rewritten to 1 file
+    assert {e[0] for e in post.data_files if "grp=1" in e[0]} == grp1_files
+    g0 = [e[0] for e in post.data_files if "grp=0" in e[0]]
+    assert len(g0) == 1 and "compact-" in g0[0].rsplit("/", 1)[1]
+    # delete files retained (grp=1 files still need them)
+    assert post.delete_files == pre.delete_files
+    # visible rows unchanged; deletes still apply to the untouched side and
+    # are materialized (not re-applied) on the rewritten side
+    assert sorted(r["k"] for r in t.read().collect()) == before
+    # all deleted keys (k%10=0) are even, i.e. in grp=0: 40-8 / 40-0
+    assert t.read(where="grp = '0'").count() == 32
+    assert t.read(where="grp = '1'").count() == 40
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    t = ParquetSnapshotTable(spark, str(tmp_path / "orph")).create(["k"])
+    t.append(spark.range(10).select(F.col("id").alias("k")))
+    before = t.read().count()
+    # plant debris: a stray parquet in the data tree and a leftover stage dir
+    import os
+
+    data_dir = tmp_path / "orph" / "data"
+    spark.range(5).select(F.col("id").alias("k")).write.mode("overwrite").parquet(
+        str(tmp_path / "stray")
+    )
+    stray = next(p for p in os.listdir(str(tmp_path / "stray")) if p.endswith(".parquet"))
+    os.rename(str(tmp_path / "stray" / stray), str(data_dir / "uncommitted.parquet"))
+    os.makedirs(str(tmp_path / "orph" / ".stage-deadbeef"), exist_ok=True)
+    removed = t.remove_orphan_files()
+    assert len(removed) == 2
+    assert t.read().count() == before
+    assert not os.path.exists(str(data_dir / "uncommitted.parquet"))
+    # second run is a no-op
+    assert t.remove_orphan_files() == []
