@@ -65,4 +65,80 @@ def ingest_stream_to_table(
     )
 
 
-__all__ = ["EPOCH_PROP", "snapshot_epoch_sink", "ingest_stream_to_table"]
+def snapshot_epoch_sink_with_agg(
+    table: ParquetSnapshotTable,
+    agg_table: ParquetSnapshotTable,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "cnt",
+):
+    """foreachBatch handler that commits each micro-batch to `table` AND
+    folds the same batch into a maintained SUM/COUNT aggregate in
+    `agg_table` — the streaming materialized view: per epoch, aggregate
+    state is O(groups) and refresh cost is O(batch), never a rescan.
+
+    Exactly-once on both tables via the same epoch marker: each table
+    skips epochs it has already committed, so a replay after a crash
+    between the two commits heals to the consistent state (the data
+    commit is idempotent-skipped, the missing agg commit re-runs from the
+    SAME immutable batch).  Latest aggregate state = `agg_table.read()`
+    at head; every epoch's state stays time-travelable."""
+    from iceberg_table_generator_spark.operators.incremental import apply_agg_delta
+
+    import pyspark.sql.functions as F
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # localCheckpoint: both commits must see the same rows even if the
+        # source rescans nondeterministically
+        batch_df = batch_df.localCheckpoint(eager=True)
+        marker = {EPOCH_PROP: str(batch_id)}
+        if int(table._head()[0].properties.get(EPOCH_PROP, -1)) < batch_id:
+            table.append(batch_df, properties=marker)
+        if int(agg_table._head()[0].properties.get(EPOCH_PROP, -1)) < batch_id:
+            head = agg_table._head()[0]
+            if head.data_files:
+                base = agg_table.read(with_row_id=False)
+            else:
+                base = None
+            delta = batch_df.withColumn("_change_type", F.lit("insert"))
+            if base is None:
+                new_state = (
+                    delta.groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1)).alias(count_col),
+                        *[
+                            F.sum(F.col(src)).alias(out)
+                            for out, src in sum_cols.items()
+                        ],
+                    )
+                )
+            else:
+                new_state = apply_agg_delta(base, delta, keys, sum_cols, count_col)
+            # full-state rewrite per epoch: state is O(groups), tiny next
+            # to the batch; at scale this becomes a MERGE on the group key
+            cur, sid = agg_table._head()
+            files = agg_table._write_data_files(
+                new_state, cur, sid, num_files=1, name_prefix="aggstate"
+            )
+            from iceberg_table_generator_spark.sources.lifecycle import _schema_sig
+
+            agg_table._commit(
+                "overwrite",
+                expected_parent=cur.snapshot_id,
+                data_files=[[f, sid, _schema_sig(new_state.schema)] for f in files],
+                columns=list(new_state.columns),
+                column_types={
+                    f.name: f.dataType.simpleString() for f in new_state.schema.fields
+                },
+                properties={**cur.properties, EPOCH_PROP: str(batch_id)},
+            )
+
+    return process
+
+
+__all__ = [
+    "EPOCH_PROP",
+    "snapshot_epoch_sink",
+    "snapshot_epoch_sink_with_agg",
+    "ingest_stream_to_table",
+]

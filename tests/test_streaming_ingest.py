@@ -76,3 +76,51 @@ def test_replayed_epoch_is_dropped(spark, sf_small, tmp_path):
     # the next fresh epoch still commits
     sink(docs, 2)
     assert t.read().count() == 150
+
+
+def test_streaming_maintained_aggregate(spark, sf_small, tmp_path):
+    """The streaming materialized view: after N micro-batches, the
+    maintained aggregate equals a full groupBy over everything ingested,
+    replays heal both tables, and each epoch's state is time-travelable."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.streaming.ingest import (
+        snapshot_epoch_sink_with_agg,
+    )
+
+    t = ParquetSnapshotTable(spark, str(tmp_path / "data")).create(
+        ["k", "grp", "v"]
+    )
+    agg = ParquetSnapshotTable(spark, str(tmp_path / "agg")).create(
+        ["grp", "cnt", "sum_v"]
+    )
+    sink = snapshot_epoch_sink_with_agg(t, agg, ["grp"], {"sum_v": "v"})
+    batches = [
+        spark.range(lo, lo + 30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.col("id") * 2).alias("v"),
+        )
+        for lo in (0, 30, 60)
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    expected = {
+        (r["grp"], r["cnt"], r["sum_v"])
+        for r in t.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    got = {
+        (r["grp"], r["cnt"], r["sum_v"]) for r in agg.read(with_row_id=False).collect()
+    }
+    assert got == expected and t.read().count() == 90
+    # replay every epoch: both tables unchanged
+    n_snaps = (len(t.snapshots()), len(agg.snapshots()))
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert (len(t.snapshots()), len(agg.snapshots())) == n_snaps
+    # epoch-1 state is still readable via time travel (2 batches = 60 rows)
+    v2 = agg.snapshots()[-2].snapshot_id
+    assert sum(r["cnt"] for r in agg.read(version=v2, with_row_id=False).collect()) == 60
