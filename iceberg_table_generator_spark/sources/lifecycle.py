@@ -599,6 +599,16 @@ class ParquetSnapshotTable:
             )
         elif num_files:
             out = out.repartition(num_files)
+        elif (
+            cur.properties.get("write.distribution-mode") == "hash"
+            and cur.partition_by
+        ):
+            # Iceberg write.distribution-mode=hash: shuffle rows to their
+            # partition before writing, so each append produces ONE file
+            # per partition value instead of one per (task × partition) —
+            # at 1000 executors the difference between P files and 1000×P
+            # small files per commit.
+            out = out.repartition(*[F.col(c) for c in cur.partition_by])
         stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
         for prop, option in _LAYOUT_PROPS.items():

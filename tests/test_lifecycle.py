@@ -804,3 +804,28 @@ def test_remove_orphan_files(spark, tmp_path):
     assert not os.path.exists(str(data_dir / "uncommitted.parquet"))
     # second run is a no-op
     assert t.remove_orphan_files() == []
+
+
+def test_hash_distribution_mode_one_file_per_partition(spark, tmp_path):
+    """write.distribution-mode=hash must collapse a many-task append to
+    one file per partition value (the small-files guard at high
+    parallelism); without it the same append fans out per task."""
+    rows = spark.range(200).repartition(8).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    t = ParquetSnapshotTable(spark, str(tmp_path / "hashed")).create(
+        ["k", "grp"],
+        partition_by=["grp"],
+        properties={"write.distribution-mode": "hash"},
+    )
+    t.append(rows)
+    assert len(t.snapshots()[-1].data_files) == 4  # one per grp value
+    assert t.read().count() == 200
+    p = {r["partition_value"]: r["file_count"] for r in t.partitions_table().collect()}
+    assert set(p.values()) == {1}
+
+    t2 = ParquetSnapshotTable(spark, str(tmp_path / "plain")).create(
+        ["k", "grp"], partition_by=["grp"]
+    )
+    t2.append(rows)
+    assert len(t2.snapshots()[-1].data_files) > 4  # per-task fan-out
