@@ -13,4 +13,5 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     skew,
     text,
     tpch_ext,
+    zorder,
 )

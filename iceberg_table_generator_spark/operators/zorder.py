@@ -62,3 +62,61 @@ def with_zorder(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
 
 
 __all__ = ["Z_COL", "zorder_expr", "with_zorder"]
+
+
+# --------------------------------------------------------------------------
+# Oracle-paired Morton codes (integer-exact cross-engine check)
+# --------------------------------------------------------------------------
+# The lifecycle z-order test proves file pruning; this query proves the
+# INTERLEAVE ARITHMETIC itself against DuckDB, on pure integer inputs
+# (8-bit lanes of o_orderkey / o_custkey) where both engines' bit ops are
+# exact.  Explicit bit-shift sum, no width_bucket: float bucket boundaries
+# are engine-sensitive, integer shifts are not.
+
+_MORTON_BITS = 8
+
+_morton_sql_terms = " + ".join(
+    f"(((a >> {j}) & 1) << {2 * j}) + (((b >> {j}) & 1) << {2 * j + 1})"
+    for j in range(_MORTON_BITS)
+)
+
+_MORTON_ORACLE = f"""
+WITH lanes AS (
+  SELECT o_orderkey,
+         o_orderkey % 256 AS a,
+         o_custkey % 256 AS b
+  FROM orders)
+SELECT o_orderkey, CAST(a AS INT) AS a, CAST(b AS INT) AS b,
+       CAST({_morton_sql_terms} AS BIGINT) AS z
+FROM lanes
+"""
+
+
+def _register_morton_query():
+    from iceberg_table_generator_spark.registry import query
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    @query("zorder_morton_codes", oracle=_MORTON_ORACLE)
+    def zorder_morton_codes(spark, sf_dir):
+        """Morton interleave of two 8-bit key lanes per order row — the
+        same bit algebra `rewrite_zorder` clusters files by, checked
+        value-exactly against DuckDB's integer shift semantics.  Pure
+        narrow per-row integer ops: zero shuffle, full codegen."""
+        orders = load_table(spark, sf_dir, "orders")
+        lanes = orders.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 256).cast("int").alias("a"),
+            (F.col("o_custkey") % 256).cast("int").alias("b"),
+        )
+        z = F.lit(0).cast("long")
+        for j in range(_MORTON_BITS):
+            z = z + F.shiftleft(F.shiftright(F.col("a"), j).bitwiseAND(F.lit(1)), 2 * j)
+            z = z + F.shiftleft(
+                F.shiftright(F.col("b"), j).bitwiseAND(F.lit(1)), 2 * j + 1
+            )
+        return lanes.withColumn("z", z.cast("bigint"))
+
+    return zorder_morton_codes
+
+
+zorder_morton_codes = _register_morton_query()
