@@ -292,3 +292,28 @@ def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
         F.countDistinct("__salt").alias("n")
     )
     assert all(r["n"] == 16 for r in spread.collect())
+
+
+def test_round3_narrow_queries_zero_shuffle(spark, sf_small):
+    """PII redaction, sign projection, and Morton codes are pure per-row
+    expressions — any Exchange appearing is a plan regression."""
+    from iceberg_table_generator_spark.operators.pipeline import pipeline_pii_redaction
+    from iceberg_table_generator_spark.operators.similarity import (
+        similarity_random_projection,
+    )
+    from iceberg_table_generator_spark.operators.zorder import zorder_morton_codes
+
+    for fn in (pipeline_pii_redaction, similarity_random_projection, zorder_morton_codes):
+        assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
+
+
+def test_resample_ffill_bounded_exchanges(spark, sf_small):
+    """Hourly resample: one exchange for the hourly aggregate, one for the
+    per-user span aggregate, one for the fill window — all keyed on
+    user_id; anything more means the grid explode or join added a
+    shuffle it doesn't need."""
+    from iceberg_table_generator_spark.operators.relational_ext import (
+        events_resample_ffill,
+    )
+
+    assert explain.exchange_count(events_resample_ffill(spark, sf_small)) <= 3
