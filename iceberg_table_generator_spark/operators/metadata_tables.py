@@ -202,6 +202,39 @@ def meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.refs_table()
 
 
+@query(
+    "meta_snapshot_summary",
+    oracle=f"""
+    WITH m AS (SELECT * FROM read_json('{_PARTS_META_JSON}', format='array')),
+    e AS (
+      SELECT CAST(m.snapshot_id AS INT) AS snapshot_id, m.operation,
+             CAST(u.e[2] AS INT) AS seq,
+             CAST(u.e[1]->>'$' AS VARCHAR) AS file_path
+      FROM m, (SELECT snapshot_id, unnest(data_files) AS e FROM m) u
+      WHERE u.snapshot_id = m.snapshot_id),
+    s AS (SELECT file_path, record_count
+          FROM read_json('{_PARTS_STATS_JSON}', format='array')),
+    j AS (SELECT e.*, coalesce(s.record_count, 0) AS rc
+          FROM e LEFT JOIN s USING (file_path))
+    SELECT snapshot_id, operation,
+           CAST(count(*) FILTER (seq = snapshot_id) AS INT) AS added_files,
+           CAST(coalesce(sum(rc) FILTER (seq = snapshot_id), 0) AS BIGINT)
+             AS added_records,
+           CAST(count(*) AS INT) AS total_files,
+           CAST(sum(rc) AS BIGINT) AS total_records
+    FROM j GROUP BY snapshot_id, operation
+    """,
+)
+def meta_snapshot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's snapshot `summary` metrics (added-data-files /
+    added-records / total-records) per commit, from metadata + the stats
+    sidecar only — no data rows touched.  The oracle recomputes the same
+    aggregation from the raw JSON.  Snapshots with no data files (create)
+    have no file entries and are absent on both sides."""
+    t = _parts_fixture_table(spark, sf_dir)
+    return t.snapshot_summary_table().filter("total_files > 0")
+
+
 def _value_fixture_table(spark: SparkSession, sf_dir: str) -> ParquetSnapshotTable:
     """Per-SF twin of `_fixture_table` for queries whose ORACLE recomputes
     row VALUES from the live `documents` view: lang/source per doc_id
@@ -255,5 +288,6 @@ __all__ = [
     "meta_history",
     "meta_partitions",
     "meta_refs",
+    "meta_snapshot_summary",
     "lifecycle_pruned_scan",
 ]

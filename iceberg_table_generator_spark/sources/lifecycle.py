@@ -1087,6 +1087,39 @@ class ParquetSnapshotTable:
             "n_data_files int, n_delete_files int",
         )
 
+    def snapshot_summary_table(self) -> DataFrame:
+        """Per-snapshot write metrics — Iceberg's snapshot `summary` map
+        (`added-data-files`, `added-records`, `total-records`) as columns,
+        computed from the metadata log joined with the per-file stats
+        sidecar (manifest record counts).  `added` = file entries whose
+        data sequence equals the snapshot id (committed by that snapshot);
+        `total` = all live data-file rows (file-level, before MoR delete
+        application — exactly Iceberg's total-records semantics).
+        External dir-registered roots carry no sidecar stats and count 0
+        records here, mirroring their excluded-from-partitions caveat."""
+        stats = self._load_stats()
+
+        def rec(e) -> int:
+            st = stats.get(e[0])
+            return int(st["record_count"]) if st else 0
+
+        rows = [
+            (
+                s.snapshot_id,
+                s.operation,
+                sum(1 for e in s.data_files if int(e[1]) == s.snapshot_id),
+                sum(rec(e) for e in s.data_files if int(e[1]) == s.snapshot_id),
+                len(s.data_files),
+                sum(rec(e) for e in s.data_files),
+            )
+            for s in self._load()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, operation string, added_files int, "
+            "added_records bigint, total_files int, total_records bigint",
+        )
+
     def history_table(self) -> DataFrame:
         """Snapshot lineage — Iceberg's `tbl.history`.  The log is linear
         (rollback appends a NEW snapshot pointing at old file lists), so
