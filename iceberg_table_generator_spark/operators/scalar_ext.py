@@ -146,3 +146,65 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (integer-exact binning)
+# --------------------------------------------------------------------------
+_HIST_BUCKETS = 22
+_HIST_WIDTH_CENTS = 500_000  # 5000.00 per bucket over [0, 110000.00)
+
+_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+  SELECT least(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    // {_HIST_WIDTH_CENTS} AS INT), {_HIST_BUCKETS - 1}) AS bucket,
+         l_extendedprice AS p
+  FROM lineitem)
+SELECT bucket,
+       CAST(bucket * {_HIST_WIDTH_CENTS} AS DOUBLE) / 100 AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       min(p) AS min_price, max(p) AS max_price
+FROM b GROUP BY bucket
+"""
+
+
+@query("histogram_extendedprice", oracle=_HISTOGRAM_ORACLE)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram — the profiling primitive behind
+    `SELECT histogram(col)` in DuckDB/Trino and optimizer NDV/skew stats.
+
+    Binning happens in INTEGER cents (round to bigint, integer-divide by
+    the bucket width) so bucket edges are engine-exact; float bucket
+    arithmetic right at an edge could disagree in the last ulp and shift
+    a row's bucket.  min/max per bucket are raw stored doubles (no
+    accumulation → bit-exact).  One aggregation shuffle over at most
+    {_HIST_BUCKETS} groups; partial aggregation collapses everything
+    map-side, so the exchange moves O(buckets × partitions) rows no
+    matter the table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # integer division on BOTH engines (Spark `div`, DuckDB `//`):
+    # float division + cast would truncate here but ROUND half-even in
+    # DuckDB, shifting edge rows one bucket
+    bucket = F.least(
+        F.expr(
+            f"CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+            f" div {_HIST_WIDTH_CENTS} AS INT)"
+        ),
+        F.lit(_HIST_BUCKETS - 1),
+    )
+    return (
+        li.select(bucket.alias("bucket"), F.col("l_extendedprice").alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * _HIST_WIDTH_CENTS / 100).alias("bucket_lo"),
+            "n",
+            "min_price",
+            "max_price",
+        )
+    )
