@@ -829,3 +829,25 @@ def test_hash_distribution_mode_one_file_per_partition(spark, tmp_path):
     )
     t2.append(rows)
     assert len(t2.snapshots()[-1].data_files) > 4  # per-task fan-out
+
+
+def test_zorder_expr_edge_cases(spark):
+    """Bucket clamping at the bounds and constant-column degradation —
+    the edges where width_bucket's 1-based/overflow semantics could
+    mis-rank rows."""
+    from iceberg_table_generator_spark.operators.zorder import Z_COL, with_zorder
+
+    df = spark.createDataFrame(
+        [(0, 0), (99, 99), (50, 50)], "x int, y int"
+    )
+    z = {r["x"]: r[Z_COL] for r in with_zorder(df, ["x", "y"], bits=4).collect()}
+    # min corner -> rank (0,0) -> z 0; max corner -> rank (15,15) -> all
+    # 8 interleaved bits set
+    assert z[0] == 0
+    assert z[99] == 255
+    assert 0 < z[50] < 255
+    # constant column contributes rank 0 everywhere: z reduces to the
+    # varying column's spread bits, ordering preserved
+    dfc = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x int, y int")
+    zc = [r[Z_COL] for r in with_zorder(dfc, ["x", "y"], bits=4).orderBy("x").collect()]
+    assert zc == sorted(zc)
