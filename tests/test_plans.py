@@ -317,13 +317,21 @@ def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
 def test_round3_narrow_queries_zero_shuffle(spark, sf_small):
     """PII redaction, sign projection, and Morton codes are pure per-row
     expressions — any Exchange appearing is a plan regression."""
-    from iceberg_table_generator_spark.operators.pipeline import pipeline_pii_redaction
+    from iceberg_table_generator_spark.operators.pipeline import (
+        pipeline_pii_redaction,
+        pipeline_stratified_sample,
+    )
     from iceberg_table_generator_spark.operators.similarity import (
         similarity_random_projection,
     )
     from iceberg_table_generator_spark.operators.zorder import zorder_morton_codes
 
-    for fn in (pipeline_pii_redaction, similarity_random_projection, zorder_morton_codes):
+    for fn in (
+        pipeline_pii_redaction,
+        pipeline_stratified_sample,
+        similarity_random_projection,
+        zorder_morton_codes,
+    ):
         assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
 
 
