@@ -696,8 +696,12 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN date_diff('second',
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) >= 1800
+             -- Exact microsecond gap: session_window merges iff the gap is
+             -- strictly < 30 min of real time.  date_diff('second') would
+             -- count second-boundary CROSSINGS (a 1799.3s gap crossing 1800
+             -- boundaries splits when Spark merges), so compare epoch_us.
+             CASE WHEN epoch_us(ts) - epoch_us(
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events),

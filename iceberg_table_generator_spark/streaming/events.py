@@ -53,11 +53,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        # Watermarks require TIMESTAMP (with-local-tz), not TIMESTAMP_NTZ —
-        # with the session pinned to UTC the wall-clock values are identical
-        # to the batch loader's NTZ column.
+    ts_dtype = dict(stream.dtypes)["ts"]
+    # Watermarks require TIMESTAMP (with-local-tz): NTZ raises
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  With the session pinned to UTC
+    # the wall-clock values are identical to the batch loader's NTZ column.
+    if ts_dtype == "bigint":
+        # Legacy testdata: TIMESTAMP(NANOS) surfaced as epoch-nanos BIGINT
+        # under spark.sql.legacy.parquet.nanosAsLong.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Current testdata: parquet timestamp[us] reads as TIMESTAMP_NTZ.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
