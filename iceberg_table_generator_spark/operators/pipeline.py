@@ -17,7 +17,7 @@ accumulation policy of operators/relational.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
@@ -321,8 +321,10 @@ STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 _SAMPLE_SEED = 77
 # Knuth's multiplicative constant: odd and coprime to the 10000 bucket
 # modulus, so doc_id -> bucket is a bijection over each residue class —
-# any 10000 consecutive ids yield EXACTLY rate*10000 kept rows per
-# stratum.  Products stay far below int64 overflow for any realistic id
+# bucket assignment is exactly uniform over any 10000 consecutive ids, so
+# each stratum's keep rate concentrates tightly around rate_bp/10000
+# (exact per-stratum counts would additionally need each stratum to own
+# complete residue windows).  Products stay far below int64 overflow for any realistic id
 # (DuckDB raises on bigint overflow rather than wrapping, so this bound
 # is a correctness requirement, not just hygiene).
 _SAMPLE_MULT = 2654435761
@@ -437,8 +439,11 @@ def pipeline_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = freq.agg(F.sum("c").alias("n"))
     hot = freq.orderBy(F.desc("c"), F.asc("w")).limit(HOT_TOKEN_CAP)
     hot_rows = doc_tok.join(F.broadcast(hot), "w").select("doc_id", "k", "c")
+    # Broadcast the SAME hot subtree for the anti-join (not a re-projected
+    # hot.select("w")) so the planner reuses one broadcast exchange; the
+    # anti-join output only keeps left columns, so hot's c is harmless.
     tail_rows = (
-        doc_tok.join(F.broadcast(hot.select("w")), "w", "left_anti")
+        doc_tok.join(F.broadcast(hot), "w", "left_anti")
         .join(freq.hint("merge"), "w")
         .select("doc_id", "k", "c")
     )
@@ -493,13 +498,27 @@ def pipeline_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches boilerplate and templated spam which document-level dedup
     misses.
 
-    Plan: explode 8-grams, ONE shuffle keyed by the gram for a window
-    count (no materialized frequency table, no broadcast — the gram
-    vocabulary is corpus-sized; same reasoning as token rarity), then the
-    per-doc aggregate.  Docs shorter than 8 tokens yield no grams and are
-    omitted on both engines (Spark guarded by CASE; DuckDB's
-    generate_series is empty for start > stop).  Integer counts; one
-    final double division."""
+    Skew design (VERDICT r4 #3).  The boilerplate 8-grams this query
+    exists to catch ARE the hot keys, so a window count over the raw
+    exploded gram stream (`count(*) over (partition by g)` — the r4 form)
+    piles every occurrence of a viral gram onto one task at 100 TB.  Same
+    hot/tail shape as `pipeline_token_rarity` one screen up:
+
+      1. `doc_gram`: aggregate occurrences to (doc_id, g, k) — compound
+         shuffle key, so a hot gram's rows spread across doc partitions.
+      2. `freq`: groupBy(g) over doc_gram with map-side partial agg for
+         the corpus count.
+      3. Hot/tail split: top-HOT_TOKEN_CAP grams attach via a bounded
+         broadcast (hot rows never shuffle by gram); the anti-joined tail
+         shuffle-joins `freq` (merge hint — the gram vocabulary is
+         corpus-sized and must never be broadcast at scale).
+      4. Per-doc aggregate: the dup signal survives aggregation untouched
+         because every occurrence of gram g in a doc shares one flag —
+         n_dup = Σ k·[corpus_n > 1].
+
+    Docs shorter than 8 tokens yield no grams and are omitted on both
+    engines (Spark guarded by CASE; DuckDB's generate_series is empty for
+    start > stop).  Integer counts; one final double division."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
     grams = tok.select(
@@ -512,13 +531,29 @@ def pipeline_dup_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    freq = grams.withColumn("corpus_n", F.count("*").over(Window.partitionBy("g")))
-    dup = F.sum(F.when(F.col("corpus_n") > 1, 1).otherwise(0))
-    return freq.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        dup.alias("n_dup"),
-        (dup.cast("double") / F.count("*").cast("double")).alias("dup_ratio"),
+    doc_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("k"))
+    freq = doc_gram.groupBy("g").agg(F.sum("k").alias("corpus_n"))
+    hot = freq.orderBy(F.desc("corpus_n"), F.asc("g")).limit(HOT_TOKEN_CAP)
+    # One broadcast subtree for both the attach and the anti-join, so the
+    # planner reuses a single exchange (anti-join output keeps only left
+    # columns, so hot's corpus_n column is harmless there).
+    hot_rows = doc_gram.join(F.broadcast(hot), "g").select("doc_id", "k", "corpus_n")
+    tail_rows = (
+        doc_gram.join(F.broadcast(hot), "g", "left_anti")
+        .join(freq.hint("merge"), "g")
+        .select("doc_id", "k", "corpus_n")
     )
+    dup_k = F.sum(F.when(F.col("corpus_n") > 1, F.col("k")).otherwise(F.lit(0)))
+    per_doc = (
+        hot_rows.unionByName(tail_rows)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_grams"),
+            dup_k.alias("n_dup"),
+            (dup_k.cast("double") / F.sum("k").cast("double")).alias("dup_ratio"),
+        )
+    )
+    return per_doc
 
 
 # --------------------------------------------------------------------------

@@ -261,31 +261,47 @@ def test_token_rarity_no_hot_key_window(spark, sf_small):
     assert "Window" not in explain.plan_nodes(df)
 
 
-def test_dup_ngram_ratio_no_vocabulary_broadcast(spark, sf_small):
-    """Same contract as token rarity: the 8-gram vocabulary is
-    corpus-sized, so frequencies must come from the window over the
-    gram-key shuffle, never a broadcast frequency table."""
+def test_dup_ngram_ratio_no_hot_key_window(spark, sf_small):
+    """VERDICT r4 #3: same contract as token rarity, but sharper — the
+    boilerplate 8-grams this query hunts ARE the hot keys, so a
+    `count(*) over (partition by g)` on the raw gram stream (no map-side
+    partial agg, un-saltable by AQE) lands every occurrence of a viral
+    gram on ONE task at 100 TB.  The skew-safe plan has zero Window
+    nodes; corpus counts come from groupBy (map-side combine) and attach
+    via the df-capped hot/tail split: exactly two broadcasts fed by the
+    bounded top-N (TakeOrderedAndProject signature), tail pinned to the
+    shuffle path so the corpus-sized gram vocabulary is never broadcast."""
     from iceberg_table_generator_spark.operators.pipeline import (
         pipeline_dup_ngram_ratio,
     )
 
     df = pipeline_dup_ngram_ratio(spark, sf_small)
+    nodes = explain.plan_nodes(df)
+    assert "Window" not in nodes, nodes
     kinds = explain.join_kinds(df)
-    assert all(v == 0 for v in kinds.values()), kinds
-    assert "Window" in explain.plan_nodes(df)
+    assert kinds["BroadcastHashJoin"] == 2, kinds
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert kinds["SortMergeJoin"] == 1, kinds
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
 
 
-def test_tfidf_no_vocabulary_broadcast(spark, sf_small):
-    """tf-idf's document-frequency attach follows the same contract as
-    token rarity: df comes from a window count over the term-key shuffle
-    of the (doc, term) aggregate — no vocabulary-sized frequency table is
-    joined or broadcast."""
+def test_tfidf_df_attach_no_term_window(spark, sf_small):
+    """VERDICT r4 #4: the document-frequency attach must not be a window
+    partitioned by term — a stop-word's partition is ≈ the whole corpus
+    on one task.  df comes from groupBy(w) and attaches via the df-capped
+    hot/tail split (two broadcasts fed by the bounded top-N, tail pinned
+    to the shuffle path).  Exactly ONE Window survives: the per-doc rank,
+    partitioned by doc_id, which does not skew."""
     from iceberg_table_generator_spark.operators.text import text_tfidf_topk
 
     df = text_tfidf_topk(spark, sf_small)
+    nodes = explain.plan_nodes(df)
+    assert nodes.count("Window") == 1, nodes
     kinds = explain.join_kinds(df)
-    assert all(v == 0 for v in kinds.values()), kinds
-    assert "Window" in explain.plan_nodes(df)
+    assert kinds["BroadcastHashJoin"] == 2, kinds
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert kinds["SortMergeJoin"] == 1, kinds
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
 
 
 def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
