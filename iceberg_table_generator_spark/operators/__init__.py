@@ -13,5 +13,6 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     skew,
     text,
     tpch_ext,
+    wide,
     zorder,
 )

@@ -42,6 +42,16 @@ _META_JSON = f"{FIXTURE_PATH}/metadata.json"
 _READY_MARKER = "_FIXTURE_READY"
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def _build_once(path: str, build: Callable[[], None], timeout_s: float = 300.0) -> None:
     """Concurrency-safe build-once: first caller wins an O_EXCL lock file,
     runs `build()` (which starts with drop-and-recreate, so a half-built
@@ -49,31 +59,60 @@ def _build_once(path: str, build: Callable[[], None], timeout_s: float = 300.0) 
     concurrent caller blocks on the marker.  A temp-dir + atomic-rename
     scheme would be simpler, but snapshot metadata embeds ABSOLUTE file
     paths (lifecycle.py append/commit entries), so the fixture must be
-    built at its final path and exclusion supplied by the lock instead."""
+    built at its final path and exclusion supplied by the lock instead.
+
+    Failure recovery (ADVICE r4): waiters LOOP BACK TO ACQUISITION rather
+    than only polling for the marker — if the lock-holder's build() raises
+    (lock unlinked, no marker) a surviving waiter takes over the build
+    instead of spinning out the full timeout.  The holder's PID is written
+    into the lock so a hard-killed builder (e.g. Spark OOM) leaves a
+    detectably-stale lock that the next caller removes; without that, a
+    dead lock would block every future run until deleted by hand.  (The
+    dead-PID unlink has a benign race — two waiters may both see the stale
+    lock and one unlink can remove a lock a third process just re-acquired
+    — acceptable for a test fixture whose build() starts with a wipe and
+    whose writers are idempotent.)"""
     ready = os.path.join(path, _READY_MARKER)
-    if os.path.exists(ready):
-        return
     lock = path + ".lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        deadline = time.monotonic() + timeout_s
-        while time.monotonic() < deadline:
-            if os.path.exists(ready):
-                return
+    deadline = time.monotonic() + timeout_s
+    while True:
+        if os.path.exists(ready):
+            return
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pid = 0
+            try:
+                with open(lock, encoding="utf-8") as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pass  # lock vanished or not yet written — loop re-checks
+            if pid and not _pid_alive(pid):
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                continue  # straight back to acquisition
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"fixture lock {lock} held by a live process but {ready} "
+                    f"never appeared within {timeout_s}s"
+                )
             time.sleep(0.25)
-        raise TimeoutError(
-            f"fixture lock {lock} held but {ready} never appeared; "
-            "remove the stale lock if the owning process died"
-        )
-    try:
-        if not os.path.exists(ready):
-            build()
-            with open(ready, "w", encoding="utf-8") as f:
-                f.write("ok\n")
-    finally:
-        os.close(fd)
-        os.unlink(lock)
+            continue
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            if not os.path.exists(ready):
+                build()
+                with open(ready, "w", encoding="utf-8") as f:
+                    f.write("ok\n")
+            return
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
 
 def _fixture_table(spark: SparkSession, sf_dir: str) -> ParquetSnapshotTable:

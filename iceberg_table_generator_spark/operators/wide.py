@@ -1,0 +1,93 @@
+"""Oracle-paired queries over the 1000-column `wide_metrics` table.
+
+The reference's widest stress case is `createWideMetrics`
+(`Main.java:76-82, 463-473`): 1 int id + 999 doubles, 30 rows in 30
+files.  The builders (`datagen/records.py::wide_metrics`,
+`sources/scenarios.py::wide_metrics_table`) are shape-tested elsewhere;
+this module closes the loop the r4 verdict flagged: an END-TO-END
+oracle-checked query through the wide schema, proving two things at
+once:
+
+  1. Values survive the write→read round trip bit-exactly (the oracle is
+     DuckDB reading the SAME parquet files).
+  2. Column pruning works at width: a query touching 5 of 1,000 columns
+     must scan 5 (plan-pinned in tests/test_plans.py) — at 100 TB a scan
+     that reads all 999 doubles for a 5-column projection is a 200×
+     I/O regression, the exact failure wide schemas exist to provoke.
+
+The fixture lives at a fixed path (the oracle SQL is a static string)
+and is built once per machine under the `_build_once` lock; the values
+are xxhash64-seeded and deterministic, but correctness never relies on
+that — both engines read the same files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_table_generator_spark.datagen import records as R
+from iceberg_table_generator_spark.functions.horizontal import hcount_if, hsum
+from iceberg_table_generator_spark.operators.metadata_tables import _build_once
+from iceberg_table_generator_spark.registry import query
+
+# Bump the version suffix if the fixture recipe changes.
+WIDE_FIXTURE_PATH = "/tmp/itg_wide_metrics_fixture_v1"
+_DATA_DIR = f"{WIDE_FIXTURE_PATH}/data"
+N_WIDE_ROWS = 30
+
+# The 4 metric columns the query touches (of 999) — spread across the
+# schema so pruning is exercised at the front, middle, and end.
+_PICKED = ["metric_0", "metric_123", "metric_499", "metric_998"]
+
+
+def _wide_fixture(spark: SparkSession) -> str:
+    """Build-once wide_metrics parquet: 30 rows × 1,000 columns in 30
+    files (one row per file, as the reference writes it)."""
+
+    def build() -> None:
+        os.makedirs(WIDE_FIXTURE_PATH, exist_ok=True)
+        R.wide_metrics(spark, n=N_WIDE_ROWS, num_partitions=N_WIDE_ROWS).write.mode(
+            "overwrite"
+        ).parquet(_DATA_DIR)
+
+    _build_once(WIDE_FIXTURE_PATH, build)
+    return _DATA_DIR
+
+
+_WIDE_ORACLE = f"""
+SELECT id,
+       {", ".join(_PICKED)},
+       metric_0 + metric_123 + metric_499 + metric_998 AS row_sum,
+       (metric_0 + metric_123 + metric_499 + metric_998) / 4.0 AS row_avg,
+       CAST(len(list_filter([{", ".join(_PICKED)}], x -> x > 50.0)) AS INT)
+         AS n_above_50
+FROM read_parquet('{_DATA_DIR}/*.parquet')
+"""
+
+
+@query("wide_metrics_row_stats", oracle=_WIDE_ORACLE)
+def wide_metrics_row_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row horizontal stats over 4 of the 999 metric columns.
+
+    The horizontal fold uses `functions/horizontal.py::hsum` — the flat
+    array-aggregate form that keeps expression depth O(1) at any width
+    (a naive Python `sum(cols)` nests 999 Adds deep and overflows
+    Catalyst's analyzer stack).  The fold visits columns in listed order,
+    so the double additions are IEEE-identical to the oracle's explicit
+    `a + b + c + d`.  Narrow, zero-shuffle; the scan must read exactly
+    id + the 4 referenced metrics (plan-pinned)."""
+    path = _wide_fixture(spark)
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col("id"),
+        *[F.col(c) for c in _PICKED],
+        hsum(_PICKED).alias("row_sum"),
+        (hsum(_PICKED) / F.lit(4.0)).alias("row_avg"),
+        hcount_if(_PICKED, lambda x: x > F.lit(50.0)).alias("n_above_50"),
+    )
+
+
+__all__ = ["WIDE_FIXTURE_PATH", "N_WIDE_ROWS", "wide_metrics_row_stats"]
