@@ -90,4 +90,45 @@ def wide_metrics_row_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["WIDE_FIXTURE_PATH", "N_WIDE_ROWS", "wide_metrics_row_stats"]
+# A contiguous 100-column block — wide enough that a naive nested-Add
+# expression tree would be deep and fragile, the width the flat-fold
+# helpers exist for.
+_BLOCK = [f"metric_{i}" for i in range(100)]
+
+_WIDE_BLOCK_ORACLE = f"""
+SELECT id,
+       {" + ".join(_BLOCK)} AS block_sum,
+       ({" + ".join(_BLOCK)}) / {float(len(_BLOCK))} AS block_avg,
+       CAST(len(list_filter([{", ".join(_BLOCK)}], x -> x > 90.0)) AS INT)
+         AS n_above_90
+FROM read_parquet('{_DATA_DIR}/*.parquet')
+"""
+
+
+@query("wide_metrics_block_fold", oracle=_WIDE_BLOCK_ORACLE)
+def wide_metrics_block_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal fold across a 100-column block of the wide table — the
+    width where naive `sum(cols)` Python folds start to hurt (999 nested
+    Adds overflow Catalyst's analyzer stack; `functions/horizontal.py`).
+    `hsum` packs the block into ONE array node and folds at runtime in
+    listed order, so the 100 double additions are IEEE-identical to the
+    oracle's explicit left-associated `+` chain — proving the flat-fold
+    helpers are bit-exact at width, not just at the 4-column smoke size.
+    Narrow and zero-shuffle; scan reads 101 of 1,000 columns
+    (plan-pinned)."""
+    path = _wide_fixture(spark)
+    df = spark.read.parquet(path)
+    return df.select(
+        F.col("id"),
+        hsum(_BLOCK).alias("block_sum"),
+        (hsum(_BLOCK) / F.lit(float(len(_BLOCK)))).alias("block_avg"),
+        hcount_if(_BLOCK, lambda x: x > F.lit(90.0)).alias("n_above_90"),
+    )
+
+
+__all__ = [
+    "WIDE_FIXTURE_PATH",
+    "N_WIDE_ROWS",
+    "wide_metrics_row_stats",
+    "wide_metrics_block_fold",
+]

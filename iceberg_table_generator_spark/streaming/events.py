@@ -85,6 +85,34 @@ def hourly_window_stream(spark: SparkSession, sf_dir: str, late_threshold: str =
     )
 
 
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, late_threshold: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via the built-in `session_window` — the
+    unbounded twin of the batch `events_session_window`
+    (operators/relational_ext.py), using the SAME dynamic-gap merge
+    operator, so batch/stream parity is a property of the engine rather
+    than of two hand-kept implementations.  State per open session is
+    merged as events arrive and dropped once the event-time watermark
+    passes session end + gap.  Tests drain with availableNow in complete
+    mode (append would hold back sessions newer than the watermark at
+    end-of-drain, breaking the parity assertion on a finite replay)."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", late_threshold)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+
+
 def click_purchase_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INTERVAL join: each click joins the same user's
     purchases landing within 30 minutes after it — the attribution query.

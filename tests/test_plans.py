@@ -367,6 +367,18 @@ def test_wide_metrics_scan_prunes_to_referenced_columns(spark, sf_small):
     assert explain.exchange_count(df) == 0
 
 
+def test_wide_block_fold_prunes_and_stays_narrow(spark, sf_small):
+    from iceberg_table_generator_spark.operators.wide import (
+        _BLOCK,
+        wide_metrics_block_fold,
+    )
+
+    df = wide_metrics_block_fold(spark, sf_small)
+    (schema,) = explain.read_schemas(df)
+    assert set(schema) == {"id", *_BLOCK}, (len(schema), schema[:5])
+    assert explain.exchange_count(df) == 0
+
+
 def test_resample_ffill_bounded_exchanges(spark, sf_small):
     """Hourly resample: one exchange for the hourly aggregate, one for the
     per-user span aggregate, one for the fill window — all keyed on

@@ -28,6 +28,27 @@ def test_stream_watermark_column_present(spark, sf_small):
     assert ev.isStreaming
 
 
+def test_session_window_stream_matches_batch(spark, sf_small, tmp_path):
+    """The streaming session_window aggregation must produce exactly the
+    batch `events_session_window` sessions on a finite replay — parity
+    for the same dynamic-gap merge operator the r4 sf0.1 oracle bug was
+    found in (microsecond gap semantics, not second-boundary crossings)."""
+    from iceberg_table_generator_spark.operators.relational_ext import (
+        events_session_window,
+    )
+
+    stream_df = streaming_events.session_window_stream(spark, sf_small)
+    assert stream_df.isStreaming
+    result = streaming_events.run_available_now(
+        stream_df, "session_test", str(tmp_path / "ckpt_sw")
+    )
+    batch = events_session_window(spark, sf_small)
+    s = {tuple(r) for r in result.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert s, "sessionization should be non-empty on this data"
+
+
 def test_stream_stream_interval_join_matches_batch(spark, sf_small, tmp_path):
     """Attribution join (click -> purchase within 30 min, same user) must
     produce the same pairs through the streaming engine as the static
