@@ -20,7 +20,7 @@ explode + groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.registry import query
@@ -268,11 +268,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "connected-components min-label propagation did not converge "
             f"within 50 rounds ({changed} labels still changing)"
         )
-    w = Window.partitionBy("label")
-    return labels.select(
+    # Cluster-size attach: `count(*) over (partition by label)` would put
+    # an entire mega-cluster (boilerplate docs are exactly that) on one
+    # task — the hot-key window shape r4/r5 removed everywhere else.
+    # groupBy(label) has map-side combine; the sizes then attach through
+    # the standard hot/tail split (top clusters ride a bounded broadcast,
+    # the tail shuffle-joins — tail clusters are by definition not huge).
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hot = sizes.orderBy(F.desc("cluster_size"), F.asc("label")).limit(1024)
+    hot_rows = labels.join(F.broadcast(hot), "label")
+    tail_rows = labels.join(F.broadcast(hot), "label", "left_anti").join(
+        sizes.hint("merge"), "label"
+    )
+    return hot_rows.unionByName(tail_rows).select(
         F.col("label").alias("cluster_id"),
         "doc_id",
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        "cluster_size",
     )
 
 

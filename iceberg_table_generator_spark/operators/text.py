@@ -209,23 +209,46 @@ SELECT lang, word, n, rank FROM ranked WHERE rank <= 10
 """
 
 
+# Bucket fan-out for the two-phase per-group top-k: stage-1 rank windows
+# partition on (lang, bucket) so no task ever sorts more than ~vocab/B
+# rows; stage 2 ranks only the B×10 survivors per language.
+WORD_FREQ_BUCKETS = 64
+
+
 @query("text_word_freq", oracle=_WORD_FREQ_ORACLE)
 def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 words per language — the classic extreme-skew aggregate: a
-    ~30-word vocabulary over millions of exploded tokens means each key is
-    a heavy hitter.  Safe at scale because Spark's partial (map-side)
-    aggregation collapses each partition to ≤|vocab| rows before the
+    """Top-10 words per language — extreme-skew on BOTH axes: each word
+    key is a heavy hitter in the token stream, and each language is a
+    heavy hitter in the ranking.
+
+    Token-count skew is absorbed by Spark's partial (map-side)
+    aggregation: each map task collapses to ≤|vocab| rows before the
     shuffle, so the shuffle carries O(partitions × vocab), not O(tokens).
-    (If the combine step ever disappeared — e.g. distinct-style rewrites —
-    explicit key salting would be the fallback.)"""
+
+    Ranking skew needs more care: a single `row_number() over (partition
+    by lang)` puts one language's ENTIRE vocabulary — billions of words
+    on a web corpus — on one task.  The exact two-phase form used here
+    buckets words by hash (stage 1: rank within (lang, bucket), keep
+    top-10 per bucket — partitions are vocab/B) and then ranks only the
+    B×10 survivors per language (stage 2 — partitions are 640 rows).
+    Exact because every global top-10 word ranks ≤10 inside its own
+    bucket under the same (n DESC, word ASC) order, so it always
+    survives stage 1."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("word"))
     counts = tok.groupBy("lang", "word").agg(F.count("*").alias("n"))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    bucket = F.pmod(F.xxhash64("word"), F.lit(WORD_FREQ_BUCKETS))
+    w1 = Window.partitionBy("lang", "bucket").orderBy(F.desc("n"), F.asc("word"))
+    survivors = (
+        counts.withColumn("bucket", bucket)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 10)
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 10)
         .select("lang", "word", "n", "rank")
     )

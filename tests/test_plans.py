@@ -139,10 +139,10 @@ def test_text_aggregates_single_shuffle(spark, sf_small):
         text_word_freq,
     )
 
-    # token accounting: one agg shuffle; word freq: partial agg then one
-    # exchange for the final agg + one for the global sort/top-k at most
+    # token accounting: one agg shuffle; word freq: the agg exchange plus
+    # the two rank-stage exchanges of the bucketed two-phase top-k
     assert explain.exchange_count(text_token_count(spark, sf_small)) <= 1
-    assert explain.exchange_count(text_word_freq(spark, sf_small)) <= 2
+    assert explain.exchange_count(text_word_freq(spark, sf_small)) <= 3
 
 
 def test_text_narrow_ops_zero_shuffle(spark, sf_small):
@@ -302,6 +302,44 @@ def test_tfidf_df_attach_no_term_window(spark, sf_small):
     assert "TakeOrderedAndProject" in nodes, nodes
     assert kinds["SortMergeJoin"] == 1, kinds
     assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+def test_word_freq_rank_is_two_phase(spark, sf_small):
+    """The per-language rank must be the bucketed two-phase top-k: a lone
+    `row_number() over (partition by lang)` sorts one language's entire
+    vocabulary on one task.  Stage 1 partitions on (lang, bucket); stage 2
+    sees only B×10 survivors — two Window nodes, and the first one's spec
+    must include the bucket key."""
+    from iceberg_table_generator_spark.operators.text import text_word_freq
+
+    import re
+
+    df = text_word_freq(spark, sf_small)
+    nodes = explain.plan_nodes(df)
+    assert nodes.count("Window") == 2, nodes
+    # one of the two window specs must partition on the bucket key
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*)\)", explain.plan_text(df)
+    )
+    assert any("bucket" in s for s in specs), specs
+
+
+def test_connected_components_size_attach_no_label_window(spark, sf_small):
+    """Cluster-size attach must not be a window partitioned by label (a
+    boilerplate mega-cluster = one task).  Sizes come from groupBy with
+    map-side combine and attach via the hot/tail split: two bounded
+    broadcasts + the tail pinned to the shuffle path."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+
+    df = dedup_connected_components(spark, sf_small)
+    nodes = explain.plan_nodes(df)
+    assert "Window" not in nodes, nodes
+    kinds = explain.join_kinds(df)
+    assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+    assert kinds["BroadcastHashJoin"] >= 2, kinds
+    assert "TakeOrderedAndProject" in nodes, nodes
 
 
 def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
