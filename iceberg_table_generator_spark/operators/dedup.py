@@ -9,18 +9,21 @@ Four tiers over the `documents` table, each designed for 100 TB:
   not |docs|².  DuckDB-oracle-checkable end to end.
 - MinHash + LSH banding: constant-size signatures (64 perms) per doc, band
   buckets bound the candidate set; verification joins back to exact Jaccard.
-  Approximate → rows-only driver check; recall is asserted against the exact
-  operator in tests/test_dedup.py.
-- SimHash: 64-bit fingerprints, chunk-banded candidate generation
-  (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal), bit_count XOR verify.
+  Hashing is engine-independent (md5-prefix base hash + universal-hash
+  permutations), so the whole pipeline is DuckDB-oracle-paired since r5;
+  recall vs the exact operator is additionally asserted in
+  tests/test_dedup.py.
+- SimHash: 60-bit fingerprints from md5-prefix token hashes (engine-
+  independent, oracle-paired), chunk-banded candidate generation
+  (pigeonhole: hamming ≤ 3 ⇒ some 15-bit chunk equal), bit_count XOR verify.
 
-No Python UDFs anywhere — hashing is xxhash64/md5 (JVM codegen), set math is
-explode + groupBy.
+No Python UDFs anywhere — hashing is md5/conv plus integer column
+arithmetic (all JVM codegen), set math is explode + groupBy.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.registry import query
@@ -412,42 +415,128 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Near-dup: MinHash + LSH banding (the 100 TB path; rows-only check)
+# Near-dup: MinHash + LSH banding (the 100 TB path)
 # --------------------------------------------------------------------------
 N_PERM = 64
 N_BANDS = 16  # 16 bands × 4 rows ⇒ candidate threshold ≈ (1/16)^(1/4) ≈ 0.5
 ROWS_PER_BAND = N_PERM // N_BANDS
 
+# Engine-independent hashing (r5): the r4 form used xxhash64, which DuckDB
+# cannot evaluate, forcing a rows-only driver check.  Both engines compute
+# IDENTICAL md5 hex digests natively, and both can parse a 15-hex-char
+# (60-bit) prefix into a BIGINT — Spark `conv(substring(md5(s),1,15),16,10)`
+# equals DuckDB `CAST('0x' || substring(md5(s),1,15) AS BIGINT)` bit for
+# bit at native speed (one digest call per value; no per-character lambda
+# folds).  MinHash permutations are then universal hashes
+# min_s((a_i·(h mod P)+b_i) mod P) — every product stays below 2^60, and
+# the FULL pipeline (signature → banding → candidates → exact-Jaccard
+# verify) is oracle-paired.
+MH_P = 1_000_000_007
+MH_A = [(2654435761 * (i + 1)) % MH_P for i in range(N_PERM)]
+MH_B = [(1779033703 * (i + 1) + 104729) % MH_P for i in range(N_PERM)]
+
+
+def _md5_60(col: Column) -> Column:
+    """Engine-independent 60-bit hash: the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_md5_60(expr: str) -> str:
+    """DuckDB twin of `_md5_60` (verified bit-identical)."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """64 minhash values per doc from one explode pass.
 
-    One aggregation computes all 64 permutations: min(xxhash64(i, h)) per i,
-    where `h` is the shingle pre-hashed to a long — so the string is hashed
-    once and each permutation re-hashes 8 bytes, all JVM codegen'd.  The
-    shuffle carries just (doc_id, 64×8 bytes)."""
+    One aggregation computes all 64 permutations: min((a_i·h+b_i) mod P)
+    per i, where `h` is the shingle pre-hashed to a long — the string is
+    hashed once and each permutation is three integer ops on 8 bytes, all
+    JVM codegen'd.  The shuffle carries just (doc_id, 64×8 bytes)."""
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(N_PERM)
+        F.min((F.lit(MH_A[i]) * F.col("h") + F.lit(MH_B[i])) % MH_P).alias(f"mh_{i}")
+        for i in range(N_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@query("dedup_minhash_lsh")  # approx → rows-only driver check; recall tested in pytest
+def _band_fold(cols: list[Column]) -> Column:
+    """Combine a band's row-minima into one join key with the same base-31
+    fold (collisions only ADD candidates, which exact verification then
+    filters — and the oracle folds identically, so both engines see the
+    same candidate set)."""
+    return F.aggregate(
+        F.array(*cols),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MH_P,
+    )
+
+
+_SQL_SHINGLES = """
+    CASE WHEN len(ws) < 3 THEN []
+         ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+    END"""
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM tok),
+hs AS (SELECT doc_id, {_sql_md5_60('s')} % {MH_P} AS h FROM sh),
+perms AS (SELECT * FROM (VALUES {", ".join(f"({i}, {MH_A[i]}, {MH_B[i]})" for i in range(N_PERM))}) t(i, a, b)),
+mh AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {MH_P}) AS m
+  FROM hs CROSS JOIN perms p GROUP BY doc_id, p.i),
+bands AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+                     (acc, x) -> (acc * 31 + x) % {MH_P}) AS bk
+  FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       round(s.shared * 1.0 / (ca.n + cb.n - s.shared), 6) AS jaccard
+FROM cand c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN cnt ca ON ca.doc_id = c.doc_a
+JOIN cnt cb ON cb.doc_id = c.doc_b
+WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
     Pipeline: shingle → 64-perm minhash signature → 16 band keys per doc →
     self-join on (band, band_hash) → exact-Jaccard verification of the
-    candidate pairs only.  At 100 TB: signatures are constant-size per doc;
-    band buckets bound candidates; a hot bucket (boilerplate shingles) is
-    handled by salting the band key or capping bucket size."""
+    candidate pairs only.  Hashing is engine-independent (universal hash
+    over the base-31 char fold, constants above), so since r5 the whole
+    pipeline is DuckDB-oracle-paired — the LSH candidate set itself is
+    deterministic and identical on both engines, not just the verified
+    output.  At 100 TB: signatures are constant-size per doc; band buckets
+    bound candidates; a hot bucket (boilerplate shingles) is handled by
+    salting the band key or capping bucket size."""
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
-    sh = d.select("doc_id", F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"))
+    # Hash IN-ROW (transform over the shingle array) and explode the 8-byte
+    # longs — exploding the raw ~30-byte shingle strings costs ~3× the
+    # whole signature stage (measured r5; the explode dominates, not the
+    # hash).
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: _md5_60(s) % MH_P)).alias("h"),
+    )
     sig = minhash_signatures(sh)
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias(
-            f"band_{b}"
-        )
+        _band_fold(
+            [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
         for b in range(N_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
@@ -485,27 +574,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Near-dup: SimHash (rows-only check; behavior tested in pytest)
+# Near-dup: SimHash (engine-independent bits → oracle-paired since r5)
 # --------------------------------------------------------------------------
-SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4  # hamming ≤ 3 ⇒ at least one 16-bit chunk identical
+SIMHASH_BITS = 60  # the md5-prefix hash width (15 hex chars)
+SIMHASH_CHUNKS = 4  # hamming ≤ 3 ⇒ at least one 15-bit chunk identical
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
 
 
 def simhash(df: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+    """60-bit SimHash per doc: per-bit majority vote over token hashes.
 
-    Expressed as 64 conditional sums over the exploded tokens — all JVM
-    expressions, one shuffle on doc_id."""
-    tok = df.select("doc_id", F.explode("tokens").alias("t"))
-    h = F.xxhash64("t")
-    # 1 << 63 overflows a long literal; shiftleft wraps in the JVM, which is
-    # exactly the two's-complement bit mask we want for the sign bit.
+    Token hashes are the engine-independent 60-bit md5 prefix (`_md5_60`),
+    so the fingerprint is identical on Spark and DuckDB.  Expressed as 60
+    conditional sums over the exploded tokens — one shuffle on doc_id."""
+    # Hash in-row, explode longs (same explode-width economics as minhash).
+    hashed = df.select(
+        "doc_id", F.explode(F.transform("tokens", _md5_60)).alias("h")
+    )
     bit = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
     bit_sums = [
-        F.sum(F.when(h.bitwiseAND(bit(i)) != 0, 1).otherwise(-1)).alias(f"b_{i}")
+        F.sum(F.when(F.col("h").bitwiseAND(bit(i)) != 0, 1).otherwise(-1)).alias(
+            f"b_{i}"
+        )
         for i in range(SIMHASH_BITS)
     ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
     fp = None
     for i in range(SIMHASH_BITS):
         term = F.when(F.col(f"b_{i}") > 0, bit(i)).otherwise(F.lit(0).cast("long"))
@@ -513,20 +607,51 @@ def simhash(df: DataFrame) -> DataFrame:
     return sums.select("doc_id", fp.alias("simhash"))
 
 
-@query("dedup_simhash")  # rows-only driver check
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+hh AS (SELECT doc_id, {_sql_md5_60('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, i.i AS i, sum(((h >> i.i) & 1) * 2 - 1) AS s
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) i
+  GROUP BY doc_id, i.i),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id),
+ch AS (
+  SELECT doc_id, simhash, c.c AS chunk_id,
+         (simhash >> ({SIMHASH_CHUNK_BITS} * c.c)) & {SIMHASH_CHUNK_MASK} AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) c),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ 3.
 
-    Candidate generation by chunk banding (pigeonhole over 4 × 16-bit
-    chunks), verification by bit_count(xor).  At 100 TB the fingerprint is
-    8 bytes/doc and candidates are bounded by chunk-bucket sizes."""
+    Candidate generation by chunk banding (pigeonhole over 4 × 15-bit
+    chunks), verification by bit_count(xor).  Fingerprint bits are
+    engine-independent (md5-prefix token hashes), so the full pipeline is
+    DuckDB-oracle-paired since r5.  At 100 TB the fingerprint is 8
+    bytes/doc and candidates are bounded by chunk-bucket sizes."""
     d = tokenize(load_table(spark, sf_dir, "documents"))
     fp = simhash(d)
     chunks = fp.select(
         "doc_id",
         "simhash",
         *[
-            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+            F.shiftrightunsigned("simhash", SIMHASH_CHUNK_BITS * c)
+            .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK))
+            .alias(f"c_{c}")
             for c in range(SIMHASH_CHUNKS)
         ],
     )
