@@ -181,15 +181,67 @@ def _bucket_array(vec_col: str | Column, dim: int) -> Column:
     )
 
 
-@query("similarity_ann_lsh")  # approx → rows-only driver check
+# The hyperplanes are deterministic ±1 literals (splitmix mix of
+# (table, plane, dim)), so the oracle can inline the full plane matrix and
+# recompute the identical bucket signatures — DuckDB's list_sum folds dot
+# products in the same order as `_dot` (proven by the exact-cosine oracle),
+# so even the >=0 sign tests agree bit for bit and the ENTIRE approximate
+# pipeline (signatures → bucket join → exact rerank) is oracle-paired.
+_LSH_DIM = 64
+_PLANE_ROWS = ", ".join(
+    f"({t}, {p}, [{', '.join(str(float(_plane_weight(t, p, d))) for d in range(_LSH_DIM))}])"
+    for t in range(N_TABLES)
+    for p in range(N_PLANES)
+)
+
+_ANN_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, len(vec)),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+planes AS (SELECT * FROM (VALUES {_PLANE_ROWS}) t(tbl, p, w)),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, {_LSH_DIM}),
+                            i -> vec[i] * w[i])) >= 0
+                       THEN (1 << p) ELSE 0 END) + tbl * 65536 AS BIGINT) AS bucket
+  FROM n CROSS JOIN planes GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, {_LSH_DIM}),
+                                 i -> qn.vec[i] * cn.vec[i])) / (qn.norm * cn.norm) AS sim
+  FROM cand
+  JOIN n qn ON qn.vec_id = cand.query_id
+  JOIN n cn ON cn.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("similarity_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH.
 
     Each vector gets N_TABLES bucket signatures; query and candidate meet
     only when they share a bucket in some table — at 100 TB this replaces
     the full crossJoin with |bucket|-bounded joins, and the buckets
-    co-partition (shuffle on the signature, both sides pruned).  Recall vs
-    the exact operator is asserted in tests."""
+    co-partition (shuffle on the signature, both sides pruned).  The
+    hyperplanes are deterministic literals, so since r5 the whole
+    pipeline is DuckDB-oracle-paired (identical buckets, candidates, and
+    reranked output); recall vs the exact operator stays asserted in
+    tests."""
     dim = 64
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
