@@ -191,7 +191,10 @@ def dedup_ngram_jaccard(
 # --------------------------------------------------------------------------
 # Near-dup clusters: connected components over the pair graph
 # --------------------------------------------------------------------------
-_CC_ORACLE = """
+# Shared recursive-CTE prefix: near-dup pairs → undirected edges →
+# transitive closure → per-member min-label cluster id.  Reused by the
+# cluster query and the keep-canonical corpus filter below.
+_CC_MEMBERS_CTE = """
 WITH RECURSIVE pairs AS (
   -- the exact 3-gram near-dup pairs (same logic as dedup_ngram_jaccard)
   SELECT doc_a, doc_b FROM (
@@ -215,6 +218,9 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
 members AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+"""
+
+_CC_ORACLE = f"""{_CC_MEMBERS_CTE}
 SELECT cluster_id, doc_id, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
 FROM members
 """
@@ -287,6 +293,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         "doc_id",
         "cluster_size",
+    )
+
+
+_KEEP_CANONICAL_ORACLE = f"""{_CC_MEMBERS_CTE}
+SELECT d.doc_id,
+       m.cluster_id,
+       (m.cluster_id IS NULL OR m.cluster_id = d.doc_id) AS is_kept
+FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+"""
+
+
+@query("dedup_keep_canonical", oracle=_KEEP_CANONICAL_ORACLE)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus dedup verdict — the operation a training-data
+    pipeline actually runs after clustering: every document tagged with
+    its near-dup cluster (NULL if it has none) and a keep/drop flag that
+    keeps exactly one canonical doc per cluster (the min doc_id, which IS
+    the cluster label) plus every unclustered doc.
+
+    The cluster relation is tiny relative to the corpus (only docs with a
+    near-dup partner appear), so it attaches to the full document set as
+    a broadcast left join — the corpus never shuffles.  Downstream, the
+    cleaned corpus is `filter(is_kept)`."""
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(cc), "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))).alias(
+            "is_kept"
+        ),
     )
 
 
