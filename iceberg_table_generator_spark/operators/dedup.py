@@ -312,13 +312,19 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps exactly one canonical doc per cluster (the min doc_id, which IS
     the cluster label) plus every unclustered doc.
 
-    The cluster relation is tiny relative to the corpus (only docs with a
-    near-dup partner appear), so it attaches to the full document set as
-    a broadcast left join — the corpus never shuffles.  Downstream, the
+    Scale note (r6): the membership attach is deliberately a plain
+    shuffle left join, NOT a broadcast.  The cluster relation holds every
+    document with a near-dup partner — at real web-corpus duplication
+    rates (30-50%, the RefinedWeb/Gopher numbers) it is CORPUS-FRACTION
+    sized, tens of TB at 100 TB input, so a broadcast would kill the
+    driver exactly when dedup matters most.  A doc_id equi-join shuffles
+    both sides on a uniform high-cardinality key (no skew: one row per
+    doc_id on each side), and AQE is free to pick a local broadcast at
+    runtime only if the relation really is small.  Downstream, the
     cleaned corpus is `filter(is_kept)`."""
     cc = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(F.broadcast(cc), "doc_id", "left").select(
+    return docs.join(cc, "doc_id", "left").select(
         "doc_id",
         "cluster_id",
         (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))).alias(
