@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
@@ -413,7 +414,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (2.0 * F.col("norm") * F.sqrt(cnorm2_map[F.col("cluster_id")]))
     )
     ang = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cos_theta)))
-    clustered = assigned.withColumn("ang", ang).localCheckpoint(eager=True)
+    # DISK_ONLY persist, not localCheckpoint: this relation is one row per
+    # corpus vector.  A localCheckpoint pins it in executor-local storage
+    # with TRUNCATED lineage — on a 100 TB run with preemptible executors
+    # one lost executor fails the whole job (localCheckpoint blocks are
+    # not recomputable), and the pin competes with shuffle memory.
+    # persist keeps the recompute-avoidance (the relation is read twice:
+    # radii collect + self-join sides) while remaining fault-tolerant,
+    # and DISK_ONLY keeps corpus-sized blocks out of executor heap.
+    # The small pair-set checkpoints in the CC loop above are fine — they
+    # are bounded by the candidate-pair relation, not the corpus.
+    clustered = assigned.withColumn("ang", ang).persist(StorageLevel.DISK_ONLY)
     radii = {
         r.cluster_id: r.r
         for r in clustered.groupBy("cluster_id").agg(F.max("ang").alias("r")).collect()
