@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_SECONDS
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -632,7 +633,7 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN date_diff('second',
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > {SESSION_GAP_SECONDS}
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events),
@@ -666,7 +667,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0).alias("is_new"),
+        F.when(prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), 1).otherwise(0).alias("is_new"),
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = flagged.select(

@@ -13,6 +13,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from iceberg_table_generator_spark.functions.sessions import (
+    SESSION_GAP_INTERVAL,
+    SESSION_GAP_US,
+)
 from iceberg_table_generator_spark.operators.relational import DEC, davg, dsum, sql_davg, sql_dsum
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
@@ -701,7 +705,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- count second-boundary CROSSINGS (a 1799.3s gap crossing 1800
              -- boundaries splits when Spark merges), so compare epoch_us.
              CASE WHEN epoch_us(ts) - epoch_us(
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= {SESSION_GAP_US}
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events),
@@ -729,7 +733,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's `end` field extends past the last event by the gap)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        ev.groupBy(F.session_window("ts", SESSION_GAP_INTERVAL).alias("sw"), "user_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),

@@ -22,6 +22,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_INTERVAL
 from iceberg_table_generator_spark.session import ensure_session_confs
 from iceberg_table_generator_spark.sources.tables import table_path
 
@@ -100,7 +101,7 @@ def session_window_stream(
     ev = read_events_stream(spark, sf_dir)
     return (
         ev.withWatermark("ts", late_threshold)
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .groupBy(F.session_window("ts", SESSION_GAP_INTERVAL).alias("sw"), "user_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),

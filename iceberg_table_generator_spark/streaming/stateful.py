@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-SESSION_GAP_SECONDS = 1800
+from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_SECONDS
 
 SESSION_SCHEMA = StructType(
     [
