@@ -385,6 +385,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_table_generator_spark.operators.similarity import (
         _d2_structs,
         _dot,
+        centroids_to_float,
         ivf_index,
         with_norm,
     )
@@ -392,7 +393,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    cents = ivf_index(emb, cache_key=sf_dir)
+    # Float view of the shared integer quantizer: this operator's pruning
+    # is triangle-inequality admissible for ANY clustering, so it doesn't
+    # need the oracle-exact integer path — only internal consistency.
+    cents = centroids_to_float(ivf_index(emb, cache_key=sf_dir))
     # Assignment + angular radius in one narrow pass: nearest centroid by
     # squared distance, then angle(vec, centroid) from the same struct.
     best = F.array_min(_d2_structs("vec", cents))

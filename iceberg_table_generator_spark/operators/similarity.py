@@ -12,8 +12,12 @@ Three paths over the `embeddings` table (`array<float>`, 64-dim):
   per centroid, queries probe only their nearest lists — the preferred scale
   structure for clustered corpora.
 
-Approximate paths → rows-only driver check; recall asserted against the
-exact path in tests/test_similarity.py.
+Every ANN path is oracle-paired: hyperplane LSH inlines its deterministic
+±1 model as oracle literals (r5), and the k-means family (IVF, PQ) uses the
+r6 engine-exact INTEGER k-means so DuckDB refits identical centroids from
+the raw parquet and replays the whole pipeline (see the engine-exact
+k-means block comment).  Recall is additionally asserted against the exact
+path in tests/test_similarity.py.
 
 All vector math is JVM-side (`zip_with`/`aggregate` fold) — no Python in the
 hot path.  Floats are cast to double BEFORE any arithmetic so Spark and the
@@ -323,68 +327,176 @@ def _d2_structs(vec_col: str | Column, cents: Centroids) -> Column:
 
 IVF_TRAIN_CAP = 4096  # vectors collected for coarse-quantizer training (k×256)
 
+# --------------------------------------------------------------------------
+# Engine-exact integer k-means (r6): a fit DuckDB can replay bit-for-bit
+# --------------------------------------------------------------------------
+# The r4/r5 fits were numpy float64 Lloyd's — correct, but impossible to
+# oracle-pair: float means depend on summation order, so no other engine
+# could reproduce the centroids and the IVF/PQ queries stayed rows-only.
+# The r6 fit removes EVERY float from the model path:
+#   * coordinates quantize to scale-6 integers — CAST(x AS DECIMAL(12,6))
+#     (probed bit-identical between Spark and DuckDB, incl. the 2.675
+#     boundary; exact decimal ties are unrepresentable in binary doubles,
+#     so the two engines' rounding modes can never disagree) then ×10^6;
+#   * squared distances are int64 sums (testdata |x| ≤ 0.58 → per-dim
+#     diff ≤ 1.2e6 scaled, d2 ≤ 64·(1.2e6)² ≈ 9e13 ≪ 2^63 — and even
+#     unit-norm-ish vectors at |x| ≤ 100 stay below 2^63);
+#   * centroid means round half-away-from-zero via the pure-integer
+#     formula (2|s| + n) DIV 2n — no double cast, no round(), and the
+#     integer member sums are associative, so no execution order can
+#     perturb them;
+#   * the training set is the IVF_TRAIN_CAP vectors with the smallest
+#     engine-independent md5-60 hash (the r5 hash-parity primitive,
+#     test_engine_hash_parity.py), init = first k of those in hash order.
+# Both engines walk the identical integer state, so the DuckDB oracle
+# replays the fit as an unrolled CTE chain (one block per Lloyd
+# iteration) and lands on the same centroids to the last scaled unit.
+# Model quality is untouched at 1e-6 resolution; recall tests
+# (test_similarity.py) still pass against the exact path.
 
-def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> Centroids:
-    """Lloyd's k-means for the IVF coarse quantizer, trained on a bounded
-    sample — the production shape for vector-index training (faiss trains
-    coarse quantizers on ~k×256 sampled points, not the corpus: the
-    quantizer only needs the density's coarse structure).
+KM_SCALE = 1_000_000  # DECIMAL(12,6) coordinates as scale-6 integers
 
-    ONE Spark job: TakeOrdered the IVF_TRAIN_CAP vectors with the
-    smallest xxhash64(vec_id) — deterministic, partition-order-free, a
-    few MB of model-training data regardless of corpus size.  The
-    iterations then run driver-side in numpy (k×cap distance matrix,
-    float64, microseconds at cap=4096) instead of 1+iters sequential
-    Spark jobs: the round-2 form spent ~8s of cold wall-clock on job
-    scheduling + per-iteration query compilation alone.  Assignment of
-    the FULL corpus stays distributed (`_assign`, zero shuffle).
+IntCentroids = list[tuple[int, list[int]]]  # [(cluster_id, scale-6 coords)]
 
-    Matches the distributed fold semantics: init = first k sample rows in
-    hash order; argmin ties break toward the smaller cluster_id (numpy
-    argmin picks the first); empty clusters drop from the model."""
-    import numpy as np
 
-    sample = (
-        emb.withColumn("h", F.xxhash64("vec_id"))
-        .orderBy("h")
-        .limit(IVF_TRAIN_CAP)
-        .select("vec")
+def _qint(vec_col: str | Column) -> Column:
+    """array<double> → array<bigint>: scale-6 integer coordinates via the
+    cross-engine-exact DECIMAL(12,6) cast (DuckDB twin:
+    ``CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)``)."""
+    return F.transform(
+        vec_col, lambda x: (x.cast("decimal(12,6)") * F.lit(KM_SCALE)).cast("long")
+    )
+
+
+def _sq_dist_int(a: str | Column, b: str | Column) -> Column:
+    """Exact int64 squared distance between scale-6 integer vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _centroid_structs_int(cents: IntCentroids) -> Column:
+    data = [
+        {"cluster_id": int(cid), "centroid": [int(x) for x in vec]}
+        for cid, vec in cents
+    ]
+    return packed_model_col(
+        data, "array<struct<cluster_id:int,centroid:array<bigint>>>"
+    )
+
+
+def _d2_structs_int(vec_col: str | Column, cents: IntCentroids) -> Column:
+    """Per-row array<struct<d2:bigint, cluster_id:int>> against integer
+    centroids — same lexicographic argmin/sort contract as `_d2_structs`,
+    but every comparison is exact integer math shared with the oracle."""
+    return F.transform(
+        _centroid_structs_int(cents),
+        lambda c: F.struct(
+            _sq_dist_int(vec_col, c["centroid"]).alias("d2"),
+            c["cluster_id"].alias("cluster_id"),
+        ),
+    )
+
+
+def _round_half_away(s: int, n: int) -> int:
+    """round(s/n) half away from zero in pure integer math — the exact
+    formula the oracle uses (``(2|s| + n) // (2n)`` with the sign put
+    back), so Spark-side and DuckDB-side centroids agree even on ties."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def _km_train_rows(emb: DataFrame, cap: int = IVF_TRAIN_CAP) -> list[list[int]]:
+    """The deterministic training set, in model order: the `cap` vectors
+    with the smallest (md5-60(vec_id), vec_id), as scale-6 integers.
+
+    ONE Spark job (TakeOrderedAndProject — parallel local top-k then a
+    bounded merge, a few MB regardless of corpus size).  Hash order makes
+    the sample uniform; vec_id breaks hash collisions."""
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+
+    rows = (
+        emb.select(
+            _md5_60(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+            _qint("vec").alias("qv"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(cap)
         .collect()
     )
-    vecs = np.asarray([r.vec for r in sample], dtype=np.float64)
-    cents = vecs[:k].copy()
-    ids = list(range(min(k, len(vecs))))
+    return [list(r.qv) for r in rows]
+
+
+def _km_fit_int(
+    train: list[list[int]], k: int, iters: int, keep_empty: bool
+) -> IntCentroids:
+    """Integer-exact Lloyd's, driver-side over the bounded training set
+    (numpy int64 — EXACT, order-free, microseconds at cap=4096; the same
+    arithmetic the oracle's CTE chain replays).  init = first k training
+    rows; argmin ties break toward the smaller cluster_id; empty clusters
+    drop (IVF — the model shrinks) or keep their previous centroid (PQ —
+    codes index the codebook and must stay dense 0..k-1)."""
+    import numpy as np
+
+    X = np.asarray(train, dtype=np.int64)
+    C = X[: min(k, len(X))].copy()
+    ids = list(range(len(C)))
     for _ in range(iters):
-        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        keep_ids, keep_rows = [], []
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties → first = smallest cid (ids sorted)
+        new_ids: list[int] = []
+        new_rows: list[list[int]] = []
         for j, cid in enumerate(ids):
-            members = vecs[assign == j]
+            members = X[assign == j]
             if len(members):
-                keep_ids.append(cid)
-                keep_rows.append(members.mean(axis=0))
-        ids, cents = keep_ids, np.asarray(keep_rows)
-    return [(cid, [float(x) for x in row]) for cid, row in zip(ids, cents)]
+                s = members.sum(axis=0)
+                new_ids.append(cid)
+                new_rows.append(
+                    [_round_half_away(int(v), len(members)) for v in s]
+                )
+            elif keep_empty:
+                new_ids.append(cid)
+                new_rows.append([int(v) for v in C[j]])
+        ids, C = new_ids, np.asarray(new_rows, dtype=np.int64)
+    return [(cid, [int(v) for v in row]) for cid, row in zip(ids, C)]
+
+
+def ivf_fit(emb: DataFrame, k: int = IVF_CLUSTERS, iters: int = IVF_ITERS) -> IntCentroids:
+    """Engine-exact IVF coarse quantizer: integer k-means on the bounded
+    md5-ordered sample (see the block comment above).  Returns scale-6
+    integer centroids; `centroids_to_float` derives the double view."""
+    return _km_fit_int(_km_train_rows(emb), k=k, iters=iters, keep_empty=False)
+
+
+def centroids_to_float(cents: IntCentroids) -> Centroids:
+    """Double view of integer centroids: exact int→double conversion
+    (|c| ≪ 2^53) then one correctly-rounded division — both engines land
+    on the identical double (DuckDB twin: ``CAST(c AS DOUBLE) / 1000000.0``)."""
+    return [(cid, [v / 1e6 for v in vec]) for cid, vec in cents]
 
 
 # One IVF index per (corpus, k, iters): queries over the same scale-factor
 # directory share the fitted centroids, exactly as a real vector store
 # builds its index once and serves many searches from it.  The cache holds
-# only model state (k×dim floats per entry).
-_IVF_INDEX_CACHE: dict[tuple[str, int, int], Centroids] = {}
+# only model state (k×dim ints per entry).
+_IVF_INDEX_CACHE: dict[tuple[str, int, int], IntCentroids] = {}
 
 
 def ivf_index(emb: DataFrame, cache_key: str, k: int = IVF_CLUSTERS,
-              iters: int = IVF_ITERS) -> Centroids:
+              iters: int = IVF_ITERS) -> IntCentroids:
     """Fit-or-fetch the IVF coarse quantizer for a corpus.
 
-    Fits on a deterministic ~25% hash sample of `emb` (k-means quality
-    needs only a representative sample; at 100 TB the rate drops further
-    while assignment stays one full narrow pass)."""
+    Fits on the deterministic IVF_TRAIN_CAP-vector md5-order sample
+    (k-means quality needs only a representative sample; at 100 TB the
+    sampled fraction shrinks while assignment stays one full narrow
+    pass)."""
     key = (cache_key, k, iters)
     if key not in _IVF_INDEX_CACHE:
-        sample = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
-        _IVF_INDEX_CACHE[key] = ivf_fit(sample, k=k, iters=iters)
+        _IVF_INDEX_CACHE[key] = ivf_fit(emb, k=k, iters=iters)
     return _IVF_INDEX_CACHE[key]
 
 
@@ -400,29 +512,146 @@ def _assign(emb: DataFrame, cents: Centroids) -> DataFrame:
     return emb.select("vec_id", "vec", best["cluster_id"].alias("cluster_id"))
 
 
-@query("similarity_ivf_topk")  # approx → rows-only driver check; recall in pytest
+_VEC_DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def _sql_d2_int(a: str, b: str, dim: int) -> str:
+    """DuckDB twin of `_sq_dist_int`: exact integer squared distance."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+
+
+def _sql_km_setup() -> str:
+    """Shared oracle preamble: corpus as doubles + scale-6 ints + md5-60
+    hash, and the deterministic training set (mirrors `_km_train_rows`)."""
+    from iceberg_table_generator_spark.operators.dedup import _sql_md5_60
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q0 AS (
+  SELECT vec_id, vec,
+         list_transform(vec, x ->
+             CAST(CAST(x AS DECIMAL(12,6)) * {KM_SCALE} AS BIGINT)) AS qv,
+         {_sql_md5_60('CAST(vec_id AS VARCHAR)')} AS h
+  FROM v),
+train AS (SELECT vec_id, qv, h FROM q0 ORDER BY h, vec_id LIMIT {IVF_TRAIN_CAP})"""
+
+
+# The integer half-away-from-zero mean: round(s/n) with no float anywhere —
+# the oracle-side twin of `_round_half_away`.
+_SQL_MEAN = (
+    "CAST(CASE WHEN sum(x) >= 0 THEN (2*sum(x) + count(*)) // (2*count(*)) "
+    "ELSE -((-2*sum(x) + count(*)) // (2*count(*))) END AS BIGINT)"
+)
+
+
+def _sql_ivf_fit_ctes(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations as CTE blocks — DuckDB replays the
+    integer fit exactly (see the engine-exact k-means block comment):
+    a{n} = assignment (argmin by exact int d2, ties → smaller cid),
+    u{n} = winner rows unnested per dimension,
+    c{n} = new centroids via the integer half-away mean; empty clusters
+    simply vanish from the GROUP BY, matching keep_empty=False."""
+    blocks = [f""",
+c0 AS (
+  SELECT cid, qv AS cv FROM (
+    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid, qv
+    FROM train) WHERE cid < {k})"""]
+    for n in range(1, iters + 1):
+        p = n - 1
+        blocks.append(f""",
+a{n} AS (
+  SELECT t.vec_id, t.qv, c.cid,
+         row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY {_sql_d2_int('t.qv', 'c.cv', dim)}, c.cid) AS rn
+  FROM train t CROSS JOIN c{p} c),
+u{n} AS (
+  SELECT cid, g.i, qv[g.i] AS x
+  FROM a{n}, generate_series(1, {dim}) g(i) WHERE rn = 1),
+c{n} AS (
+  SELECT cid, list(cx ORDER BY i) AS cv FROM (
+    SELECT cid, i, {_SQL_MEAN} AS cx
+    FROM u{n} GROUP BY cid, i) GROUP BY cid)""")
+    return "".join(blocks)
+
+
+def _ivf_oracle() -> str:
+    k, iters, dim = IVF_CLUSTERS, IVF_ITERS, _VEC_DIM
+    cf = f"c{iters}"
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> p.qvec[i]*cand.vec[i]))"
+    )
+    return f"""{_sql_km_setup()}{_sql_ivf_fit_ctes(k, iters, dim)},
+assignq AS (
+  SELECT q0.vec_id, q0.vec, q0.qv, c.cid,
+         row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_sql_d2_int('q0.qv', 'c.cv', dim)}, c.cid) AS rn
+  FROM q0 CROSS JOIN {cf} c),
+lists AS (
+  SELECT vec_id, vec, qv, cid,
+         sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                      i -> vec[i]*vec[i]))) AS norm
+  FROM assignq WHERE rn = 1),
+probes AS (
+  SELECT query_id, qvec, qnorm, cid FROM (
+    SELECT q.vec_id AS query_id, q.vec AS qvec, q.norm AS qnorm, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_sql_d2_int('q.qv', 'c.cv', dim)}, c.cid) AS rn
+    FROM (SELECT * FROM lists WHERE vec_id < {N_QUERIES}) q
+    CROSS JOIN {cf} c) WHERE rn <= {IVF_NPROBE}),
+pairs AS (
+  SELECT p.query_id, cand.vec_id AS neighbor_id,
+         {dot} / (p.qnorm * cand.norm) AS sim
+  FROM probes p JOIN lists cand
+    ON cand.cid = p.cid AND cand.vec_id <> p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: k-means partitions the corpus into inverted lists; each
     query probes only its IVF_NPROBE nearest lists.
 
-    At 100 TB: fit on a sample, assignment is one narrow pass, and the
-    search join hits nprobe/k of the corpus (4/16 = 25 % here) — and the
-    candidate join co-partitions both sides on cluster_id.  Better than
-    hyperplane LSH when the corpus is genuinely clustered (this testdata
-    has 10 labeled clusters)."""
+    Oracle-paired since r6: the coarse quantizer is the engine-exact
+    integer k-means (block comment above), so DuckDB refits the identical
+    centroids from the raw parquet and replays assignment, probing, and
+    scoring end-to-end — the full ANN pipeline is hash-checked, not just
+    row-counted.  Cosine scoring stays in doubles (same sequential fold
+    both engines, the similarity_cosine_topk precedent).
+
+    At 100 TB: fit on a bounded sample, assignment is one narrow pass,
+    and the search join hits nprobe/k of the corpus — the candidate join
+    co-partitions both sides on cluster_id.  Better than hyperplane LSH
+    when the corpus is genuinely clustered (this testdata has 10 labeled
+    clusters)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     centroids = ivf_index(emb, cache_key=sf_dir)
-    lists = _assign(emb, centroids)
+    qemb = emb.withColumn("qv", _qint("vec"))
+    best = F.array_min(_d2_structs_int("qv", centroids))
+    lists = qemb.select("vec_id", "vec", "qv", best["cluster_id"].alias("cluster_id"))
     cand = with_norm(lists)
-    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES))
+    qry = cand.filter(F.col("vec_id") < N_QUERIES)
     # nprobe nearest clusters per query: sort the per-centroid distance
     # structs in-row and take the first nprobe — no crossJoin, no window.
     probes = (
         qry.withColumn(
             "probe",
-            F.explode(F.slice(F.array_sort(_d2_structs("vec", centroids)), 1, IVF_NPROBE)),
+            F.explode(
+                F.slice(F.array_sort(_d2_structs_int("qv", centroids)), 1, IVF_NPROBE)
+            ),
         )
         .select(
             F.col("vec_id").alias("query_id"),
@@ -536,65 +765,61 @@ PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_ITERS = 4
 PQ_SHORTLIST = 50  # ADC candidates per query before exact rerank
 
-Codebooks = list[list[list[float]]]  # [m][k][sub_dim]
-_PQ_CACHE: dict[tuple[str, int, int], Codebooks] = {}
+Codebooks = list[list[list[float]]]  # [m][k][sub_dim] doubles (ADC view)
+IntCodebooks = list[list[list[int]]]  # [m][k][sub_dim] scale-6 integers
+_PQ_CACHE: dict[tuple[str, int, int], IntCodebooks] = {}
 
 
 def pq_fit(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
-           iters: int = PQ_ITERS) -> Codebooks:
-    """Train per-subspace codebooks on the same bounded hash sample as
-    `ivf_fit` (one Spark job; numpy Lloyd's per subspace).  Empty clusters
-    keep their previous centroid so code ids stay dense 0..k-1 — a PQ
-    code is an INDEX into the codebook and must never shift."""
-    import numpy as np
-
-    sample = (
-        emb.withColumn("h", F.xxhash64("vec_id"))
-        .orderBy("h")
-        .limit(IVF_TRAIN_CAP)
-        .select("vec")
-        .collect()
-    )
-    vecs = np.asarray([r.vec for r in sample], dtype=np.float64)
-    dim = vecs.shape[1]
+           iters: int = PQ_ITERS) -> IntCodebooks:
+    """Train per-subspace codebooks on the same deterministic md5-order
+    sample as `ivf_fit`, with the engine-exact INTEGER k-means (one Spark
+    job; integer Lloyd's per subspace — see the engine-exact k-means block
+    comment).  Empty clusters keep their previous centroid so code ids
+    stay dense 0..k-1 — a PQ code is an INDEX into the codebook and must
+    never shift; the oracle mirrors this with a COALESCE left join per
+    iteration."""
+    train = _km_train_rows(emb)
+    dim = len(train[0]) if train else _VEC_DIM
     assert dim % m == 0, f"dim {dim} not divisible by {m} subspaces"
     d = dim // m
-    books: Codebooks = []
+    books: IntCodebooks = []
     for j in range(m):
-        sub = vecs[:, j * d : (j + 1) * d]
-        cents = sub[: min(k, len(sub))].copy()
-        for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cents)):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append([[float(x) for x in row] for row in cents])
+        sub = [row[j * d : (j + 1) * d] for row in train]
+        fitted = _km_fit_int(sub, k=k, iters=iters, keep_empty=True)
+        books.append([vec for _cid, vec in fitted])  # dense cid order
     return books
 
 
-def pq_index(emb: DataFrame, cache_key: str, m: int = PQ_M, k: int = PQ_K) -> Codebooks:
+def codebooks_to_float(books: IntCodebooks) -> Codebooks:
+    """Double view for ADC scoring — same exact conversion contract as
+    `centroids_to_float`."""
+    return [[[v / 1e6 for v in c] for c in b] for b in books]
+
+
+def pq_index(emb: DataFrame, cache_key: str, m: int = PQ_M, k: int = PQ_K) -> IntCodebooks:
     key = (cache_key, m, k)
     if key not in _PQ_CACHE:
         _PQ_CACHE[key] = pq_fit(emb, m=m, k=k)
     return _PQ_CACHE[key]
 
 
-def _pq_codes(vec_col: str | Column, books: Codebooks) -> Column:
+def _pq_codes(vec_col: str | Column, books: IntCodebooks) -> Column:
     """Encode a vector as its per-subspace nearest-centroid indices — the
     4-byte-per-vector representation that makes a billion-vector index
     RAM-resident.  One packed-literal fold, zero shuffle, O(1) plan size
-    in m×k×dim (packed_model_col)."""
+    in m×k×dim (packed_model_col).  Encoding is exact integer math over
+    the scale-6 quantized vector, so the oracle reproduces every code."""
     sub_dim = len(books[0][0])
-    cb = packed_model_col(books, "array<array<array<double>>>")
+    qv = _qint(vec_col)
+    cb = packed_model_col(books, "array<array<array<bigint>>>")
     return F.transform(
         cb,
         lambda mcb, m: F.array_min(
             F.transform(
                 mcb,
                 lambda c, i: F.struct(
-                    _sq_dist(F.slice(vec_col, m * sub_dim + 1, sub_dim), c).alias("d2"),
+                    _sq_dist_int(F.slice(qv, m * sub_dim + 1, sub_dim), c).alias("d2"),
                     i.alias("code"),
                 ),
             )
@@ -617,13 +842,118 @@ def _pq_query_table(vec_col: str | Column, books: Codebooks) -> Column:
     )
 
 
-@query("similarity_pq_topk")  # approx -> rows-only driver check; recall in pytest
+def _pq_oracle() -> str:
+    """DuckDB twin of the full PQ pipeline: refit the per-subspace integer
+    codebooks (one CTE chain handles all m subspaces via a subspace column
+    j), re-encode every candidate, rebuild each query's ADC table, and
+    replay shortlist + exact rerank.  The ADC doubles match because both
+    engines run identical folds over identical doubles (the float
+    codebook view is the same exact int→double conversion on both
+    sides)."""
+    m, k, iters = PQ_M, PQ_K, PQ_ITERS
+    sd, dim = _VEC_DIM // PQ_M, _VEC_DIM
+    parts = [_sql_km_setup(), f""",
+ts AS (
+  SELECT t.vec_id, t.h, g.j,
+         list_transform(generate_series(1, {sd}), i -> t.qv[g.j*{sd}+i]) AS sv
+  FROM train t, generate_series(0, {m - 1}) g(j)),
+c0 AS (
+  SELECT j, cid, sv AS cv FROM (
+    SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY h, vec_id)
+                   AS INT) - 1 AS cid, sv
+    FROM ts) WHERE cid < {k})"""]
+    for n in range(1, iters + 1):
+        p = n - 1
+        parts.append(f""",
+a{n} AS (
+  SELECT ts.vec_id, ts.j, ts.sv, c.cid,
+         row_number() OVER (PARTITION BY ts.vec_id, ts.j
+             ORDER BY {_sql_d2_int('ts.sv', 'c.cv', sd)}, c.cid) AS rn
+  FROM ts JOIN c{p} c ON c.j = ts.j),
+u{n} AS (
+  SELECT j, cid, g.i, sv[g.i] AS x
+  FROM a{n}, generate_series(1, {sd}) g(i) WHERE rn = 1),
+nc{n} AS (
+  SELECT j, cid, list(cx ORDER BY i) AS cv FROM (
+    SELECT j, cid, i, {_SQL_MEAN} AS cx
+    FROM u{n} GROUP BY j, cid, i) GROUP BY j, cid),
+c{n} AS (
+  SELECT p.j, p.cid, COALESCE(w.cv, p.cv) AS cv
+  FROM c{p} p LEFT JOIN nc{n} w ON w.j = p.j AND w.cid = p.cid)""")
+    cf = f"c{iters}"
+    cvd = f"CAST(c.cv[i] AS DOUBLE)/{KM_SCALE}.0"
+    parts.append(f""",
+cs AS (
+  SELECT q0.vec_id, g.j,
+         list_transform(generate_series(1, {sd}), i -> q0.qv[g.j*{sd}+i]) AS sv
+  FROM q0, generate_series(0, {m - 1}) g(j)),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT cs.vec_id, cs.j, c.cid,
+           row_number() OVER (PARTITION BY cs.vec_id, cs.j
+               ORDER BY {_sql_d2_int('cs.sv', 'c.cv', sd)}, c.cid) AS rn
+    FROM cs JOIN {cf} c ON c.j = cs.j) WHERE rn = 1),
+cl AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM codes GROUP BY vec_id),
+nrm AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                      i -> vec[i]*vec[i]))) AS norm
+  FROM v),
+qn AS (SELECT * FROM nrm WHERE vec_id < {N_QUERIES}),
+qtab AS (
+  SELECT q.vec_id AS query_id, c.j, c.cid,
+         list_sum(list_transform(generate_series(1, {sd}),
+           i -> (q.vec[c.j*{sd}+i] - {cvd})
+              * (q.vec[c.j*{sd}+i] - {cvd}))) AS d2
+  FROM qn q CROSS JOIN {cf} c),
+qtl AS (SELECT query_id, j, list(d2 ORDER BY cid) AS tr
+        FROM qtab GROUP BY query_id, j),
+qt2 AS (SELECT query_id, list(tr ORDER BY j) AS tab FROM qtl GROUP BY query_id),
+adc AS (
+  SELECT q.vec_id AS query_id, cand.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, {m}),
+                  j -> t.tab[j][cl.codes[j] + 1])) AS adc_d2
+  FROM qn q
+  JOIN qt2 t ON t.query_id = q.vec_id
+  CROSS JOIN nrm cand
+  JOIN cl ON cl.vec_id = cand.vec_id
+  WHERE cand.vec_id <> q.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {PQ_SHORTLIST}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_sum(list_transform(generate_series(1, {dim}),
+                  i -> q.vec[i]*c.vec[i])) / (q.norm * c.norm) AS sim
+  FROM short s
+  JOIN nrm q ON q.vec_id = s.query_id
+  JOIN nrm c ON c.vec_id = s.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM rer)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+""")
+    return "".join(parts)
+
+
+@query("similarity_pq_topk", oracle=_pq_oracle())
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + ADC + exact rerank — the memory-bound tier of a vector index
     (IVF prunes WHICH vectors to score; PQ compresses HOW each is scored):
     candidates are scored by summing m table lookups over their 4-bit
     codes (asymmetric distance), the per-query shortlist is reranked with
     exact cosine, and only shortlist-sized data ever shuffles.
+
+    Oracle-paired since r6: codebook fitting and candidate encoding are
+    exact integer math (engine-exact k-means block comment), and the ADC
+    doubles are identical folds on both engines, so DuckDB replays fit →
+    encode → ADC shortlist → rerank end-to-end from the raw parquet.
 
     At 100 TB the candidate scan reads codes (4 bytes/vector), not
     vectors (256 bytes/vector) — a 64x scan reduction; the rerank
@@ -637,7 +967,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),
-        _pq_query_table("vec", books).alias("qtab"),
+        _pq_query_table("vec", codebooks_to_float(books)).alias("qtab"),
     )
     adc = (
         cand.crossJoin(F.broadcast(qry))

@@ -60,3 +60,82 @@ def test_md5_60_spark_duckdb_parity(spark):
     assert spark_vals == duck_vals
     # 60-bit range sanity: non-negative and below 2^60
     assert all(0 <= v < (1 << 60) for v in spark_vals.values())
+
+
+def test_decimal_quantize_spark_duckdb_parity(spark):
+    """The r6 integer k-means rests on one more cross-engine contract:
+    CAST(double AS DECIMAL(12,6)) — the scale-6 quantization every IVF/PQ
+    coordinate passes through — rounds identically in Spark and DuckDB.
+    Exact decimal ties are unrepresentable in binary doubles, so the two
+    engines' rounding modes can never disagree; this pins it on boundary
+    values (x.xxxxxx5 neighborhoods, negatives, subnormal-ish, large) and
+    a seeded random sample."""
+    import struct
+
+    rng = random.Random(4242)
+    vals = [
+        0.1234564999999,
+        0.1234565000001,
+        2.6749999999,
+        -2.6750000001,
+        0.0000005,
+        -0.0000005,
+        1e-12,
+        -1e-12,
+        123456.654321,
+        -0.5773653984069824,
+        0.5193882584571838,
+    ] + [rng.uniform(-600000, 600000) for _ in range(500)] + [
+        rng.uniform(-1, 1) for _ in range(500)
+    ]
+    # bit-exact transport into both engines via float64 round-trip
+    vals = [struct.unpack("<d", struct.pack("<d", v))[0] for v in vals]
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, x double")
+    spark_ints = {
+        r["i"]: r["q"]
+        for r in sdf.select(
+            "i",
+            (F.col("x").cast("decimal(12,6)") * F.lit(1_000_000))
+            .cast("long")
+            .alias("q"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    duck_ints = dict(
+        con.execute(
+            "SELECT i, CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert spark_ints == duck_ints
+
+
+def test_integer_mean_formula_matches_oracle_sql():
+    """`_round_half_away` (the Python/Spark-side centroid mean) must equal
+    the oracle's pure-integer SQL CASE formula for every sign and tie
+    combination — including exact .5 ties, which integer division CAN hit
+    (unlike the decimal-cast ties above)."""
+    from iceberg_table_generator_spark.operators.similarity import _round_half_away
+
+    con = duckdb.connect()
+    cases = [
+        (s, n)
+        for s in [0, 1, -1, 2, 3, -3, 5, -5, 7, -7, 999_999, -999_999,
+                  10**10, -(10**10), 10**10 + 1, 15, -15]
+        for n in [1, 2, 3, 4, 7, 10]
+    ]
+    for s, n in cases:
+        sql = (
+            f"SELECT CAST(CASE WHEN {s} >= 0 "
+            f"THEN (2*{s} + {n}) // (2*{n}) "
+            f"ELSE -((-2*{s} + {n}) // (2*{n})) END AS BIGINT)"
+        )
+        assert _round_half_away(s, n) == con.execute(sql).fetchone()[0], (s, n)
+        # and both equal true half-away-from-zero rounding of s/n
+        from decimal import Decimal, ROUND_HALF_UP
+
+        want = int(
+            (Decimal(s) / Decimal(n)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        assert _round_half_away(s, n) == want, (s, n)
