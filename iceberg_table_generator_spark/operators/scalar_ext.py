@@ -133,18 +133,53 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_sketches")  # rows-only: sketch results are estimates by design
+# Relative-error acceptance bound for the sketch verdicts: HLL++ at
+# rsd=0.02 is within 2.5σ = 5% essentially always (and HLL/t-digest are
+# DETERMINISTIC given the data — no flake, just engine-specific estimates).
+SKETCH_REL_BOUND = 0.05
+
+_SKETCHES_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         / count(DISTINCT l_partkey) < {SKETCH_REL_BOUND} AS hll_ok,
+       abs(approx_quantile(l_extendedprice, 0.5)
+           - quantile_cont(l_extendedprice, 0.5))
+         / quantile_cont(l_extendedprice, 0.5) < {SKETCH_REL_BOUND} AS tdigest_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("approx_sketches", oracle=_SKETCHES_ORACLE)
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB replacements for exact
     distinct counts and percentiles: HLL++ (`approx_count_distinct`) and
-    t-digest-style (`approx_percentile`).  Estimates, so rows-only for the
-    driver; tests/test_scalar_ext.py bounds the relative error vs exact."""
+    t-digest-style (`approx_percentile`).
+
+    Tolerance-checked oracle pairing (r6, VERDICT r5 task 6): the raw
+    estimates are engine-specific by design (different HLL register
+    layouts, different percentile sketches), so the query emits what IS
+    engine-exact — the exact distinct count — plus a per-engine VERDICT
+    boolean: |sketch − exact| / exact < {SKETCH_REL_BOUND:.0%}, each
+    engine judging its own sketch against its own exact aggregate.  Both
+    engines' sketches are deterministic functions of the data, so the
+    booleans are stable, and a sketch drifting out of its published error
+    bound on EITHER engine flips a value and fails the hash compare.
+    tests/test_scalar_ext.py additionally pins the tighter per-value
+    errors Spark-side."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey", 0.02)
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_median = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        exact_parts.cast("long").alias("exact_parts"),
+        (
+            F.abs(approx_parts - exact_parts) / exact_parts < SKETCH_REL_BOUND
+        ).alias("hll_ok"),
+        (
+            F.abs(approx_median - exact_median) / exact_median < SKETCH_REL_BOUND
+        ).alias("tdigest_ok"),
     )
 
 
