@@ -817,11 +817,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first stage-N-1 event — the sequential-pattern query every product
     analytics stack runs.
 
-    Plan: three user_id-keyed min-aggregations chained by broadcast-able
-    per-user timestamps; the event scan is filtered per stage so each
-    pass reads one event type.  At 100 TB every stage is one partial-agg
-    shuffle on user_id, and the per-user timestamp tables (one row per
-    user) broadcast."""
+    Plan: three user_id-keyed min-aggregations chained by shuffle joins
+    on user_id; the event scan is filtered per stage so each pass reads
+    one event type.  The per-user timestamp tables are NOT hinted
+    broadcast: one-row-per-user relations scale with the corpus (billions
+    of users at 100 TB), the same corpus-correlated-broadcast class the
+    keep-canonical verdict removed.  Each stage's join key equals its
+    groupBy key, so the join shuffle is reused by the aggregation; AQE
+    may still locally elect a broadcast when the stage table is small."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter("event_type = 'view'")
@@ -830,14 +833,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.filter("event_type = 'click'")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.filter("event_type = 'purchase'")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -872,8 +875,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     every DAU/WAU dashboard.
 
     Plan: one distinct + one min-agg on user_id-keyed shuffles, then a
-    broadcast join of the (one-row-per-user) cohort table onto the
-    distinct activity set.  Day arithmetic stays integer; the cohort DATE
+    shuffle join of the (one-row-per-user) cohort table onto the distinct
+    activity set.  The cohort relation is deliberately NOT hinted
+    broadcast — one row per user scales with the corpus (billions of
+    users at 100 TB), the corpus-correlated-broadcast class the
+    keep-canonical verdict removed; AQE may still elect a broadcast when
+    the cohort is actually small.  Day arithmetic stays integer; the cohort DATE
     is emitted as an ISO string (both engines' DATE→pandas bridges
     normalize differently — the string is unambiguous)."""
     ev = load_table(spark, sf_dir, "events")
@@ -881,7 +888,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
     active = ev.select("user_id", day.alias("d")).distinct()
     return (
-        active.join(F.broadcast(cohort), "user_id")
+        active.join(cohort, "user_id")
         .groupBy(
             F.col("d0").cast("string").alias("cohort_day"),
             F.datediff("d", "d0").alias("day_offset"),

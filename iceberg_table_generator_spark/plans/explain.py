@@ -68,6 +68,38 @@ def has_operator(df: DataFrame, name: str) -> bool:
     return name in plan_text(df)
 
 
+def broadcast_subtrees(df: DataFrame) -> list[str]:
+    """The physical subtree under each BroadcastExchange, as text.
+
+    What feeds a broadcast decides whether the plan survives scale-up:
+    a broadcast of a `.limit(k)` / scalar aggregate / literal relation is
+    bounded by construction, while a broadcast of a corpus-correlated
+    relation (the `dedup_keep_canonical` r5 finding) blows the driver at
+    100 TB.  Parses the simple-mode tree: a node's subtree is every
+    following line whose tree-art indent is strictly deeper."""
+    text = plan_text(df, mode="simple")
+    lines = text.splitlines()
+
+    def depth(line: str) -> int:
+        # tree-art prefix: spaces and the :- +- | connectors
+        return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        sub: list[str] = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """Number of whole-stage codegen regions (wider regions = fewer ids)."""
     ids = set(re.findall(r"\[codegen id : (\d+)\]", plan_text(df, mode="simple")))
