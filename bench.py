@@ -59,7 +59,22 @@ HEADLINE = [
     "pipeline_pii_redaction",
     "join_skew_salted",
     "incremental_agg_maintenance",
+    # round-6 additions (r5 verdict task 3): every query family touched
+    # since r3 gets a bench guard, so perf regressions in the newest heavy
+    # operators are visible round-over-round.  Old-set comparability: the
+    # first 28 entries are unchanged — BENCH_NOTES_r6.md maps subtotals.
+    "similarity_ann_lsh",
+    "text_tfidf_topk",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_connected_components",
+    "wide_metrics_block_fold",
+    "events_session_window",
 ]
+
+# Number of entries in the pre-r6 headline set (for old-set subtotal
+# comparability across rounds; see BENCH_NOTES_r6.md).
+OLD_SET = 28
 
 
 def main() -> None:
@@ -93,6 +108,11 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_value": round(sum(cold.values()), 3),
+                # pre-r6 28-query subtotal: directly comparable to the
+                # "value" field of BENCH_r{1..5}.json
+                "old_set_value": round(
+                    sum(timings[n] for n in HEADLINE[:OLD_SET]), 3
+                ),
                 "sf": sf,
             }
         )

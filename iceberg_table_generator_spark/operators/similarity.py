@@ -295,6 +295,23 @@ def _sq_dist(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate `value` ONCE per row, then
+    reference it as a lambda variable inside `body`.
+
+    Why this exists (r6 bench finding): a higher-order function re-evaluates
+    every free subexpression of its lambda body on EVERY element iteration —
+    and CollapseProject re-inlines single-use column aliases, so hoisting an
+    expensive expression into `withColumn` does not protect it.  Embedding a
+    64-element DECIMAL(12,6) quantization inside a k-element centroid scan
+    therefore costs k×64 BigDecimal casts per row (measured ~4.6 ms/row for
+    the PQ encoder at m·k=128).  `transform(array(v), x -> body(x))[0]`
+    evaluates `v` exactly once as the HOF *argument* and binds it to a
+    lambda variable, which is a plain slot lookup on every use — the
+    expression-level equivalent of `let x = v in body`."""
+    return F.transform(F.array(value), body)[0]
+
+
 Centroids = list[tuple[int, list[float]]]
 
 
@@ -315,12 +332,18 @@ def _d2_structs(vec_col: str | Column, cents: Centroids) -> Column:
     centroid, computed inside one expression (no join, no shuffle).  The
     field order (d2 first) is load-bearing: array_min/array_sort compare
     structs lexicographically, so min = nearest centroid, ties broken by
-    the smaller cluster_id."""
-    return F.transform(
-        _centroid_structs(cents),
-        lambda c: F.struct(
-            _sq_dist(vec_col, c["centroid"]).alias("d2"),
-            c["cluster_id"].alias("cluster_id"),
+    the smaller cluster_id.  The vector is let-bound so a non-attribute
+    `vec_col` (e.g. an inlined quantization) evaluates once, not once per
+    centroid (see `_let`)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _let(
+        vec,
+        lambda v: F.transform(
+            _centroid_structs(cents),
+            lambda c: F.struct(
+                _sq_dist(v, c["centroid"]).alias("d2"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
         ),
     )
 
@@ -390,12 +413,19 @@ def _centroid_structs_int(cents: IntCentroids) -> Column:
 def _d2_structs_int(vec_col: str | Column, cents: IntCentroids) -> Column:
     """Per-row array<struct<d2:bigint, cluster_id:int>> against integer
     centroids — same lexicographic argmin/sort contract as `_d2_structs`,
-    but every comparison is exact integer math shared with the oracle."""
-    return F.transform(
-        _centroid_structs_int(cents),
-        lambda c: F.struct(
-            _sq_dist_int(vec_col, c["centroid"]).alias("d2"),
-            c["cluster_id"].alias("cluster_id"),
+    but every comparison is exact integer math shared with the oracle.
+    The (typically `_qint`-derived) vector is let-bound so its 64
+    DECIMAL(12,6) casts run once per row, not once per centroid
+    (see `_let`)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _let(
+        vec,
+        lambda v: F.transform(
+            _centroid_structs_int(cents),
+            lambda c: F.struct(
+                _sq_dist_int(v, c["centroid"]).alias("d2"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
         ),
     )
 
@@ -809,21 +839,33 @@ def _pq_codes(vec_col: str | Column, books: IntCodebooks) -> Column:
     4-byte-per-vector representation that makes a billion-vector index
     RAM-resident.  One packed-literal fold, zero shuffle, O(1) plan size
     in m×k×dim (packed_model_col).  Encoding is exact integer math over
-    the scale-6 quantized vector, so the oracle reproduces every code."""
-    sub_dim = len(books[0][0])
-    qv = _qint(vec_col)
+    the scale-6 quantized vector, so the oracle reproduces every code.
+
+    Evaluation strategy (r6 bench fix): the quantized vector and its m
+    subspace slices are let-bound (`_let`), so the 64 DECIMAL(12,6) casts
+    run once per row instead of once per (subspace, codeword) pair —
+    the inlined form cost m·k·dim ≈ 4096 BigDecimal casts/row, measured
+    ~4.6 ms/row at sf0.1."""
+    m, sub_dim = len(books), len(books[0][0])
     cb = packed_model_col(books, "array<array<array<bigint>>>")
-    return F.transform(
-        cb,
-        lambda mcb, m: F.array_min(
-            F.transform(
-                mcb,
-                lambda c, i: F.struct(
-                    _sq_dist_int(F.slice(qv, m * sub_dim + 1, sub_dim), c).alias("d2"),
-                    i.alias("code"),
-                ),
-            )
-        )["code"],
+    subs_of = lambda qv: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(qv, j * sub_dim + 1, sub_dim),
+    )
+    return _let(
+        _let(_qint(vec_col), subs_of),
+        lambda subs: F.transform(
+            cb,
+            lambda mcb, mi: F.array_min(
+                F.transform(
+                    mcb,
+                    lambda c, i: F.struct(
+                        _sq_dist_int(F.element_at(subs, mi + 1), c).alias("d2"),
+                        i.alias("code"),
+                    ),
+                )
+            )["code"],
+        ),
     )
 
 
@@ -834,10 +876,14 @@ def _pq_query_table(vec_col: str | Column, books: Codebooks) -> Column:
     a full d-dim dot product."""
     sub_dim = len(books[0][0])
     cb = packed_model_col(books, "array<array<array<double>>>")
-    return F.transform(
-        cb,
-        lambda mcb, m: F.transform(
-            mcb, lambda c: _sq_dist(F.slice(vec_col, m * sub_dim + 1, sub_dim), c)
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _let(
+        vec,
+        lambda v: F.transform(
+            cb,
+            lambda mcb, m: F.transform(
+                mcb, lambda c: _sq_dist(F.slice(v, m * sub_dim + 1, sub_dim), c)
+            ),
         ),
     )
 
