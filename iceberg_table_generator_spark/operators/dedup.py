@@ -512,6 +512,17 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 # min_s((a_i·(h mod P)+b_i) mod P) — every product stays below 2^60, and
 # the FULL pipeline (signature → banding → candidates → exact-Jaccard
 # verify) is oracle-paired.
+#
+# Universe-width bias bound (r5 advice): reducing the 60-bit shingle hash
+# mod P (~2^30 universe) before the min adds ~|A|·|B|/P cross-doc collision
+# probability per pair — two docs with 500 shingles each pick up ≤ ~2.5e-4
+# extra match probability per permutation, biasing the Jaccard ESTIMATE
+# slightly upward and inflating the LSH candidate set by the same order.
+# OUTPUT stays exact (candidates are exact-Jaccard verified); the cost is
+# a few extra verified-and-rejected candidates.  If candidate inflation
+# ever matters at 100 TB, switch to a 61-bit Mersenne scheme (P = 2^61−1
+# with split multiply-mod, or two independent 30-bit hashes) to widen the
+# universe; both engines can express the split multiply in BIGINT.
 MH_P = 1_000_000_007
 MH_A = [(2654435761 * (i + 1)) % MH_P for i in range(N_PERM)]
 MH_B = [(1779033703 * (i + 1) + 104729) % MH_P for i in range(N_PERM)]

@@ -67,11 +67,21 @@ def _build_once(path: str, build: Callable[[], None], timeout_s: float = 300.0) 
     instead of spinning out the full timeout.  The holder's PID is written
     into the lock so a hard-killed builder (e.g. Spark OOM) leaves a
     detectably-stale lock that the next caller removes; without that, a
-    dead lock would block every future run until deleted by hand.  (The
-    dead-PID unlink has a benign race — two waiters may both see the stale
-    lock and one unlink can remove a lock a third process just re-acquired
-    — acceptable for a test fixture whose build() starts with a wipe and
-    whose writers are idempotent.)"""
+    dead lock would block every future run until deleted by hand.
+
+    Stale-lock claiming (ADVICE r5): a stale lock is claimed by ATOMIC
+    RENAME to a waiter-unique name, not unlinked in place — rename
+    succeeds for exactly one waiter, and the claimed file's inode is
+    compared against the inode observed when the dead PID was read, so a
+    lock a third process re-acquired in the window is detected and
+    renamed straight back instead of destroyed.  Two residual holes are
+    accepted and documented: (a) the restore-rename could clobber a lock
+    created in the microseconds after our claim — strictly rarer than
+    the unlink race it replaces, and build() starts with a wipe so the
+    worst case stays an idempotent double build; (b) a RECYCLED pid can
+    make a genuinely stale lock look alive, which parks waiters until
+    the TimeoutError below — the error message names the lock file so
+    the operator can remove it by hand."""
     ready = os.path.join(path, _READY_MARKER)
     lock = path + ".lock"
     deadline = time.monotonic() + timeout_s
@@ -81,16 +91,25 @@ def _build_once(path: str, build: Callable[[], None], timeout_s: float = 300.0) 
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            pid = 0
+            pid, ino = 0, None
             try:
+                ino = os.stat(lock).st_ino
                 with open(lock, encoding="utf-8") as f:
                     pid = int(f.read().strip() or "0")
             except (OSError, ValueError):
                 pass  # lock vanished or not yet written — loop re-checks
-            if pid and not _pid_alive(pid):
+            if pid and ino is not None and not _pid_alive(pid):
+                claim = f"{lock}.stale.{os.getpid()}"
                 try:
-                    os.unlink(lock)
-                except FileNotFoundError:
+                    os.rename(lock, claim)  # one waiter wins the claim
+                except OSError:
+                    continue  # another waiter claimed it first
+                try:
+                    if os.stat(claim).st_ino == ino:
+                        os.unlink(claim)  # the stale lock we actually read
+                    else:
+                        os.rename(claim, lock)  # raced a fresh holder: restore
+                except OSError:
                     pass
                 continue  # straight back to acquisition
             if time.monotonic() >= deadline:

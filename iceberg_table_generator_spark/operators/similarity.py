@@ -191,6 +191,14 @@ def _bucket_array(vec_col: str | Column, dim: int) -> Column:
 # products in the same order as `_dot` (proven by the exact-cosine oracle),
 # so even the >=0 sign tests agree bit for bit and the ENTIRE approximate
 # pipeline (signatures → bucket join → exact rerank) is oracle-paired.
+#
+# Version-drift guard (r5 advice): the >=0 sign test has no rounding mask,
+# so this pairing assumes DuckDB keeps sequential list_sum folding (true
+# of every version probed, incl. the pinned one).  If a future DuckDB
+# switched to pairwise summation, only a |dot| within ~2.6e-13 of zero
+# could flip; test_lsh_sign_margin_above_reorder_noise pins the corpus
+# minimum |dot| > 1e-9 (observed ≥ 1.8e-6 at sf0.1), so any silent margin
+# erosion fails loudly before a reorder could ever matter.
 _LSH_DIM = 64
 _PLANE_ROWS = ", ".join(
     f"({t}, {p}, [{', '.join(str(float(_plane_weight(t, p, d))) for d in range(_LSH_DIM))}])"

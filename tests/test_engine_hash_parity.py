@@ -15,6 +15,7 @@ from __future__ import annotations
 import random
 import string
 
+import pytest
 import duckdb
 import pyspark.sql.functions as F
 
@@ -139,3 +140,46 @@ def test_integer_mean_formula_matches_oracle_sql():
             (Decimal(s) / Decimal(n)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
         assert _round_half_away(s, n) == want, (s, n)
+
+
+@pytest.mark.parametrize("sf_fixture", ["sf_small", "sf_medium"])
+def test_lsh_sign_margin_above_reorder_noise(spark, sf_fixture, request):
+    """The ANN-LSH oracle pairing rests on DuckDB's `list_sum` folding the
+    hyperplane dot products in `_dot`'s sequential order; unlike the
+    cosine outputs (rounded to 6 decimals), the `>= 0` sign test has no
+    rounding mask, so a future DuckDB switching to pairwise/reordered
+    summation could in principle flip a NEAR-ZERO dot's bucket bit.
+
+    Guard: the minimum |vec · plane| across every (vector, table, plane)
+    must clear the worst-case summation-REORDERING error by orders of
+    magnitude.  For n=64 terms with |term| ≤ max|x_i| (±1 plane weights),
+    any summation order differs from sequential by at most
+    ~n·eps·Σ|terms| ≈ 64 · 1.1e-16 · 64·0.6 ≈ 2.6e-13.  Observed minima
+    are ≥ 1.8e-6 at every SF (≥ 10^7× margin); assert > 1e-9 so a silent
+    data or plane-scheme change that narrows the margin fails loudly."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _LSH_DIM, _dot, _plane_matrix,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    sf_dir = request.getfixturevalue(sf_fixture)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("vec")
+    )
+    min_abs_dot = (
+        emb.select(
+            F.array_min(
+                F.flatten(
+                    F.transform(
+                        _plane_matrix(_LSH_DIM),
+                        lambda tw: F.transform(
+                            tw, lambda p: F.abs(_dot("vec", p))
+                        ),
+                    )
+                )
+            ).alias("m")
+        )
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    assert min_abs_dot > 1e-9, min_abs_dot
