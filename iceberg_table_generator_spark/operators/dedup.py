@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -135,20 +135,26 @@ def dedup_ngram_jaccard(
     That is the standard contract of stop-shingle filtering.  The default
     cap sits far above any df at oracle scale, so nothing is capped there
     and the driver check stays exact."""
-    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
     # Set size rides along from the array (F.size) — no count aggregation,
     # no post-join back to a counts table.  The index key is the xxhash64
     # of the shingle: an 8-byte shuffle key instead of a ~20-byte string; a
     # 64-bit collision would need ~2^32 distinct shingles to matter.
-    # Materialized once (localCheckpoint): the hot-shingle pass and the
-    # posting-list build both consume it, and re-deriving it would re-run
-    # tokenization+shingling per consumer — the same conscious
-    # write-the-intermediate trade a shuffle makes.
+    # Materialized once — persist(DISK_ONLY), not localCheckpoint: the
+    # hot-shingle pass and the posting-list build both consume it, and
+    # re-deriving it would re-run tokenization+shingling per consumer —
+    # the same conscious write-the-intermediate trade a shuffle makes.
+    # This relation is CORPUS-sized (one row per posting), so the
+    # embedding-cosine r5 rationale applies verbatim: a localCheckpoint
+    # pins it in executor-local storage with truncated lineage — one lost
+    # executor fails a 100 TB run — while DISK_ONLY persist keeps the
+    # recompute-avoidance, stays recomputable, and keeps corpus-sized
+    # blocks out of executor heap.
     sh = d.select(
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.DISK_ONLY)
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -437,20 +443,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The small pair-set checkpoints in the CC loop above are fine — they
     # are bounded by the candidate-pair relation, not the corpus.
     #
-    # The repartition spreads the persisted working set across the
-    # cluster BEFORE the verify stage: the exact-cosine join pipelines
-    # over these partitions (the probe side broadcasts or co-shuffles),
-    # so its parallelism is exactly this partition count.  A single
-    # parquet file otherwise yields ONE partition and a serial verify —
-    # measured 12 s vs 1.5 s at sf0.1 on local[32].  At 100 TB this is
-    # one even-width pass over the (dim × 4-byte) embedding relation —
-    # orders of magnitude smaller than the text corpus — and the persist
-    # materializes it anyway.
-    n_part = spark.sparkContext.defaultParallelism
-    clustered = (
-        assigned.withColumn("ang", ang)
-        .repartition(n_part)
-        .persist(StorageLevel.DISK_ONLY)
+    # spread() widens the persisted working set BEFORE the verify stage:
+    # the exact-cosine join pipelines over these partitions (the probe
+    # side broadcasts or co-shuffles), so its parallelism is exactly this
+    # partition count.  A single parquet file otherwise yields ONE
+    # partition and a serial verify — measured 12 s vs 4 s at sf0.1 on
+    # local[32]; at real scale the scan is already split and spread() is
+    # a no-op.
+    clustered = spread(assigned.withColumn("ang", ang)).persist(
+        StorageLevel.DISK_ONLY
     )
     radii = {
         r.cluster_id: r.r
@@ -615,7 +616,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output.  At 100 TB: signatures are constant-size per doc; band buckets
     bound candidates; a hot bucket (boilerplate shingles) is handled by
     salting the band key or capping bucket size."""
-    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
     # Hash IN-ROW (transform over the shingle array) and explode the 8-byte
     # longs — exploding the raw ~30-byte shingle strings costs ~3× the
     # whole signature stage (measured r5; the explode dominates, not the
@@ -735,7 +736,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent (md5-prefix token hashes), so the full pipeline is
     DuckDB-oracle-paired since r5.  At 100 TB the fingerprint is 8
     bytes/doc and candidates are bounded by chunk-bucket sizes."""
-    d = tokenize(load_table(spark, sf_dir, "documents"))
+    d = tokenize(spread(load_table(spark, sf_dir, "documents")))
     fp = simhash(d)
     chunks = fp.select(
         "doc_id",

@@ -19,10 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 CHUNK_SIZE = 64  # tokens per chunk
 CHUNK_STRIDE = 48  # tokens between chunk starts (CHUNK_SIZE-48 = 16 overlap)
@@ -128,16 +129,21 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     common 3-gram multiplies |corpus postings| × |bench postings| and the
     join output goes quadratic (measured 29s → ~5s at sf0.1).  The oracle
     applies the identical cap, so the check stays exact at every SF.  The
-    hashed index is localCheckpointed once: the hot-set pass, the corpus
-    side, and the bench side all reuse it instead of re-tokenizing."""
+    hashed index is persisted (DISK_ONLY) once: the hot-set pass, the
+    corpus side, and the bench side all reuse it instead of
+    re-tokenizing."""
     from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
 
-    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
+    # persist(DISK_ONLY), not localCheckpoint: corpus-sized relation — see
+    # the identical fault-tolerance rationale on dedup_ngram_jaccard's
+    # posting stream (truncated-lineage localCheckpoint blocks are not
+    # recomputable after executor loss at 100 TB).
     sh = d.select(
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("h"),
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.DISK_ONLY)
     hot = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))

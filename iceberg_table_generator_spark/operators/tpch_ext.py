@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.relational import DEC, dsum
 from iceberg_table_generator_spark.registry import query
@@ -691,7 +692,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.col("o_orderdate") + F.make_interval(days=F.lit(90))
             ).alias("late"),
         )
-        .localCheckpoint(eager=True)  # reused by the per-line and per-order passes
+        # DISK_ONLY persist, not localCheckpoint: this relation is
+        # lineitem-sized — truncated-lineage localCheckpoint blocks are
+        # not recomputable after executor loss at 100 TB, while the
+        # persist keeps the write-once/read-twice trade fault-tolerant.
+        .persist(StorageLevel.DISK_ONLY)  # reused by per-line and per-order passes
     )
     per_order = l_ext.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
         F.countDistinct("l_suppkey").alias("n_supps"),
