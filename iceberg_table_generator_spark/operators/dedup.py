@@ -261,20 +261,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence flag rides INSIDE the checkpointed relation (the
+        # old label is on the join's left side already), so counting the
+        # changed rows is a filter over the checkpoint — no third
+        # per-round join of new labels back to old ones.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     if changed != 0:
