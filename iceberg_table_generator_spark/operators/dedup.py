@@ -555,6 +555,42 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_keys(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
+    """(doc_id, band_id, band_hash) — every LSH band key of every document,
+    via the engine-independent md5-60 minhash pipeline (constants above).
+
+    The shared candidate-generation core: the batch query self-joins this
+    relation, the streaming near-dedup (streaming/neardup.py) joins a
+    micro-batch's keys against its history store.  Documents with fewer
+    than 3 tokens have no shingles, hence NO band rows — callers must
+    treat keylessness as "cannot be a near-dup" (the batch self-join and
+    the streaming anti-join both do so naturally).
+
+    Hash IN-ROW (transform over the shingle array) and explode the 8-byte
+    longs — exploding the raw ~30-byte shingle strings costs ~3× the
+    whole signature stage (measured r5; the explode dominates, not the
+    hash)."""
+    d = docs if pre_shingled else shingles(tokenize(docs))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: _md5_60(s) % MH_P)).alias("h"),
+    )
+    sig = minhash_signatures(sh)
+    band_cols = [
+        _band_fold(
+            [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.selectExpr(
+        "doc_id",
+        "stack({}, {}) AS (band_id, band_hash)".format(
+            N_BANDS, ", ".join(f"{b}, band_{b}" for b in range(N_BANDS))
+        ),
+    )
+
+
 def _band_fold(cols: list[Column]) -> Column:
     """Combine a band's row-minima into one join key with the same base-31
     fold (collisions only ADD candidates, which exact verification then
@@ -619,28 +655,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound candidates; a hot bucket (boilerplate shingles) is handled by
     salting the band key or capping bucket size."""
     d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
-    # Hash IN-ROW (transform over the shingle array) and explode the 8-byte
-    # longs — exploding the raw ~30-byte shingle strings costs ~3× the
-    # whole signature stage (measured r5; the explode dominates, not the
-    # hash).
-    sh = d.select(
-        "doc_id",
-        F.explode(F.transform("shingles", lambda s: _md5_60(s) % MH_P)).alias("h"),
-    )
-    sig = minhash_signatures(sh)
-    band_cols = [
-        _band_fold(
-            [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        ).alias(f"band_{b}")
-        for b in range(N_BANDS)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    bands = banded.selectExpr(
-        "doc_id",
-        "stack({}, {}) AS (band_id, band_hash)".format(
-            N_BANDS, ", ".join(f"{b}, band_{b}" for b in range(N_BANDS))
-        ),
-    )
+    bands = minhash_band_keys(d, pre_shingled=True)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

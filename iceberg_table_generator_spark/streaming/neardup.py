@@ -1,0 +1,114 @@
+"""Streaming incremental NEAR-dedup (MinHash-LSH) via foreachBatch.
+
+The streaming exact dedup (streaming/dedup.py) only drops byte-identical
+re-arrivals; a training-data ingest stream also needs the near-duplicates
+— boilerplate re-crawls, templated mirrors — filtered AGAINST HISTORY.
+This is the streaming tier of the batch MinHash-LSH operator
+(operators/dedup.py::dedup_minhash_lsh): the SAME engine-independent
+signature pipeline (md5-60 shingle hash → 64-perm minhash → 16 band
+keys), with the band keys of every KEPT document accumulated in a store.
+
+Per micro-batch:
+
+  batch → band keys (operators.dedup.minhash_band_keys)
+        → drop docs whose ANY band key hits the history store
+        → in-batch one-pass rule: drop a doc if any of its band buckets
+          contains a smaller doc_id
+        → append survivors to output, their band keys to the store
+
+Semantics — the standard ONE-PASS LSH-prefilter contract, stated
+honestly: a dropped doc always shares a band bucket (i.e. is an LSH
+candidate near-dup) with some smaller-id doc, and chains terminate at a
+kept representative, but unlike the batch connected-components operator
+the rule is not transitive — a cluster whose members never share a
+bucket with the cluster minimum can keep more than one representative,
+and candidates are NOT exact-Jaccard verified (LSH false positives are
+dropped too).  Streams that need transitive keep-min clusters run the
+batch CC operator over the accumulated corpus; this stage is the cheap
+always-on prefilter in front of it.
+
+Scale posture: the store holds (band_id, 8-byte band_hash) keys per kept
+doc — 16 longs per document, no text; the history check is an equi-join
+on (band_id, band_hash), co-partitionable by bucketing the store.  A hot
+bucket (boilerplate band shared by millions of docs) is bounded on the
+store side by keeping ONE exemplar row per (band_id, band_hash) — a
+bucket's first kept doc is enough to condemn every later arrival.  The
+same non-transactional parquet-append caveat as streaming/dedup.py
+applies; production uses an ACID sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def near_dedup_batch_verdict(batch_df: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """The per-batch keep/drop decision as a pure DataFrame transform:
+    returns (doc_id, keep) for every input doc.  Split out from the sink
+    so tests can assert the rule batch-side without a stream."""
+    from iceberg_table_generator_spark.operators.dedup import minhash_band_keys
+
+    bk = minhash_band_keys(batch_df)
+    # history hits: any band key already in the store
+    hist_hits = (
+        bk.join(seen.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        .select("doc_id")
+        .distinct()
+        if seen is not None
+        else None
+    )
+    # in-batch one-pass rule: a doc loses every bucket owned by a smaller id
+    owner = bk.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("min_doc"))
+    batch_hits = (
+        bk.join(owner, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+    drops = (
+        batch_hits if hist_hits is None else batch_hits.unionByName(hist_hits)
+    ).distinct()
+    return batch_df.select("doc_id").join(
+        drops.withColumn("keep", F.lit(False)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("keep", F.lit(True)).alias("keep"))
+
+
+def incremental_near_dedup(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Start the near-dedup stream; returns the StreamingQuery handle."""
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from iceberg_table_generator_spark.operators.dedup import minhash_band_keys
+
+        seen = spark.read.parquet(store_dir) if os.path.isdir(store_dir) else None
+        verdict = near_dedup_batch_verdict(batch_df, seen)
+        keep_ids = verdict.filter("keep").select("doc_id")
+        # Materialize once: output rows and store keys must agree.
+        kept = batch_df.join(keep_ids, "doc_id").localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(out_dir)
+        # One exemplar row per bucket bounds the store under boilerplate:
+        # the first kept doc of a bucket condemns every later arrival.
+        new_keys = (
+            minhash_band_keys(kept)
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if seen is not None:
+            new_keys = new_keys.join(seen, ["band_id", "band_hash"], "left_anti")
+        new_keys.write.mode("append").parquet(store_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
