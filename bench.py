@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_connected_components",
     "wide_metrics_block_fold",
     "events_session_window",
+    "similarity_cosine_topk_vectorized",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -20,8 +20,11 @@ k-means block comment).  Recall is additionally asserted against the exact
 path in tests/test_similarity.py.
 
 All vector math is JVM-side (`zip_with`/`aggregate` fold) — no Python in the
-hot path.  Floats are cast to double BEFORE any arithmetic so Spark and the
-oracle compute on identical values in identical order.
+hot path — with ONE deliberate exception: `similarity_cosine_topk_vectorized`
+demonstrates the Arrow-batched alternative (numpy int64 GEMM inside
+mapInPandas), kept oracle-paired by integer exactness rather than float
+fold order.  Floats are cast to double BEFORE any arithmetic so Spark and
+the oracle compute on identical values in identical order.
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 N_QUERIES = 20  # vec_id < 20 form the query set
 TOP_K = 5
@@ -1102,4 +1105,116 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, j) -> acc + vec[j-1] * "
             "cast(((out_dim * 31 + j * 17) % 2) * 2 - 1 as double))"
         ).alias("val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact cosine top-k, Arrow-vectorized (integer GEMM inside mapInPandas)
+# --------------------------------------------------------------------------
+# The other implementation strategy for the brute-force scorer: instead of
+# a JVM expression fold per pair, ship Arrow batches of quantized vectors
+# into numpy and score a whole batch against the whole query set with ONE
+# int64 matrix multiply.  Oracle-pairable precisely BECAUSE the dot is
+# integer: int64 GEMM is exact and order-free, so DuckDB's sequential
+# integer list_sum lands on the identical dot product, and the only float
+# ops (sqrt of an exact int, one multiply, one divide) are correctly
+# rounded IEEE ops on identical inputs on both engines.  A float GEMM
+# could NOT be paired — numpy's pairwise summation orders differently
+# than any SQL fold (the same reason the LSH sign test pins sequential
+# list_sum, see the version-drift guard above).
+_VCOS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+q0 AS (
+  SELECT vec_id,
+         list_transform(vec,
+             x -> CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS qv
+  FROM v),
+n AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM q0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
+                                      i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+           / (q.nrm * c.nrm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("similarity_cosine_topk_vectorized", oracle=_VCOS_ORACLE)
+def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched integer GEMM (mapInPandas).
+
+    Same contract as `similarity_cosine_topk` but over DECIMAL(12,6)-
+    quantized vectors (sims differ from the raw-double variant only at
+    ~1e-6): each Arrow batch of candidate vectors is scored against the
+    whole query set with one numpy int64 matmul — exact, order-free —
+    and only the per-batch top-k per query leaves Python (k rows per
+    query per batch).  The query set is bounded (vec_id < N_QUERIES) and
+    collected once, the established model-parameter premise of the
+    similarity family; at 100 TB the candidate scan is embarrassingly
+    parallel and the final rank is the (n_queries × k·batches)-bounded
+    window.  This is the plumbing pattern for every "score the corpus
+    against a small model" stage where the kernel wants BLAS, with the
+    cross-engine exactness coming from integer arithmetic rather than
+    from hoping two engines order float sums identically."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _qint("vec").alias("qv"))
+        .orderBy("vec_id")
+        .collect()  # bounded by N_QUERIES — model-parameter-sized
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r.qv) for r in q_rows], dtype=np.int64)
+    qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    k = TOP_K
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            B = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            # exact int64 GEMM: |dot| <= dim * (1.2e6)^2 ~ 9e13 << 2^63
+            S = B @ Q.T
+            bn = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            # operation order matches the oracle: double(dot) / (qn * bn)
+            sims = S.astype(np.float64) / (qn[None, :] * bn[:, None])
+            outq, outn, outs = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]
+                cids, csims = ids[mask], col[mask]
+                # local top-k, ties broken by ascending neighbor_id
+                order = np.lexsort((cids, -csims))[:k]
+                outq.extend([q_ids[j]] * len(order))
+                outn.extend(cids[order])
+                outs.extend(csims[order])
+            yield pd.DataFrame(
+                {"query_id": outq, "neighbor_id": outn, "sim": outs}
+            )
+
+    cand = spread(emb.select("vec_id", _qint("vec").alias("qv")))
+    local = cand.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )

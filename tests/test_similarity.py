@@ -120,3 +120,26 @@ def test_pq_encode_zero_shuffle(spark, sf_small):
     coded = emb.select("vec_id", similarity._pq_codes("vec", books).alias("codes"))
     assert explain.exchange_count(coded) == 0
     assert explain.join_kinds(coded)["BroadcastNestedLoopJoin"] == 0
+
+
+def test_vectorized_cosine_matches_fold_variant(spark, sf_small):
+    """The Arrow/int64-GEMM scorer and the JVM-fold scorer differ only by
+    DECIMAL(12,6) quantization (~1e-6 in sim): their top-k NEIGHBOR SETS
+    must agree almost everywhere (rank flips require two sims within 1e-6
+    of each other)."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        similarity_cosine_topk,
+        similarity_cosine_topk_vectorized,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_cosine_topk(spark, sf_small).collect()
+    }
+    vec = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_cosine_topk_vectorized(spark, sf_small).collect()
+    }
+    assert len(vec) == len(exact)
+    overlap = len(exact & vec) / len(exact)
+    assert overlap >= 0.95, overlap
