@@ -609,7 +609,9 @@ _SQL_SHINGLES = """
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
     END"""
 
-_MINHASH_ORACLE = f"""
+# Shared CTE chain: documents -> (doc_id, band_id, bk) — the SQL twin of
+# `minhash_band_keys`, reused by the pair query and the one-pass verdict.
+_SQL_BANDS_CTE = f"""
 WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM tok),
 hs AS (SELECT doc_id, {_sql_md5_60('s')} % {MH_P} AS h FROM sh),
@@ -621,7 +623,9 @@ bands AS (
   SELECT doc_id, i // {ROWS_PER_BAND} AS band_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
                      (acc, x) -> (acc * 31 + x) % {MH_P}) AS bk
-  FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND}),
+  FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND})"""
+
+_MINHASH_ORACLE = f"""{_SQL_BANDS_CTE},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -681,6 +685,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+# --------------------------------------------------------------------------
+# One-pass LSH dedup verdict (the streaming ingest rule, batch-checkable)
+# --------------------------------------------------------------------------
+_ONE_PASS_ORACLE = f"""{_SQL_BANDS_CTE},
+owner AS (
+  SELECT band_id, bk, min(doc_id) AS min_doc
+  FROM bands GROUP BY band_id, bk),
+loses AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN owner o ON b.band_id = o.band_id AND b.bk = o.bk
+  WHERE b.doc_id > o.min_doc)
+SELECT d.doc_id,
+       d.doc_id NOT IN (SELECT doc_id FROM loses) AS keep
+FROM documents d
+"""
+
+
+@query("dedup_one_pass_verdict", oracle=_ONE_PASS_ORACLE)
+def dedup_one_pass_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest near-dedup rule (streaming/neardup.py), run
+    over a whole corpus as one batch with no history — oracle-paired so
+    the exact keep/drop decision the stream makes is hash-checked against
+    DuckDB, not just pytest-asserted.
+
+    Rule: a doc is kept iff it is the minimum doc_id of EVERY LSH band
+    bucket it belongs to (docs too short to shingle have no buckets and
+    are always kept).  One-pass semantics — chains terminate at a kept
+    representative, but the rule is deliberately not transitive; the
+    batch CC operator is the transitive tier (full contract in
+    streaming/neardup.py)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return near_dedup_batch_verdict(docs, None)
+
+
+def near_dedup_batch_verdict(batch_df: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """Per-batch keep/drop decision of the streaming near-dedup: returns
+    (doc_id, keep) for every input doc.  `seen` is the history store of
+    (band_id, band_hash) keys from previously kept docs (None = empty).
+    Pure relational algebra over `minhash_band_keys`, so the no-history
+    case is DuckDB-oracle-paired via `dedup_one_pass_verdict`."""
+    bk = minhash_band_keys(batch_df)
+    # history hits: any band key already in the store
+    hist_hits = (
+        bk.join(seen.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        .select("doc_id")
+        .distinct()
+        if seen is not None
+        else None
+    )
+    # in-batch one-pass rule: a doc loses every bucket owned by a smaller id
+    owner = bk.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("min_doc"))
+    batch_hits = (
+        bk.join(owner, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id")
+        .distinct()
+    )
+    drops = (
+        batch_hits if hist_hits is None else batch_hits.unionByName(hist_hits)
+    ).distinct()
+    return (
+        batch_df.select("doc_id")
+        .join(drops.withColumn("keep", F.lit(False)), "doc_id", "left")
+        .select("doc_id", F.coalesce("keep", F.lit(True)).alias("keep"))
+    )
 
 
 # --------------------------------------------------------------------------

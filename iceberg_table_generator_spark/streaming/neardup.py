@@ -46,35 +46,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
-def near_dedup_batch_verdict(batch_df: DataFrame, seen: DataFrame | None) -> DataFrame:
-    """The per-batch keep/drop decision as a pure DataFrame transform:
-    returns (doc_id, keep) for every input doc.  Split out from the sink
-    so tests can assert the rule batch-side without a stream."""
-    from iceberg_table_generator_spark.operators.dedup import minhash_band_keys
-
-    bk = minhash_band_keys(batch_df)
-    # history hits: any band key already in the store
-    hist_hits = (
-        bk.join(seen.select("band_id", "band_hash"), ["band_id", "band_hash"])
-        .select("doc_id")
-        .distinct()
-        if seen is not None
-        else None
-    )
-    # in-batch one-pass rule: a doc loses every bucket owned by a smaller id
-    owner = bk.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("min_doc"))
-    batch_hits = (
-        bk.join(owner, ["band_id", "band_hash"])
-        .filter(F.col("doc_id") > F.col("min_doc"))
-        .select("doc_id")
-        .distinct()
-    )
-    drops = (
-        batch_hits if hist_hits is None else batch_hits.unionByName(hist_hits)
-    ).distinct()
-    return batch_df.select("doc_id").join(
-        drops.withColumn("keep", F.lit(False)), "doc_id", "left"
-    ).select("doc_id", F.coalesce("keep", F.lit(True)).alias("keep"))
+# The per-batch keep/drop rule lives with the other dedup relational
+# algebra (and its DuckDB oracle) in operators/dedup.py; re-exported here
+# because it is this sink's decision procedure.
+from iceberg_table_generator_spark.operators.dedup import (  # noqa: E402,F401
+    near_dedup_batch_verdict,
+)
 
 
 def incremental_near_dedup(
