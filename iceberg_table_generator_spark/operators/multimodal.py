@@ -221,3 +221,103 @@ def sample_frame_features(media: DataFrame, fake_decode: bool = True) -> DataFra
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "features"])
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Payload chunk-hash near-dedup (media-level duplicate detection)
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 256  # fixed-width chunks; real media dedup uses CDC boundaries
+CHUNK_CONTAINMENT = 0.5  # pairs sharing >= 50% of the smaller side's chunks
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS byte_len FROM documents
+  WHERE length(text) > 0),
+ch AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(0, CAST(ceil(byte_len / {CHUNK_BYTES}.0) AS INT) - 1),
+             i -> md5(substring(text, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))))) AS h
+  FROM p),
+cnt AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_chunks
+  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.shared_chunks AS BIGINT) AS shared_chunks,
+       round(p.shared_chunks * 1.0 / least(ca.n, cb.n), 6) AS containment
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+WHERE p.shared_chunks * 1.0 / least(ca.n, cb.n) >= {CHUNK_CONTAINMENT}
+"""
+
+
+@query("multimodal_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-payload near-dedup by chunk-hash containment: payloads are
+    split into fixed {CHUNK_BYTES}-byte chunks, each chunk is md5-hashed,
+    and payload pairs sharing >= 50% of the smaller side's distinct
+    chunks are reported — the storage-level duplicate detector (re-uploads,
+    re-encodes with identical leading content, partial copies) that runs
+    BEFORE any media decode, on bytes alone.
+
+    The whole pipeline is chunk-hash relational algebra: in-row chunking
+    (transform over a sequence of byte offsets; `substring` slices the
+    BINARY payload), one explode, inverted-index self-join on the 16-byte
+    digest — only genuinely overlapping pairs materialize, the same
+    posting-list shape as the text dedup family.  At 100 TB the shuffle
+    carries (doc_id, digest) only; payload bytes never leave the scan.
+    Fixed-width chunking is the honest simplification — production media
+    dedup uses content-defined chunking so INSERTIONS don't shift every
+    later boundary; the relational skeleton downstream of the chunker is
+    identical.
+
+    Oracle exactness: the synthetic payload is `encode(text, 'UTF-8')`
+    (attach_payload) and the corpus is pure ASCII at every SF (asserted
+    in tests), so DuckDB's CHARACTER-offset substring over the text
+    produces byte-identical chunks to Spark's byte-offset substring over
+    the payload, and both engines' md5 agree."""
+    from iceberg_table_generator_spark.sources.tables import spread
+
+    p = attach_payload(spread(load_table(spark, sf_dir, "documents"))).filter(
+        F.col("byte_len") > 0
+    )
+    n_chunks = F.ceil(F.col("byte_len") / F.lit(float(CHUNK_BYTES))).cast("int")
+    ch = p.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.md5(
+                        F.substring("payload", i * CHUNK_BYTES + 1, CHUNK_BYTES)
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+    cnt = ch.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ch.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ch.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared_chunks") / F.least("na", "nb"), 6),
+        )
+        .filter(
+            F.col("shared_chunks") / F.least("na", "nb") >= CHUNK_CONTAINMENT
+        )
+        .select("doc_a", "doc_b", "shared_chunks", "containment")
+    )

@@ -74,3 +74,63 @@ def test_frame_features_match_frame_index(spark, sf_small):
     again = {(r.doc_id, r.frame_idx): r.features for r in sample_frame_features(media).collect()}
     for r in feats:
         assert again[(r.doc_id, r.frame_idx)] == r.features
+
+
+def test_chunk_dedup_ascii_precondition(spark, sf_small, sf_medium):
+    """The chunk-dedup oracle recomputes BYTE chunks via DuckDB's
+    CHARACTER-offset substring — sound only while the corpus is pure
+    ASCII.  Pin the precondition so a future testdata change fails here
+    with a clear message instead of as an oracle hash-mismatch."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    for sf in (sf_small, sf_medium):
+        bad = (
+            load_table(spark, sf, "documents")
+            .filter(F.octet_length(F.col("text")) != F.length(F.col("text")))
+            .count()
+        )
+        assert bad == 0, (
+            f"{sf}: {bad} non-ASCII documents — the multimodal_chunk_dedup "
+            "oracle's char-offset/byte-offset equivalence no longer holds"
+        )
+
+
+def test_chunk_dedup_pair_recomputable_from_bytes(spark, sf_small):
+    """Take one reported pair and recompute its chunk overlap directly
+    from the raw text bytes driver-side — the operator's shared count and
+    containment must match the ground truth exactly."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.multimodal import (
+        CHUNK_BYTES,
+        multimodal_chunk_dedup,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    out = multimodal_chunk_dedup(spark, sf_small)
+    rows = out.orderBy("doc_a", "doc_b").limit(1).collect()
+    assert rows, "fixture yields no chunk-sharing pairs — test is vacuous"
+    pair = rows[0]
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id").isin(pair.doc_a, pair.doc_b))
+        .collect()
+    }
+
+    def chunk_set(text: str) -> set[str]:
+        raw = text.encode("utf-8")
+        return {
+            hashlib.md5(raw[i : i + CHUNK_BYTES]).hexdigest()
+            for i in range(0, len(raw), CHUNK_BYTES)
+        }
+
+    sa, sb = chunk_set(texts[pair.doc_a]), chunk_set(texts[pair.doc_b])
+    shared = len(sa & sb)
+    assert pair.shared_chunks == shared
+    assert abs(pair.containment - shared / min(len(sa), len(sb))) < 1e-6
