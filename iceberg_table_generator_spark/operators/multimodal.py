@@ -228,6 +228,7 @@ def sample_frame_features(media: DataFrame, fake_decode: bool = True) -> DataFra
 # --------------------------------------------------------------------------
 CHUNK_BYTES = 256  # fixed-width chunks; real media dedup uses CDC boundaries
 CHUNK_CONTAINMENT = 0.5  # pairs sharing >= 50% of the smaller side's chunks
+CHUNK_DF_CAP = 50  # chunks in more payloads than this are boilerplate blocks
 
 _CHUNK_DEDUP_ORACLE = f"""
 WITH p AS (
@@ -240,9 +241,11 @@ ch AS (
              i -> md5(substring(text, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))))) AS h
   FROM p),
 cnt AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
+hot AS (SELECT h FROM ch GROUP BY h HAVING count(*) > {CHUNK_DF_CAP}),
+cold AS (SELECT * FROM ch WHERE h NOT IN (SELECT h FROM hot)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_chunks
-  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT p.doc_a, p.doc_b,
        CAST(p.shared_chunks AS BIGINT) AS shared_chunks,
@@ -274,6 +277,17 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     later boundary; the relational skeleton downstream of the chunker is
     identical.
 
+    Boilerplate-block guard: chunks present in more than CHUNK_DF_CAP
+    payloads (zero-padding blocks, container-format headers — every real
+    media corpus has them) are dropped from the inverted index before the
+    self-join, exactly like the text family's stop-shingle caps: one
+    universal block would otherwise put |corpus|² pairs in a single
+    bucket.  Per-payload chunk counts are taken BEFORE the cap, so capped
+    chunks reduce the shared count but not the denominator — containment
+    is conservatively underestimated for pairs sharing boilerplate, the
+    standard stop-list contract.  The cap sits far above any chunk df at
+    oracle scale, so the driver check stays exact.
+
     Oracle exactness: the synthetic payload is `encode(text, 'UTF-8')`
     (attach_payload) and the corpus is pure ASCII at every SF (asserted
     in tests), so DuckDB's CHARACTER-offset substring over the text
@@ -299,8 +313,15 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     cnt = ch.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ch.select(F.col("doc_id").alias("doc_a"), "h")
-    b = ch.select(F.col("doc_id").alias("doc_b"), "h")
+    hot = (
+        ch.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > CHUNK_DF_CAP)
+        .select("h")
+    )
+    cold = ch.join(F.broadcast(hot), "h", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h")
     pairs = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
