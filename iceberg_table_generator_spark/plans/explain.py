@@ -88,6 +88,11 @@ def broadcast_subtrees(df: DataFrame) -> list[str]:
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
             continue
+        # a ReusedExchange node NAMES the BroadcastExchange it reuses but
+        # has no subtree of its own — the origin exchange is classified
+        # where it appears in full
+        if "ReusedExchange" in line:
+            continue
         d = depth(line)
         sub: list[str] = []
         for nxt in lines[i + 1:]:
@@ -101,6 +106,10 @@ def broadcast_subtrees(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_ids(df: DataFrame) -> int:
-    """Number of whole-stage codegen regions (wider regions = fewer ids)."""
-    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan_text(df, mode="simple")))
+    """Number of whole-stage codegen regions (wider regions = fewer ids).
+    Simple mode marks each fused region's operators with `*(N)`; formatted
+    mode uses `[codegen id : N]` — count distinct ids across both."""
+    text = plan_text(df, mode="simple")
+    ids = set(re.findall(r"\*\((\d+)\)", text))
+    ids |= set(re.findall(r"\[codegen id : (\d+)\]", text))
     return len(ids)
