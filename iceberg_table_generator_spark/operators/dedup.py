@@ -583,12 +583,20 @@ def minhash_band_keys(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
         for b in range(N_BANDS)
     ]
     banded = sig.select("doc_id", *band_cols)
-    return banded.selectExpr(
+    bands = banded.selectExpr(
         "doc_id",
         "stack({}, {}) AS (band_id, band_hash)".format(
             N_BANDS, ", ".join(f"{b}, band_{b}" for b in range(N_BANDS))
         ),
     )
+    # persist(DISK_ONLY): every consumer uses this relation at least twice
+    # (the pair query self-joins it; the verdict derives owners AND hits
+    # from it), and differing output aliases defeat Spark's ReuseExchange —
+    # without the persist the full tokenize→shingle→md5→signature pipeline
+    # re-runs per branch (plan audit showed 0 reused exchanges, 3-4 corpus
+    # scans per query).  16 small rows per doc; DISK_ONLY for the same
+    # fault-tolerance rationale as the posting streams.
+    return bands.persist(StorageLevel.DISK_ONLY)
 
 
 def _band_fold(cols: list[Column]) -> Column:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
@@ -299,6 +300,10 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_len") > 0
     )
     n_chunks = F.ceil(F.col("byte_len") / F.lit(float(CHUNK_BYTES))).cast("int")
+    # persist(DISK_ONLY): four consumers (per-doc counts, hot set, both
+    # self-join sides) with differing aliases defeat ReuseExchange — the
+    # unpersisted plan re-scanned and re-hashed the corpus 6 times.  Same
+    # fault-tolerance rationale as the text posting streams.
     ch = p.select(
         "doc_id",
         F.explode(
@@ -311,7 +316,7 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("h"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     cnt = ch.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
         ch.groupBy("h")
