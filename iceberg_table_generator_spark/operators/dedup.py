@@ -833,7 +833,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB-oracle-paired since r5.  At 100 TB the fingerprint is 8
     bytes/doc and candidates are bounded by chunk-bucket sizes."""
     d = tokenize(spread(load_table(spark, sf_dir, "documents")))
-    fp = simhash(d)
+    # persist(DISK_ONLY): the self-join's differing aliases defeat
+    # ReuseExchange, so without this the tokenize->md5->bit-vote pipeline
+    # runs once per join side (8 bytes per doc; the minhash_band_keys
+    # rationale verbatim).
+    fp = simhash(d).persist(StorageLevel.DISK_ONLY)
     chunks = fp.select(
         "doc_id",
         "simhash",
