@@ -65,6 +65,7 @@ HEADLINE = [
     # first 28 entries are unchanged — BENCH_NOTES_r6.md maps subtotals.
     "similarity_ann_lsh",
     "text_tfidf_topk",
+    "text_bm25_topk",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_connected_components",

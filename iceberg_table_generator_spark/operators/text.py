@@ -13,7 +13,7 @@ operators/relational.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.operators.relational import sql_dsum
@@ -355,4 +355,153 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_df.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tf", "df", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (fixed query set, engine-deterministic scoring)
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Fixed search queries over the fixture vocabulary (present at every SF).
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join"]),
+    (1, ["stream", "batch"]),
+    (2, ["filter", "scan", "merge"]),
+    (3, ["customer", "table"]),
+    (4, ["slow", "big", "data"]),
+]
+_BM25_TERMS = sorted({w for _, ws in BM25_QUERIES for w in ws})
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{w}')" for qid, ws in BM25_QUERIES for w in ws
+)
+_BM25_TERM_LIST = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+# Per-term score, written with the IDENTICAL operator sequence on both
+# engines (left-assoc `a * b / c`, literal constants spelled the same):
+#   idf        = ln(1 + (N - df + 0.5)/(df + 0.5))        [BM25+, always > 0]
+#   tf_sat     = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#   term_score = round(idf · tf_sat, 6)  →  DECIMAL(25,6)
+# ln() is the one op the engines disagree on (JVM Math.log vs libm differ
+# in the last ulp on ~5% of inputs — probed); rounding each TERM to 6
+# decimals absorbs the ulp, and test_bm25_rounding_margin pins the raw
+# scores' distance from every rounding boundary at orders of magnitude
+# above the ulp shift, so the rounded terms are bit-identical and the
+# DECIMAL sum is exact and order-free on both engines.
+_BM25_ORACLE = f"""
+WITH q(query_id, w) AS (VALUES {_BM25_Q_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({_BM25_TERM_LIST}) GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT t.doc_id, t.w,
+         CAST(round(
+             ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * {BM25_K1 + 1}) /
+               (t.tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+             6) AS DECIMAL(25,6)) AS term_score
+  FROM tf t
+  JOIN dfreq f USING (w)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s),
+agg AS (
+  SELECT q.query_id, sc.doc_id,
+         CAST(sum(sc.term_score) AS DECIMAL(25,6)) AS score
+  FROM q JOIN scored sc ON q.w = sc.w
+  GROUP BY q.query_id, sc.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM agg)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, score, rank
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+def _bm25_term_score_raw(tf, df, dl, n_docs, avgdl):
+    """The UNROUNDED per-term BM25 score — shared by the query (which
+    rounds it) and the boundary-margin guard test (which measures it)."""
+    idf = F.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (BM25_K1 + 1)) / (
+        tf + BM25_K1 * ((1 - BM25_B) + BM25_B * dl / avgdl)
+    )
+
+
+def bm25_scored_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, raw term score, rounded DECIMAL term score) for every
+    (query-term, matching doc) — the scoring core of `text_bm25_topk`."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    raw = _bm25_term_score_raw(
+        F.col("tf"), F.col("df"), F.col("dl"), F.col("n_docs"), F.col("avgdl")
+    )
+    return (
+        tf.join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar aggregate
+        .select(
+            "doc_id",
+            "w",
+            raw.alias("raw_score"),
+            F.round(raw, 6).cast("decimal(25,6)").alias("term_score"),
+        )
+    )
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{BM25_TOP_K} documents per fixed search
+    query (OR semantics over the query's terms), the relevance scorer
+    behind every lexical search / retrieval-augmented pipeline.
+
+    Plan: document length and the (n_docs, avgdl) scalar come from one
+    doc_id-keyed aggregation; term frequencies only ever exist for the
+    query vocabulary (the filter precedes the groupBy, so the term
+    shuffle carries matched rows, not the corpus vocabulary); per-term
+    scores attach df via a tiny join and the corpus-wide dl relation via
+    a doc_id equi-join; the final rank is the (n_queries × matched docs)
+    window.  At 100 TB: two narrow corpus passes (dl, filtered tf) and
+    every downstream relation is query-vocabulary-bounded.
+
+    Engine determinism: see the block comment above `_BM25_ORACLE` —
+    per-term rounding to 6 decimals absorbs ln()'s last-ulp engine
+    disagreement (margin pinned by test_bm25_rounding_margin), and the
+    per-document sum is exact DECIMAL accumulation, so ranking ties and
+    hash checks are identical on both engines."""
+    scored = bm25_scored_terms(spark, sf_dir).drop("raw_score")
+    qdf = spark.createDataFrame(
+        [(qid, w) for qid, ws in BM25_QUERIES for w in ws], "query_id int, w string"
+    )
+    agg = (
+        qdf.join(scored, "w")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").cast("decimal(25,6)").alias("score"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "score", "rank")
     )

@@ -183,3 +183,27 @@ def test_lsh_sign_margin_above_reorder_noise(spark, sf_fixture, request):
         .first()[0]
     )
     assert min_abs_dot > 1e-9, min_abs_dot
+
+
+@pytest.mark.parametrize("sf_fixture", ["sf_small", "sf_medium"])
+def test_bm25_rounding_margin(spark, sf_fixture, request):
+    """The BM25 oracle pairing rests on per-term round(·, 6) absorbing
+    ln()'s last-ulp engine disagreement (JVM Math.log vs libm differ on
+    ~5% of inputs — probed).  That only works while no raw term score
+    sits close to a rounding boundary: the engines' raw scores differ by
+    a few ulp (~3e-9 in score·10⁶ space at the fixture magnitudes), so
+    pin the minimum distance from every raw score·10⁶ to its nearest
+    half-integer at > 1e-7 — observed ≥ 3.4e-6 at every SF, ~1000× the
+    ulp shift — and a data change that erodes the margin fails loudly
+    instead of as a driver hash-mismatch."""
+    from iceberg_table_generator_spark.operators.text import bm25_scored_terms
+
+    sf_dir = request.getfixturevalue(sf_fixture)
+    scaled = F.col("raw_score") * 1e6
+    min_dist = (
+        bm25_scored_terms(spark, sf_dir)
+        .select(F.abs(scaled - F.floor(scaled) - 0.5).alias("d"))
+        .agg(F.min("d"))
+        .first()[0]
+    )
+    assert min_dist > 1e-7, min_dist
