@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.relational import sql_dsum
 from iceberg_table_generator_spark.registry import query
@@ -337,7 +338,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # persist(DISK_ONLY): three consumers (df derivation, hot attach, tail
+    # anti-join) whose differing shapes defeat ReuseExchange — without it
+    # the tokenize+count pipeline re-runs per branch.  Corpus-sized, so
+    # the posting-stream fault-tolerance rationale applies.
+    tf = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     hot = dfreq.orderBy(F.desc("df"), F.asc("w")).limit(HOT_TERM_CAP)
     # One broadcast subtree for attach + anti-join → one reused exchange.
