@@ -250,6 +250,88 @@ WHERE is_p = 1 AND asof_view_id IS NOT NULL
 """
 
 
+ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000  # conversion window: 24 h, in µs
+
+_ASOF_FWD_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
+  FROM events WHERE event_type IN ('view', 'purchase')),
+v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM tagged WHERE is_v = 1),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM tagged WHERE is_v = 0),
+ranked AS (
+  SELECT v.user_id, v.view_id, v.view_ts, p.purchase_id, p.purchase_ts,
+         row_number() OVER (PARTITION BY v.user_id, v.view_id
+                            ORDER BY p.purchase_ts, p.purchase_id) AS rn
+  FROM v JOIN p
+    ON p.user_id = v.user_id AND p.purchase_ts > v.view_ts)
+SELECT user_id, view_id, view_ts, purchase_id AS next_purchase_id,
+       CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT) AS micros_to_purchase
+FROM ranked
+WHERE rn = 1 AND epoch_us(purchase_ts) - epoch_us(view_ts) <= {ASOF_TOLERANCE_US}
+"""
+
+
+@query("asof_join_forward_tolerance", oracle=_ASOF_FWD_ORACLE)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a staleness bound: each view matched to the
+    user's NEXT purchase, kept only when it lands within 24 h — the
+    conversion-attribution shape (pandas merge_asof direction='forward' +
+    tolerance), completing the as-of family next to the backward join.
+
+    Same union-and-carry strategy as `asof_join_events`, mirrored: one
+    shuffle on user_id, one window pass carrying the next purchase
+    backward over (ts, is_view, event_id) order — same-instant purchases
+    sort BEFORE views, so the strict `purchase_ts > view_ts` contract
+    falls out of the sort order, and ties among simultaneous purchases
+    break to the smallest event_id inside the same frame.  The tolerance
+    compares exact epoch-µs on both engines (the `events_session_window`
+    boundary lesson: second-granularity diffs disagree with real-time
+    bounds at boundary crossings)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_v"),
+    )
+    # same-ts purchases sort before views => excluded from the following
+    # frame => strictly-after semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_v", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_id = F.when(F.col("is_v") == 0, F.col("event_id"))
+    purchase_ts = F.when(F.col("is_v") == 0, F.col("ts"))
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_v",
+        F.first(purchase_id, ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    return (
+        carried.filter((F.col("is_v") == 1) & F.col("next_purchase_id").isNotNull())
+        .withColumn(
+            "micros_to_purchase",
+            micros(F.col("next_purchase_ts")) - micros(F.col("ts")),
+        )
+        .filter(F.col("micros_to_purchase") <= ASOF_TOLERANCE_US)
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            "next_purchase_id",
+            "micros_to_purchase",
+        )
+    )
+
+
 @query("asof_join_events", oracle=_ASOF_ORACLE)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent prior (or
