@@ -1,0 +1,106 @@
+"""Streaming maintenance of retrieval corpus statistics (df / dl / N).
+
+BM25 (operators/text.py::text_bm25_topk) scores against three corpus
+statistics: per-term document frequency, per-document length, and the
+(n_docs, total_dl) scalars.  Recomputing them over 100 TB on every index
+refresh is the naive path; this sink maintains them INCREMENTALLY under
+streaming ingest, the same delta-append IVM shape as
+operators/incremental.py but for the retrieval family:
+
+  batch → distinct (doc, term) → per-term df delta
+        → per-batch (n_docs, sum_dl) scalar delta
+        → APPEND both deltas to the stats store
+
+The store is log-structured: writers only ever append small delta files
+(no read-modify-write, so concurrent batches never conflict), and
+readers aggregate `SUM(df) GROUP BY term` — a merge-on-read contract
+identical to the MoR delete application in sources/lifecycle.py.  A
+compaction pass (`compact_stats`) folds the log back to one row per term
+when the delta count grows.  At 100 TB the delta per batch is
+vocabulary-of-the-batch-sized, and the read-side merge is one shuffle on
+the term key.
+
+Same non-transactional parquet-append caveat as the other streaming
+sinks; production uses an ACID table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _batch_deltas(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-term df delta, 1-row corpus scalar delta) for a micro-batch."""
+    tok = batch_df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    df_delta = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    scalar_delta = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    return df_delta, scalar_delta
+
+
+def incremental_text_stats(
+    docs_stream: DataFrame,
+    stats_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Start the stats-maintenance stream; returns the query handle."""
+
+    df_dir = os.path.join(stats_dir, "df")
+    scalar_dir = os.path.join(stats_dir, "scalars")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df_delta, scalar_delta = _batch_deltas(batch_df)
+        df_delta.write.mode("append").parquet(df_dir)
+        scalar_delta.write.mode("append").parquet(scalar_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_text_stats(spark: SparkSession, stats_dir: str):
+    """Merge-on-read view of the stats log: (df relation, scalars row)."""
+    df = (
+        spark.read.parquet(os.path.join(stats_dir, "df"))
+        .groupBy("w")
+        .agg(F.sum("df").alias("df"))
+    )
+    scalars = (
+        spark.read.parquet(os.path.join(stats_dir, "scalars"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        )
+        .first()
+    )
+    return df, scalars
+
+
+def compact_stats(spark: SparkSession, stats_dir: str) -> None:
+    """Fold the delta log to one row per term (and one scalar row) — the
+    maintenance pass that bounds read-side merge cost, same contract as
+    lifecycle compaction."""
+    df_dir = os.path.join(stats_dir, "df")
+    scalar_dir = os.path.join(stats_dir, "scalars")
+    df, scalars = read_text_stats(spark, stats_dir)
+    merged = df.localCheckpoint(eager=True)  # vocabulary-sized, read twice
+    merged.write.mode("overwrite").parquet(df_dir)
+    spark.createDataFrame(
+        [(scalars.n_docs, scalars.total_dl)], "n_docs long, total_dl long"
+    ).write.mode("overwrite").parquet(scalar_dir)
