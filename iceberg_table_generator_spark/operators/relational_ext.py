@@ -250,6 +250,95 @@ WHERE is_p = 1 AND asof_view_id IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# Event-rate anomaly detection (z-score vs trailing 24 h)
+# --------------------------------------------------------------------------
+ANOMALY_WINDOW_H = 24  # trailing hours forming the baseline
+ANOMALY_Z = 2.0  # |z| threshold
+
+_ANOMALY_ORACLE = f"""
+WITH hourly0 AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1),
+span AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly0),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span),
+dense AS (
+  SELECT g.h, CAST(coalesce(h0.c, 0) AS BIGINT) AS c
+  FROM grid g LEFT JOIN hourly0 h0 ON g.h = h0.h),
+win AS (
+  SELECT h, c,
+         sum(c)     OVER w AS s,
+         sum(c * c) OVER w AS sq,
+         count(*)   OVER w AS n
+  FROM dense
+  WINDOW w AS (ORDER BY h ROWS BETWEEN {ANOMALY_WINDOW_H} PRECEDING
+                                   AND 1 PRECEDING)),
+scored AS (
+  SELECT h, c,
+         s * 1.0 / n AS mean,
+         (sq - s * 1.0 * s / n) / n AS var
+  FROM win WHERE n = {ANOMALY_WINDOW_H})
+SELECT CAST(h AS VARCHAR) AS hour, c AS n_events,
+       round(mean, 6) AS mean_24h,
+       round((c - mean) / sqrt(var), 6) AS z
+FROM scored
+WHERE var > 0 AND abs((c - mean) / sqrt(var)) >= {ANOMALY_Z}
+"""
+
+
+@query("events_rate_anomaly", oracle=_ANOMALY_ORACLE)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hours whose event count deviates more
+    than {ANOMALY_Z}σ from the trailing-24h baseline — the traffic-spike /
+    outage detector every ingest pipeline alarms on.
+
+    Plan: one global hourly count (map-side combine), a gap-filled hour
+    grid from min/max span (in-row sequence explode — missing hours count
+    0, WITHOUT which a quiet hour silently shrinks the baseline), and one
+    ordered window carrying trailing integer sums.  Single-series global
+    ordering is fine here (a few thousand hour rows regardless of corpus
+    size); the per-entity variant partitions the same window by key.
+
+    Cross-engine exactness WITHOUT the rounding device: every window input
+    is an integer count, so the trailing sum/sum-of-squares are exact
+    int64 on both engines; mean/variance/z then apply the identical
+    +,*,/,sqrt sequence to identical doubles — bit-equal results, no ln,
+    no per-term rounding needed (contrast text_bm25_topk)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly0 = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    span = hourly0.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    dense = grid.join(hourly0, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.orderBy("h").rowsBetween(-ANOMALY_WINDOW_H, -1)
+    win = dense.select(
+        "h",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sq"),
+        F.count("*").over(w).alias("n"),
+    ).filter(F.col("n") == ANOMALY_WINDOW_H)
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("sq") - F.col("s") * 1.0 * F.col("s") / F.col("n")) / F.col("n")
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        win.withColumn("mean_", mean)
+        .withColumn("var_", var)
+        .filter((F.col("var_") > 0) & (F.abs((F.col("c") - F.col("mean_")) / F.sqrt("var_")) >= ANOMALY_Z))
+        .select(
+            F.col("h").cast("string").alias("hour"),
+            F.col("c").alias("n_events"),
+            F.round("mean_", 6).alias("mean_24h"),
+            F.round((F.col("c") - F.col("mean_")) / F.sqrt("var_"), 6).alias("z"),
+        )
+    )
+
+
 ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000  # conversion window: 24 h, in µs
 
 _ASOF_FWD_ORACLE = f"""
