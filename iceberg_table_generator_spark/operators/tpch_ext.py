@@ -815,3 +815,63 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", F.round("value", 2).cast("double").alias("part_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q5: local supplier volume (customer and supplier in the same nation)
+# --------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {sql_dsum_rev('l')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from orders where the supplier is local to the
+    customer, by nation within one region.  Completes the 22-query TPC-H
+    pack (reference has no queries at all — `SURVEY.md` §2.7 mandates the
+    full relational surface).
+
+    Scale posture: region and nation broadcast (25/5 rows at any SF); the
+    region filter prunes nation BEFORE it reaches the fact joins, so
+    supplier rows outside the region never shuffle.  The same-nation
+    constraint (c_nationkey = s_nationkey) is an equi-key of the
+    customer join, not a residual filter — Catalyst keeps the whole chain
+    hash joins.  One final single-column aggregate."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum_rev().alias("revenue"))
+    )
