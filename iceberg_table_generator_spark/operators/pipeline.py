@@ -680,3 +680,110 @@ def pipeline_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(after_phone, F.lit(_PII_IP)).cast("int").alias("n_ips"),
         F.regexp_replace(after_phone, _PII_IP, "<IP>").alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concat-and-split token-budget packing into training rows
+# --------------------------------------------------------------------------
+SEQ_LEN = 256  # tokens per packed training sequence
+N_PACK_SHARDS = 8  # independent packing streams (≈ writer tasks at scale)
+
+_PACKING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {N_PACK_SHARDS} AS shard_id
+  FROM documents),
+cum AS (
+  SELECT shard_id, doc_id, tokens,
+         CAST(sum(tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM tok WHERE tokens > 0),
+spans AS (
+  SELECT shard_id, cum_end - tokens AS cum_start, cum_end,
+         unnest(generate_series((cum_end - tokens) // {SEQ_LEN},
+                                (cum_end - 1) // {SEQ_LEN})) AS seq_id
+  FROM cum)
+SELECT shard_id, seq_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(least(cum_end, (seq_id + 1) * {SEQ_LEN})
+                - greatest(cum_start, seq_id * {SEQ_LEN})) AS BIGINT)
+         AS seq_tokens,
+       CAST(sum(CASE WHEN cum_start < seq_id * {SEQ_LEN} THEN 1 ELSE 0 END)
+            AS INT) AS n_carry_in
+FROM spans GROUP BY shard_id, seq_id
+"""
+
+
+@query("pipeline_sequence_packing", oracle=_PACKING_ORACLE)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: the step between a filtered corpus
+    and the trainer, where documents are concatenated in a deterministic
+    order and cut into fixed SEQ_LEN-token training rows (the packing used
+    by GPT-style pretraining — no padding, documents straddle boundaries).
+    Returns per packed sequence: how many documents contribute, its token
+    count (SEQ_LEN everywhere but each shard's tail), and how many of its
+    documents carried over from the previous sequence.  No counterpart in
+    the reference (generation only, `Main.java:475-603`); this is the §2.8
+    training-pipeline surface.
+
+    Scale design: a single global concatenation order would serialize the
+    corpus through one cumulative sum — instead documents are hashed into
+    N_PACK_SHARDS independent packing streams (at real scale: one per
+    writer task, thousands), so the only window runs PARTITION BY shard_id
+    and every shard packs in parallel.  The shard hash is the
+    engine-independent 60-bit md5 prefix (same construction as the dedup
+    family, `_md5_60`).  Token offsets are integer (`div`), never double —
+    a 100 TB corpus overflows double's 2^53 exact-integer range.  The
+    boundary-span explode emits (last_seq - first_seq + 1) rows per doc,
+    i.e. ~tokens/SEQ_LEN — output-proportional, not quadratic."""
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+    from pyspark.sql.window import Window
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("tokens"),
+            (_md5_60(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias(
+                "shard_id"
+            ),
+        )
+        .filter(F.col("tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.select(
+        "shard_id",
+        "tokens",
+        F.sum("tokens").over(w).alias("cum_end"),
+    ).select(
+        "shard_id",
+        (F.col("cum_end") - F.col("tokens")).alias("cum_start"),
+        "cum_end",
+    )
+    spans = cum.select(
+        "shard_id",
+        "cum_start",
+        "cum_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"cum_start div {SEQ_LEN}"),
+                F.expr(f"(cum_end - 1) div {SEQ_LEN}"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * SEQ_LEN
+    return spans.groupBy("shard_id", "seq_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum_end"), seq_lo + SEQ_LEN)
+            - F.greatest(F.col("cum_start"), seq_lo)
+        ).alias("seq_tokens"),
+        F.sum((F.col("cum_start") < seq_lo).cast("int")).cast("int").alias("n_carry_in"),
+    )
