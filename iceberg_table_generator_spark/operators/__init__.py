@@ -2,6 +2,7 @@
 
 from iceberg_table_generator_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     incremental,
     metadata_tables,
     multimodal,

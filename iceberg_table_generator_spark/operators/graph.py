@@ -1,0 +1,133 @@
+"""Graph analytics over the event stream (SURVEY.md §2.8 extension).
+
+The reference generates tables and has no graph surface at all
+(`Main.java:475-603` is row generation); large-scale training pipelines,
+however, routinely rank a domain/link graph (e.g. quality-weighting crawl
+sources by PageRank, as in Common Crawl curation) — an ITERATIVE
+fixed-point computation, the one plan shape the rest of the repo's
+single-pass queries don't cover.
+
+Engine-exactness: like the integer k-means that oracle-paired IVF/PQ,
+PageRank here runs in pure 64-bit integer arithmetic — ranks live in
+micro-units (SCALE = 1e12 per node of initial mass) and every iteration
+uses only multiplication and integer division in a fixed, fully
+parenthesized order, so Spark and DuckDB produce bit-identical ranks and
+the oracle can replay the loop as an unrolled CTE chain.  No floats, no
+transcendentals, no sum-order sensitivity (integer addition commutes
+exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark import StorageLevel
+from pyspark.sql.window import Window
+
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+PR_SCALE = 1_000_000_000_000  # 1e12 micro-units of rank mass per node
+PR_ITERS = 5  # fixed iteration count (recomputable by the oracle)
+PR_BASE = 15 * PR_SCALE // 100  # (1 - damping) * SCALE, damping = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled DuckDB twin of the Spark iteration (identical integer ops)."""
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)",
+        "outw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw"
+        " FROM edges GROUP BY src)",
+        "er AS (SELECT e.src, e.dst, e.cnt, o.outw"
+        " FROM edges e JOIN outw o USING (src))",
+        "nodes AS (SELECT DISTINCT k AS node FROM ev)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST({PR_BASE} + COALESCE(CAST(sum("
+            f"(((85 * p.r) // 100) * p.cnt) // p.outw) AS BIGINT), 0)"
+            f" AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT er.dst, er.cnt, er.outw, rp.r"
+            f"  FROM er JOIN r{i - 1} rp ON er.src = rp.node) p"
+            f" ON p.dst = n.node GROUP BY n.node)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node, COALESCE(o.outw, 0) AS out_visits, r.r AS rank_micro
+FROM nodes n
+JOIN r{PR_ITERS} r ON r.node = n.node
+LEFT JOIN outw o ON o.src = n.node
+"""
+
+
+@query("events_pagerank", oracle=_pagerank_oracle())
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {PR_ITERS} fixed iterations) over the
+    per-user transition graph: nodes are the ~100 `props.k` page ids,
+    edges are consecutive (by ts) visits within one user's stream,
+    weighted by transition count.  Dangling nodes (no out-edges) simply
+    retain only the teleport term — their damped mass is dropped, the
+    same deterministic convention both engines apply.
+
+    Scale design: the three phases map to the canonical distributed
+    PageRank plan.  (1) Edge extraction is a per-user window (partitioned
+    by user_id — millions of parallel partitions) followed by ONE
+    aggregation down to the edge relation, which is |V|²-bounded and
+    *visit-count*-independent: at 100 TB of events the edge list for a
+    10M-node domain graph is a few GB.  (2) The edge⋈out-weight relation
+    is computed once and persisted DISK_ONLY (recomputable lineage, no
+    localCheckpoint pinning) because every iteration re-reads it.
+    (3) Each iteration is one equi-join (ranks are |V|-sized — AQE
+    broadcasts them while they fit, else shuffle-hash on src) plus one
+    aggregation to |V| rows: cost O(|E|) per iteration, never O(events).
+    The iteration count is fixed rather than convergence-tested so the
+    oracle can replay it; the CC operator (`dedup.py`) shows the
+    loud-guard convergence alternative."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    edges = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
+    er = edges.join(outw, "src").persist(StorageLevel.DISK_ONLY)
+    nodes = ev.select(F.col("k").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            er.join(ranks, er.src == ranks.node)
+            .select(
+                "dst",
+                F.expr("(((85 * r) div 100) * cnt) div outw").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(PR_BASE).cast("long") + F.coalesce("incoming", F.lit(0))).alias("r"),
+        )
+    return (
+        nodes.join(ranks, "node")
+        .join(outw.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("outw", F.lit(0)).alias("out_visits"),
+            F.col("r").alias("rank_micro"),
+        )
+    )
