@@ -1218,3 +1218,104 @@ def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label prediction (weak-supervision labeling via neighbor vote)
+# --------------------------------------------------------------------------
+KNN_K = 10  # neighbors per query
+KNN_QMOD, KNN_QREM = 50, 7  # vec_id % 50 == 7 plays the unlabeled set
+
+_KNN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(generate_series(1, len(vec)),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS n_label, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.vec)),
+                  i -> q.vec[i] * c.vec[i])) / (q.norm * c.norm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {KNN_QMOD} = {KNN_QREM}),
+topk AS (
+  SELECT query_id, true_label, n_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs),
+votes AS (
+  SELECT query_id, true_label, n_label, CAST(count(*) AS INT) AS votes
+  FROM topk WHERE rank <= {KNN_K}
+  GROUP BY query_id, true_label, n_label),
+best AS (
+  SELECT query_id, true_label, n_label AS pred_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, n_label) AS vr
+  FROM votes)
+SELECT query_id, true_label, pred_label, votes,
+       CAST(pred_label = true_label AS BOOLEAN) AS correct
+FROM best WHERE vr = 1
+"""
+
+
+@query("similarity_knn_label", oracle=_KNN_ORACLE)
+def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-majority label prediction: for each "unlabeled" probe vector
+    (vec_id % KNN_QMOD == KNN_QREM), vote the label of its KNN_K exact
+    cosine neighbors — the weak-supervision/auto-labeling pass a training
+    pipeline runs to propagate a small labeled seed set over a large
+    corpus (and, run on held-out rows as here, a direct measure of
+    embedding quality: `correct` is the per-probe eval bit).
+
+    Scale posture: identical to `similarity_cosine_topk` — the bounded
+    probe set broadcasts against the candidate stream (no corpus
+    shuffle), the rank window is (probes × corpus)/corpus-partitioned,
+    and the vote aggregation is probes×labels-sized, i.e. tiny.  Ties are
+    deterministic on both engines: neighbor cut by (sim DESC, vec_id),
+    vote winner by (votes DESC, label ASC).  Sims reuse the sequential
+    fold that is bit-identical to DuckDB's list_sum."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = with_norm(emb)
+    qry = with_norm(
+        emb.filter(F.pmod("vec_id", F.lit(KNN_QMOD)) == KNN_QREM)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    votes = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).cast("int").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
