@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_table_generator_spark.operators.metadata_tables import _value_fixture_table
 from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
 
 
 def apply_agg_delta(
@@ -99,4 +100,59 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sum_doc_id", F.col("sum_doc_id").cast("bigint"))
 
 
-__all__ = ["apply_agg_delta", "incremental_agg_maintenance"]
+@query(
+    "incremental_join_maintenance",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS w FROM documents GROUP BY lang),
+    vis AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id < 400 AND doc_id % 10 NOT IN (3, 7))
+    SELECT v.source, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(d.w) AS BIGINT) AS wsum
+    FROM vis v JOIN dim d USING (lang)
+    GROUP BY v.source
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a JOIN-aggregate view (fact ⋈ dim, grouped) under fact-side
+    churn: V(source) = (row count, Σ dim.w) where the dim attributes each
+    lang its corpus-wide document count.  Seeded at fixture version 1,
+    then maintained through the v1→v6 changelog — two appends, an
+    equality delete, a compaction, a rollback past it, and a second
+    equality delete — with the delta rule ΔV = γ(ΔA ⋈ B): because the dim
+    side is static over the window, the join distributes over the signed
+    changelog, so each refresh joins only O(changed rows) against the
+    broadcast dim and folds through the same signed aggregation as the
+    agg-only view.  (Dim-side churn would add the symmetric A ⋈ ΔB term —
+    the standard bilinear delta; not exercised by this fixture.)  The
+    oracle recomputes the final view from scratch on the raw table; the
+    incremental result must match exactly.
+
+    Scale: the changelog diff itself is two row-id anti-joins
+    (`lifecycle.py::read_changes`); the refresh never rescans the fact
+    table — cost is O(Δ) + one broadcast of the group-count-sized dim."""
+    t = _value_fixture_table(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    base = (
+        t.read(version=1)
+        .join(dim, "lang")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("w").alias("wsum"),
+        )
+    )
+    changes = t.read_changes(1, 6).join(dim, "lang")
+    return (
+        apply_agg_delta(base, changes, ["source"], {"wsum": "w"})
+        .withColumn("cnt", F.col("cnt").cast("bigint"))
+        .withColumn("wsum", F.col("wsum").cast("bigint"))
+    )
+
+
+__all__ = ["apply_agg_delta", "incremental_agg_maintenance", "incremental_join_maintenance"]
