@@ -133,7 +133,11 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`lifecycle.py::read_changes`); the refresh never rescans the fact
     table — cost is O(Δ) + one broadcast of the group-count-sized dim."""
     t = _value_fixture_table(spark, sf_dir)
-    dim = F.broadcast(
+    # No broadcast HINT on the dim: it is vocabulary-sized (distinct langs),
+    # safe in practice but not provably bounded by construction, and the
+    # repo invariant is that every *hinted* broadcast must be provable
+    # (test_broadcast_invariant).  AQE broadcasts it at runtime when small.
+    dim = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("w"))

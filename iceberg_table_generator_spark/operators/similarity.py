@@ -1223,8 +1223,9 @@ def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataF
 # --------------------------------------------------------------------------
 # kNN label prediction (weak-supervision labeling via neighbor vote)
 # --------------------------------------------------------------------------
-KNN_K = 10  # neighbors per query
-KNN_QMOD, KNN_QREM = 50, 7  # vec_id % 50 == 7 plays the unlabeled set
+KNN_K = 10  # neighbors per probe
+KNN_SEED = 200  # vec_id < 200 form the labeled seed set
+KNN_QMOD, KNN_QREM = 50, 7  # vec_id % 50 == 7 plays the unlabeled corpus
 
 _KNN_ORACLE = f"""
 WITH v AS (
@@ -1239,7 +1240,7 @@ pairs AS (
          c.label AS n_label, c.vec_id AS neighbor_id,
          list_sum(list_transform(generate_series(1, len(q.vec)),
                   i -> q.vec[i] * c.vec[i])) / (q.norm * c.norm) AS sim
-  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  FROM n q JOIN n c ON c.vec_id < {KNN_SEED} AND c.vec_id <> q.vec_id
   WHERE q.vec_id % {KNN_QMOD} = {KNN_QREM}),
 topk AS (
   SELECT query_id, true_label, n_label,
@@ -1263,25 +1264,36 @@ FROM best WHERE vr = 1
 
 @query("similarity_knn_label", oracle=_KNN_ORACLE)
 def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN-majority label prediction: for each "unlabeled" probe vector
-    (vec_id % KNN_QMOD == KNN_QREM), vote the label of its KNN_K exact
-    cosine neighbors — the weak-supervision/auto-labeling pass a training
-    pipeline runs to propagate a small labeled seed set over a large
-    corpus (and, run on held-out rows as here, a direct measure of
-    embedding quality: `correct` is the per-probe eval bit).
+    """kNN-majority label prediction: each "unlabeled" corpus vector
+    (vec_id % KNN_QMOD == KNN_QREM — a corpus FRACTION, streamed) votes
+    the label of its KNN_K exact cosine neighbors among the bounded
+    labeled seed set (vec_id < KNN_SEED) — semi-supervised label
+    propagation, the weak-supervision pass that stretches a small
+    hand-labeled set over a web-scale corpus; run on rows whose true
+    label is known, `correct` is the per-probe embedding-quality eval
+    bit.
 
-    Scale posture: identical to `similarity_cosine_topk` — the bounded
-    probe set broadcasts against the candidate stream (no corpus
-    shuffle), the rank window is (probes × corpus)/corpus-partitioned,
-    and the vote aggregation is probes×labels-sized, i.e. tiny.  Ties are
+    Scale posture — note the asymmetry, opposite of
+    `similarity_cosine_topk`: the SEED side broadcasts (id-bounded by
+    construction; it is the hand-labeled set, fixed-size in production)
+    and the corpus side streams, so the unbounded relation is never
+    broadcast, never shuffled whole.  The rank window partitions by
+    probe — each partition is the probe's ≤KNN_SEED candidate rows, so
+    the window state is seed-bounded no matter the corpus size (the
+    bounded-broadcast invariant test pins this shape).  Ties are
     deterministic on both engines: neighbor cut by (sim DESC, vec_id),
-    vote winner by (votes DESC, label ASC).  Sims reuse the sequential
+    vote winner by (votes DESC, label ASC); sims reuse the sequential
     fold that is bit-identical to DuckDB's list_sum."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
-    cand = with_norm(emb)
-    qry = with_norm(
+    seed = with_norm(emb.filter(F.col("vec_id") < KNN_SEED)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("vec").alias("svec"),
+        F.col("norm").alias("snorm"),
+    )
+    probes = with_norm(
         emb.filter(F.pmod("vec_id", F.lit(KNN_QMOD)) == KNN_QREM)
     ).select(
         F.col("vec_id").alias("query_id"),
@@ -1290,14 +1302,14 @@ def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     pairs = (
-        cand.crossJoin(F.broadcast(qry))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        probes.crossJoin(F.broadcast(seed))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "true_label",
-            F.col("label").alias("n_label"),
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias("sim"),
+            "n_label",
+            "neighbor_id",
+            (_dot("qvec", "svec") / (F.col("qnorm") * F.col("snorm"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
