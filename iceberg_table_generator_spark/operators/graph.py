@@ -106,7 +106,13 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
     er = edges.join(outw, "src").persist(StorageLevel.DISK_ONLY)
-    nodes = ev.select(F.col("k").alias("node")).distinct()
+    # Persist the |V|-sized node set too: every iteration's rank rebuild
+    # references it, and without the persist each reference re-derives it
+    # from a FULL events scan (observed: 18 FileScans in the un-persisted
+    # plan — the difference between O(iters·|events|) and O(|events|)).
+    nodes = ev.select(F.col("k").alias("node")).distinct().persist(
+        StorageLevel.DISK_ONLY
+    )
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
@@ -122,9 +128,12 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.lit(PR_BASE).cast("long") + F.coalesce("incoming", F.lit(0))).alias("r"),
         )
+    # Final out-visit attach reads the persisted edge relation, not a fresh
+    # events→edges→outw recompute.
+    outw_cached = er.select(F.col("src").alias("node"), "outw").distinct()
     return (
         nodes.join(ranks, "node")
-        .join(outw.withColumnRenamed("src", "node"), "node", "left")
+        .join(outw_cached, "node", "left")
         .select(
             "node",
             F.coalesce("outw", F.lit(0)).alias("out_visits"),
