@@ -855,3 +855,158 @@ def pipeline_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_num") > F.col("n_tokens").cast("long") * CLF_KEEP_NUM).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source score calibration (quantile normalization)
+# --------------------------------------------------------------------------
+_CALIBRATION_ORACLE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ('the','a','an','and','or','of',
+                                         'to','in','is','it'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents WHERE len(string_split(text, ' ')) > 0),
+scored AS (
+  SELECT doc_id, source,
+         round(stop_ratio * 100 + n_words * 0.01, 6) AS raw_score
+  FROM feat)
+SELECT doc_id, source, raw_score,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY raw_score, doc_id), 6) AS pct,
+       CAST(percent_rank() OVER (PARTITION BY source
+                                 ORDER BY raw_score, doc_id) >= 0.5
+            AS BOOLEAN) AS keep_top_half
+FROM scored
+"""
+
+
+@query("pipeline_score_calibration", oracle=_CALIBRATION_ORACLE)
+def pipeline_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of a raw quality score — the
+    calibration step (DCLM / RefinedWeb practice) that makes "keep the
+    best X%" comparable ACROSS sources: a raw threshold tuned on one
+    domain over- or under-selects on another whose score distribution
+    shifts, so each document is ranked within its own source and the
+    keep decision cuts on the percentile, not the raw value.
+
+    Scale: one narrow scoring pass, then a single window PARTITION BY
+    source — thousands of independent partitions; a skewed mega-source
+    is the hot/tail candidate, same playbook as tf-idf.  Ties are made
+    total by the (raw_score, doc_id) order so `percent_rank` is
+    engine-exact; the raw score itself is rounded once before ranking so
+    both engines rank identical values."""
+    toks = F.split("text", " ")
+    low = F.split(F.lower("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in
+                         ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    feat = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_words"),
+            (
+                F.size(F.filter(low, lambda w: F.array_contains(stop_arr, w))).cast(
+                    "double"
+                )
+                / F.size(toks)
+            ).alias("stop_ratio"),
+        )
+    )
+    scored = feat.select(
+        "doc_id",
+        "source",
+        F.round(F.col("stop_ratio") * 100 + F.col("n_words") * 0.01, 6).alias(
+            "raw_score"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("raw_score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.round(pr, 6).alias("pct"),
+        (pr >= 0.5).alias("keep_top_half"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling: apply per-source token budgets deterministically
+# --------------------------------------------------------------------------
+# Per-source token budget (the APPLICATION of the mixture that
+# `pipeline_domain_mix` only accounts for).  At real scale these are the
+# epoch token targets from the data-mixture spec (e.g. The Pile / Dolma
+# mixture tables); a driver-sized literal either way.
+MIX_BUDGET = 2_000
+
+
+_MIXTURE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+cum AS (
+  SELECT doc_id, source, tokens,
+         CAST(sum(tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM tok),
+kept AS (SELECT * FROM cum WHERE cum_tokens - tokens < {MIX_BUDGET})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS kept_docs,
+       CAST(sum(tokens) AS BIGINT) AS kept_tokens,
+       CAST(max(cum_tokens) - {MIX_BUDGET} >= 0 AS BOOLEAN) AS budget_hit
+FROM kept GROUP BY source
+"""
+
+
+@query("pipeline_mixture_sample", oracle=_MIXTURE_ORACLE)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a data-mixture spec: deterministically sample each source
+    down to its token budget.  Documents are ordered by a content-free
+    md5 shuffle key (so the sample is unbiased w.r.t. position and
+    reproducible on any cluster), accumulated per source, and kept while
+    the budget has room; a doc STARTING under budget is kept whole (the
+    overshoot convention, matching how epoch sampling actually cuts).
+    Returns per source: kept docs, kept tokens, and whether the budget
+    bound (vs the source running dry).
+
+    Scale: the cumsum window partitions by source — the same
+    embarrassingly-parallel shape as sequence packing's shards; the md5
+    sort key means no global sort, just per-source ordering inside each
+    window partition.  Budgets are a driver literal (the mixture spec),
+    never a data-dependent relation."""
+    from pyspark.sql.window import Window
+
+    toks = F.split("text", " ")
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tok.withColumn("cum_tokens", F.sum("tokens").over(w))
+    kept = cum.filter(F.col("cum_tokens") - F.col("tokens") < MIX_BUDGET)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("tokens").alias("kept_tokens"),
+        (F.max("cum_tokens") - MIX_BUDGET >= 0).alias("budget_hit"),
+    )
