@@ -514,3 +514,96 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram lift: collocation mining (PMI family, engine-exact arithmetic)
+# --------------------------------------------------------------------------
+LIFT_MIN_SUPPORT = 5  # bigram must occur at least this often
+LIFT_TOP_K = 50
+
+_BIGRAM_LIFT_ORACLE = f"""
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents),
+uni AS (
+  SELECT unnest(ws) AS tok FROM w),
+ucnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY tok),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM uni),
+bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+bcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM bi GROUP BY w1, w2 HAVING count(*) >= {LIFT_MIN_SUPPORT})
+SELECT b.w1, b.w2, b.n_xy,
+       round((CAST(b.n_xy AS DOUBLE) * t.n_total)
+             / (CAST(u1.n AS DOUBLE) * u2.n), 6) AS lift
+FROM bcnt b
+JOIN ucnt u1 ON u1.tok = b.w1
+JOIN ucnt u2 ON u2.tok = b.w2
+CROSS JOIN total t
+ORDER BY lift DESC, b.w1, b.w2
+LIMIT {LIFT_TOP_K}
+"""
+
+
+@query("text_bigram_lift", oracle=_BIGRAM_LIFT_ORACLE)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by lift — n(x,y)·N / (n(x)·n(y)),
+    the exponentiated-PMI association measure (lift > 1 ⇒ the pair
+    co-occurs more than independence predicts).  The corpus-statistics
+    pass behind tokenizer-merge candidates and multi-word-expression
+    detection.
+
+    Engine-exactness: counts are integers; the only float op is one
+    multiply-divide chain over exactly representable integers in a fixed
+    parenthesization, identical on both engines, rounded once — the
+    ln()-free form of PMI chosen for the same reason the BM25 query
+    rounds per-term (cross-engine libm divergence), but here NO margin
+    test is needed at all since no transcendental appears.
+
+    Scale: bigram extraction is in-row (zip of the token array with its
+    tail) and exploded — narrow; both count aggregations collapse
+    map-side to vocab-sized relations; the two unigram attaches are
+    vocab×bigram-vocab equi-joins (no broadcast hints — AQE decides);
+    the single-row total attaches via a scalar-aggregate broadcast
+    (provably one row); final top-k is TakeOrderedAndProject."""
+    low = F.split(F.lower("text"), " ")
+    docs = load_table(spark, sf_dir, "documents").select(low.alias("ws"))
+    uni = docs.select(F.explode("ws").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    bi = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= LIFT_MIN_SUPPORT)
+    )
+    u1 = ucnt.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = ucnt.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    return (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                (F.col("n_xy").cast("double") * F.col("n_total"))
+                / (F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(LIFT_TOP_K)
+    )
