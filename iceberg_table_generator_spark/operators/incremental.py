@@ -159,4 +159,74 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = ["apply_agg_delta", "incremental_agg_maintenance", "incremental_join_maintenance"]
+@query(
+    "incremental_scd2_intervals",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+             AS valid_from,
+           CAST(CASE WHEN doc_id % 10 = 3 THEN 3
+                     WHEN doc_id % 10 = 7 THEN 6 END AS INT) AS valid_to
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def incremental_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the CDC changelog:
+    one validity interval [valid_from, valid_to) per document, NULL
+    valid_to = currently visible — the temporal-table view a warehouse
+    derives from a table's commit history.
+
+    The construction is the key point: per-version changelogs are keyed
+    by the LOGICAL key (doc_id) and sign-netted, so purely PHYSICAL
+    churn — v4's compaction rewrites every row-id, v5's rollback rewrites
+    them back — nets to zero and leaves no spurious intervals, while real
+    inserts (+1) open and real deletes (-1) close intervals via one
+    lead() window per key.  The oracle recomputes the intervals from the
+    fixture's known rules (evens appear at v1, odds at v2, %10=3 deleted
+    at v3, %10=7 at v6 — the same ledger `lifecycle_pruned_scan` pins).
+
+    Scale: one changelog diff per version pair (each two row-id
+    anti-joins, O(version delta)), one aggregation keyed (doc_id,
+    version), one per-key window — never a full-history rescan per
+    version.  The interval build is exactly the compaction-safe pattern
+    `read_changes`'s docstring prescribes (consume logical keys, not
+    physical positions)."""
+    from pyspark.sql.window import Window
+
+    t = _value_fixture_table(spark, sf_dir)
+    n_versions = len(t.snapshots()) - 1  # snapshots are 0-indexed; v0=create
+    events = t.read(version=1).select(
+        "doc_id", F.lit(1).alias("version"), F.lit(1).alias("sign")
+    )
+    for v in range(2, n_versions + 1):
+        ch = t.read_changes(v - 1, v).select(
+            "doc_id",
+            F.lit(v).alias("version"),
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        events = events.unionByName(ch)
+    net = (
+        events.groupBy("doc_id", "version")
+        .agg(F.sum("sign").alias("net"))
+        .filter(F.col("net") != 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("version")
+    return (
+        net.withColumn("next_version", F.lead("version").over(w))
+        .filter(F.col("net") > 0)
+        .select(
+            "doc_id",
+            F.col("version").cast("int").alias("valid_from"),
+            F.col("next_version").cast("int").alias("valid_to"),
+        )
+    )
+
+
+__all__ = [
+    "apply_agg_delta",
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    "incremental_scd2_intervals",
+]
