@@ -5,6 +5,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     graph,
     incremental,
     metadata_tables,
+    mining,
     multimodal,
     pipeline,
     relational,

@@ -1,0 +1,262 @@
+"""Classic BI / data-mining composites over the star schema.
+
+Association rules (market basket), RFM customer segmentation, and Pareto
+revenue concentration — the mining workloads a warehouse runs beside its
+reporting queries.  No counterpart in the reference (a generator,
+`Main.java`); mandated by the full-relational-surface goal (SURVEY.md
+§2.7) and exercising shapes the TPC-H pack doesn't: a bounded
+self-join-per-group, ntile quantile cuts, and a global ordered cumsum.
+
+Engine-exactness follows the repo policy: counts are integers; every
+ratio is one multiply/divide chain over exactly-representable integers in
+a fixed parenthesization, rounded once (no transcendental, no
+sum-order-sensitive double accumulation — revenue sums go through the
+DECIMAL helpers).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from iceberg_table_generator_spark.operators.tpch_ext import (
+    DEC18,
+    rev_dec,
+    SQL_REV_DEC,
+)
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Market basket: part-pair association rules
+# --------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_K = 100
+
+_BASKET_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+  FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {BASKET_MIN_SUPPORT})
+SELECT p.part_a, p.part_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / fa.n_part, 6) AS confidence,
+       round((CAST(p.n_ab AS DOUBLE) * t.n)
+             / (CAST(fa.n_part AS DOUBLE) * fb.n_part), 6) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n_orders t
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+@query("basket_part_pairs", oracle=_BASKET_ORACLE)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents: part pairs
+    ranked by lift, with confidence(a→b), at minimum co-occurrence
+    support.
+
+    Scale design: the pair generation is a SELF-JOIN ON THE ORDER KEY —
+    quadratic only in items-per-order (≤7 in TPC-H, bounded by basket
+    size in any retail schema), never in parts or orders; it shuffles
+    both sides by orderkey (co-partitioned equi-join), aggregates
+    map-side to the pair-frequency relation, and the two frequency
+    attaches are part-vocabulary-sized equi-joins with no broadcast
+    hints (AQE decides).  The order-count scalar attaches via a
+    provably-one-row aggregate broadcast.  Top-k is
+    TakeOrderedAndProject.  A basket with a pathological mega-order
+    (crawler cart) is the df-cap candidate — drop baskets over a size
+    cap before pairing, the same boilerplate guard as the contamination
+    check."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (quantile cuts via ntile)
+# --------------------------------------------------------------------------
+RFM_TILES = 4
+
+_RFM_ORACLE = f"""
+WITH base AS (
+  SELECT o.o_custkey AS custkey,
+         max(o.o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders o GROUP BY o.o_custkey),
+tiles AS (
+  SELECT custkey, last_order, frequency, monetary,
+         CAST(ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, custkey)
+              AS INT) AS r_tile,
+         CAST(ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, custkey)
+              AS INT) AS f_tile,
+         CAST(ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, custkey)
+              AS INT) AS m_tile
+  FROM base)
+SELECT r_tile, f_tile, m_tile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(monetary AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS segment_value
+FROM tiles GROUP BY r_tile, f_tile, m_tile
+"""
+
+
+@query("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    quartiles (ntile over total, deterministic tiebreak on custkey), then
+    segment sizes and value — the classic CRM cube.
+
+    Scale note — the honest cost: `ntile` over an un-partitioned ORDER BY
+    is a global sort with a single-partition window; at billions of
+    customers the exact-rank form is replaced by approx-quantile cut
+    points (computed once, applied as a narrow CASE — the repo's
+    `approx_sketches` machinery).  Here customer cardinality is
+    dimension-sized (30–6000× below the fact table), and the window input
+    is ALREADY one aggregated row per customer, so the sort is over the
+    dim, not the corpus.  Monetary sums are exact DECIMAL before the
+    single rounding."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    r = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
+    f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    tiles = base.select(
+        "custkey",
+        "monetary",
+        F.ntile(RFM_TILES).over(r).alias("r_tile"),
+        F.ntile(RFM_TILES).over(f).alias("f_tile"),
+        F.ntile(RFM_TILES).over(m).alias("m_tile"),
+    )
+    return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("segment_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto revenue concentration (cumulative-share curve)
+# --------------------------------------------------------------------------
+PARETO_CUT = 0.8
+
+_PARETO_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         sum({SQL_REV_DEC}) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS total FROM pv),
+ranked AS (
+  SELECT p.l_partkey,
+         CAST(round(p.rev, 2) AS DOUBLE) AS revenue,
+         sum(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         t.total,
+         CAST(row_number() OVER (ORDER BY p.rev DESC, p.l_partkey) AS INT)
+           AS rev_rank
+  FROM pv p CROSS JOIN tot t)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE)
+                          <= {PARETO_CUT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS parts_to_80pct,
+       CAST(round(max(total), 2) AS DOUBLE) AS total_revenue
+FROM ranked
+"""
+
+
+@query("pareto_revenue_concentration", oracle=_PARETO_ORACLE)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration: how many parts carry 80% of
+    discounted revenue — the catalog-concentration / head-vs-tail
+    diagnostic (for a training corpus: how many sources carry 80% of
+    tokens).  Revenue accumulates in exact DECIMAL through BOTH the
+    per-part aggregate and the running sum, so the cumulative share is a
+    single double division per row, rounded nowhere before the
+    comparison (both engines divide the same exact decimals).
+
+    Scale: the per-part aggregate shuffles once; the cumulative window
+    is a global ORDER BY over the aggregated part relation — dim-sized,
+    same caveat-and-remedy as `rfm_segments`; output is one row."""
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_dec()).alias("rev"))
+    )
+    tot = pv.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = pv.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "rev",
+        "total",
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(
+            F.when(
+                F.col("cum_rev").cast("double") / F.col("total").cast("double")
+                <= PARETO_CUT,
+                1,
+            ).otherwise(0)
+        ).alias("parts_to_80pct"),
+        F.round(F.max("total"), 2).cast("double").alias("total_revenue"),
+    )
