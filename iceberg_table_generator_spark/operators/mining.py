@@ -260,3 +260,119 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parts_to_80pct"),
         F.round(F.max("total"), 2).cast("double").alias("total_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint audit (Deequ-style declarative checks)
+# --------------------------------------------------------------------------
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS check_name, 'orders' AS table_name,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+         CAST(count(*) AS BIGINT) AS checked
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_orders_fk', 'lineitem',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem_discount_range', 'lineitem',
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_props_k_domain', 'events',
+         CAST(sum(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL
+                         OR CAST(props->>'$.k' AS INT) < 0
+                         OR CAST(props->>'$.k' AS INT) >= 100
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'documents_text_nonempty', 'documents',
+         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM documents
+) t
+"""
+
+
+@query(
+    "dq_constraint_audit",
+    oracle=f"""
+WITH report AS ({_DQ_ORACLE})
+SELECT check_name, table_name, violations, checked,
+       CAST(violations = 0 AS BOOLEAN) AS pass
+FROM report
+""",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ / dbt-tests pattern):
+    primary-key uniqueness, referential integrity, value-domain and
+    non-null constraints evaluated in one report — the admission gate a
+    production pipeline runs before committing a batch into the lake.
+
+    Scale design: every non-join check is ONE full-scan aggregate whose
+    map-side partial collapses to a single row per task (violations are
+    counted, never materialized — the report is checks-sized no matter
+    the table); the FK check is a left join on the key with the
+    violation counted from the null-extension, shuffled on the join key
+    like any fact-fact join and skew-safe under AQE.  Checks over
+    different tables are independent branches of a union — on a cluster
+    they run concurrently; a failed check's offending ROWS are a
+    follow-up filtered scan, deliberately not part of the audit
+    (violations at web scale can be corpus-sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    pk = o.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.lit("orders").alias("table_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("violations"),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    fk = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("__ok")),
+            li.l_orderkey == F.col("__ok"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_orders_fk").alias("check_name"),
+            F.lit("lineitem").alias("table_name"),
+            F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0)).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+    )
+    rng = li.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.lit("lineitem").alias("table_name"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("violations"),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    dom = ev.agg(
+        F.lit("events_props_k_domain").alias("check_name"),
+        F.lit("events").alias("table_name"),
+        F.sum(F.when(k.isNull() | (k < 0) | (k >= 100), 1).otherwise(0)).alias(
+            "violations"
+        ),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    nn = docs.agg(
+        F.lit("documents_text_nonempty").alias("check_name"),
+        F.lit("documents").alias("table_name"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).alias("violations"),
+        F.count(F.lit(1)).alias("checked"),
+    )
+    report = pk.unionByName(fk).unionByName(rng).unionByName(dom).unionByName(nn)
+    return report.withColumn("pass", F.col("violations") == 0)
