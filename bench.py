@@ -72,6 +72,23 @@ HEADLINE = [
     "wide_metrics_block_fold",
     "events_session_window",
     "similarity_cosine_topk_vectorized",
+    # round-6 late additions: the new query families of the second half of
+    # the round (graph, packing, classifier, kNN labeling, join-IVM, Q5).
+    "q5_local_supplier_volume",
+    "events_pagerank",
+    "pipeline_sequence_packing",
+    "pipeline_classifier_score",
+    "similarity_knn_label",
+    "incremental_join_maintenance",
+    "pipeline_score_calibration",
+    "pipeline_mixture_sample",
+    "text_bigram_lift",
+    "incremental_scd2_intervals",
+    "basket_part_pairs",
+    "rfm_segments",
+    "pareto_revenue_concentration",
+    "dq_constraint_audit",
+    "dedup_keep_canonical",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
