@@ -376,3 +376,176 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     report = pk.unionByName(fk).unionByName(rng).unionByName(dom).unionByName(nn)
     return report.withColumn("pass", F.col("violations") == 0)
+
+
+# --------------------------------------------------------------------------
+# Complex-event pattern matching (MATCH_RECOGNIZE-style, regex over sessions)
+# --------------------------------------------------------------------------
+# Event-type alphabet: c=click e=error p=purchase s=signup v=view.
+CEP_PATTERNS = [
+    ("funnel_any_gap", "v.*c.*p"),  # view .. click .. purchase, gaps allowed
+    ("funnel_strict", "vcp"),  # strictly adjacent conversion
+    ("error_recovery", "e[^e]*p"),  # purchase after an error, no re-error
+]
+
+_CEP_VALUES = ", ".join(f"('{n}', '{p}')" for n, p in CEP_PATTERNS)
+
+_CEP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                         ELSE 'v' END AS c
+  FROM events),
+seqs AS (
+  SELECT user_id, day,
+         string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM ev GROUP BY user_id, day),
+pat(pattern, rx) AS (VALUES {_CEP_VALUES})
+SELECT p.pattern,
+       CAST(sum(CASE WHEN regexp_matches(s.seq, p.rx) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(sum(CASE WHEN regexp_matches(s.seq, p.rx) THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS match_rate
+FROM seqs s CROSS JOIN pat p
+GROUP BY p.pattern
+"""
+
+
+@query("events_pattern_match", oracle=_CEP_ORACLE)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE
+    capability, expressed Spark-first): each user-day's event stream
+    collapses to an ordered type string and declarative patterns run as
+    regexes over it — conversion funnels with and without gaps, and
+    error-recovery purchases.
+
+    Scale: one shuffle groups events by (user, day) — millions of
+    independent keys; the sequence build is an in-row sort of that
+    group's array (bounded by events-per-user-day, the same bound
+    sessionization relies on), and every regex evaluates in-row over
+    WholeStageCodegen.  The pattern table is a 3-row literal exploded
+    against session strings — pattern count scales the narrow pass, not
+    the shuffle.  A mega-key (bot user) is the df-cap candidate: cap the
+    per-key sequence length before the regex, as the dedup family caps
+    posting lists."""
+    c = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id", c.alias("c")).alias("e"),
+    )
+    seqs = (
+        ev.groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            F.array_join(F.transform("es", lambda x: x["c"]), "").alias("seq")
+        )
+    )
+    pat = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern"), F.lit(rx).alias("rx"))
+            for n, rx in CEP_PATTERNS
+        ]
+    )
+    exploded = seqs.select("seq", F.explode(pat).alias("p"))
+    return (
+        exploded.groupBy(F.col("p.pattern").alias("pattern"))
+        .agg(
+            F.sum(
+                F.when(F.regexp_like("seq", F.col("p.rx")), 1).otherwise(0)
+            ).alias("n_matched"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .select(
+            "pattern",
+            "n_matched",
+            "n_sessions",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_sessions"), 6
+            ).alias("match_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test (lang × source contingency)
+# --------------------------------------------------------------------------
+@query(
+    "stats_chisq_lang_source",
+    oracle="""
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+rows_ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_row FROM obs GROUP BY lang),
+cols_ AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_col FROM obs GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs),
+grid AS (
+  SELECT r.lang, c.source, r.n_row, c.n_col, t.n_tot, COALESCE(o.n, 0) AS n
+  FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source)
+SELECT round(CAST(sum(CAST(
+         (CAST(n AS DOUBLE) - (CAST(n_row AS DOUBLE) * n_col) / n_tot)
+         * (CAST(n AS DOUBLE) - (CAST(n_row AS DOUBLE) * n_col) / n_tot)
+         / ((CAST(n_row AS DOUBLE) * n_col) / n_tot)
+       AS DECIMAL(38,12))) AS DOUBLE), 4) AS chi2_stat,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+         AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM grid
+""",
+)
+def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test over the lang × source
+    contingency table — "is language distribution independent of crawl
+    source?", the statistical form of the corpus-balance question
+    `pipeline_domain_mix` only tabulates.
+
+    Engine-exactness: each cell's (O-E)²/E term is a fixed-order chain
+    of IEEE ops over exactly-representable integer marginals — identical
+    doubles on both engines — and the CROSS-CELL sum goes through
+    DECIMAL(38,12) (the repo's order-free accumulation policy), so no
+    summation-order drift is possible; zero-observed cells are
+    materialized by the marginal cross join (required by the statistic,
+    easy to silently drop in a naive groupBy).  Scale: marginals are two
+    vocabulary-sized aggregates; the grid is |langs|×|sources| — tiny
+    relative to any corpus; one row out."""
+    obs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("n").alias("n_row"))
+    cols_ = obs.groupBy("source").agg(F.sum("n").alias("n_col"))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_row",
+            "n_col",
+            "n_tot",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    e = (F.col("n_row").cast("double") * F.col("n_col")) / F.col("n_tot")
+    term = (
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    ).cast("decimal(38,12)")
+    return grid.agg(
+        F.round(F.sum(term).cast("double"), 4).alias("chi2_stat"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
