@@ -132,3 +132,89 @@ __all__ = [
     "wide_metrics_row_stats",
     "wide_metrics_block_fold",
 ]
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation over picked wide columns (single-pass moments)
+# --------------------------------------------------------------------------
+_CORR_PAIRS = [
+    (_PICKED[i], _PICKED[j])
+    for i in range(len(_PICKED))
+    for j in range(i + 1, len(_PICKED))
+]
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for m in _PICKED:
+        sums.append(f"CAST(sum(CAST({m} AS DECIMAL(38,12))) AS DOUBLE) AS s_{m}")
+        sums.append(
+            f"CAST(sum(CAST({m} * {m} AS DECIMAL(38,12))) AS DOUBLE) AS ss_{m}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,12))) AS DOUBLE)"
+            f" AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        expr = (
+            f"round((n * sp_{a}_{b} - s_{a} * s_{b})"
+            f" / (sqrt(n * ss_{a} - s_{a} * s_{a})"
+            f"    * sqrt(n * ss_{b} - s_{b} * s_{b})), 6)"
+        )
+        selects.append(f"SELECT '{a}~{b}' AS pair, {expr} AS corr FROM m")
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)}"
+        f" FROM read_parquet('{_DATA_DIR}/*.parquet'))\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query("wide_metrics_correlation", oracle=_corr_oracle())
+def wide_metrics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between picked wide columns in ONE
+    aggregation pass — the feature-redundancy screen run over metric
+    stores and model-feature tables (drop one of every highly-correlated
+    pair).  All six correlations derive from a single row of moments
+    (n, Σx, Σx², Σxy), so the 1,000-column table is scanned once,
+    reading exactly the 4 picked columns (same pruning contract the
+    other wide queries plan-pin).
+
+    Engine-exactness: per-row products are IEEE-identical on both
+    engines; every cross-row sum accumulates in DECIMAL(38,12) (the
+    repo's order-free policy), and the closed-form correlation is a
+    fixed-parenthesization double chain (sqrt is correctly rounded per
+    IEEE-754 on both JVMs and DuckDB), rounded once."""
+    data = spark.read.parquet(_wide_fixture(spark))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for m in _PICKED:
+        aggs.append(
+            F.sum(F.col(m).cast("decimal(38,12)")).cast("double").alias(f"s_{m}")
+        )
+        aggs.append(
+            F.sum((F.col(m) * F.col(m)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"ss_{m}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = data.agg(*aggs)
+    pairs = []
+    for a, b in _CORR_PAIRS:
+        corr = F.round(
+            (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / (
+                F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+        pairs.append(F.struct(F.lit(f"{a}~{b}").alias("pair"), corr.alias("corr")))
+    return m.select(F.explode(F.array(*pairs)).alias("pc")).select(
+        "pc.pair", "pc.corr"
+    )
