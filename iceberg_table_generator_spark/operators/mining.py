@@ -549,3 +549,52 @@ def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact windowed percentiles (hourly p50/p95 latency-style metrics)
+# --------------------------------------------------------------------------
+_P95_ORACLE = """
+WITH g AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         list(value ORDER BY value) AS vs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT window_start, n_events,
+       vs[CAST((50 * n_events + 99) // 100 AS INT)] AS p50,
+       vs[CAST((95 * n_events + 99) // 100 AS INT)] AS p95
+FROM g
+"""
+
+
+@query("events_hourly_p95", oracle=_P95_ORACLE)
+def events_hourly_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour p50/p95 of the event value — the SLO dashboard
+    query (p95 latency per window).  Nearest-rank percentiles with a
+    pure-INTEGER index (`(k·n + 99) div 100` = ceil without touching
+    floats), picked from the window's sorted value array, so both
+    engines select the identical element — no interpolation, no float
+    index rounding, exact at any n.
+
+    Scale: one shuffle keyed by hour; each window's values sort in-row.
+    An hour at 100 TB can be a mega-group — the exact form holds while
+    windows fit a task (the common case for hourly ops metrics); past
+    that the drop-in replacement is `percentile_approx`'s mergeable
+    t-digest, which `approx_sketches` already exercises with error
+    bounds.  The window-grid/z-score machinery of `events_rate_anomaly`
+    composes with these percentiles unchanged."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.sort_array(F.collect_list("value")).alias("vs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    idx = lambda k: F.expr(f"CAST(({k} * n_events + 99) div 100 AS INT)")  # noqa: E731
+    return g.select(
+        "window_start",
+        "n_events",
+        F.element_at("vs", idx(50)).alias("p50"),
+        F.element_at("vs", idx(95)).alias("p95"),
+    )

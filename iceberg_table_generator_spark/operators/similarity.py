@@ -1331,3 +1331,103 @@ def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid classification (parametric twin of the kNN vote)
+# --------------------------------------------------------------------------
+_NC_DIM = 64
+
+_NC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+ex AS (
+  SELECT label, i, vec[i] AS x
+  FROM v, unnest(generate_series(1, {_NC_DIM})) AS t(i)),
+cent AS (
+  SELECT label, i,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY label, i),
+carr AS (
+  SELECT label AS c_label, list(c ORDER BY i) AS cvec
+  FROM cent GROUP BY label),
+probes AS (
+  SELECT vec_id, label AS true_label, vec FROM v
+  WHERE vec_id % {KNN_QMOD} = {KNN_QREM}),
+dists AS (
+  SELECT p.vec_id, p.true_label, c.c_label,
+         list_sum(list_transform(generate_series(1, {_NC_DIM}),
+                  i -> (p.vec[i] - c.cvec[i]) * (p.vec[i] - c.cvec[i]))) AS d2
+  FROM probes p CROSS JOIN carr c),
+best AS (
+  SELECT vec_id, true_label, c_label AS pred_label, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+  FROM dists)
+SELECT vec_id, true_label, pred_label, round(d2, 6) AS d2,
+       CAST(pred_label = true_label AS BOOLEAN) AS correct
+FROM best WHERE rn = 1
+"""
+
+
+@query("similarity_centroid_classifier", oracle=_NC_ORACLE)
+def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: fit one centroid per
+    label over the full labeled corpus, assign each probe to the closest
+    — the parametric counterpart of `similarity_knn_label` (model size =
+    labels × dim regardless of corpus size, which is why prototype
+    classifiers are the cheap first pass before kNN at scale).
+
+    Fit is aggregation, not collection: explode to (label, dim) cells,
+    decimal-sum (order-free), ONE shuffle keyed by labels×dim — the
+    model stays a DataFrame end to end, no driver round-trip.  Scoring
+    joins each probe against the labels-sized centroid relation (no
+    broadcast hint — it is model-sized but not provably bounded, AQE
+    broadcasts at runtime) and folds the squared distance sequentially
+    in-row, the same fold order as DuckDB's list_sum, so distances are
+    bit-identical and the argmin (tiebreak: label asc) agrees exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    ex = emb.select(
+        "label", F.posexplode("vec").alias("i0", "x")
+    ).select("label", (F.col("i0") + 1).alias("i"), "x")
+    cent = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "c"))
+                ),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    probes = emb.filter(F.pmod("vec_id", F.lit(KNN_QMOD)) == KNN_QREM).select(
+        "vec_id", F.col("label").alias("true_label"), "vec"
+    )
+    d2 = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dists = probes.crossJoin(carr).select(
+        "vec_id", "true_label", "c_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_label"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("c_label").alias("pred_label"),
+            F.round("d2", 6).alias("d2"),
+            (F.col("c_label") == F.col("true_label")).alias("correct"),
+        )
+    )
