@@ -89,6 +89,11 @@ HEADLINE = [
     "pareto_revenue_concentration",
     "dq_constraint_audit",
     "dedup_keep_canonical",
+    "events_pattern_match",
+    "stats_chisq_lang_source",
+    "wide_metrics_correlation",
+    "similarity_centroid_classifier",
+    "events_hourly_p95",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
