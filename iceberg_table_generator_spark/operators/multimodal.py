@@ -347,3 +347,76 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "shared_chunks", "containment")
     )
+
+
+# --------------------------------------------------------------------------
+# Payload byte statistics (corruption / compressibility screen)
+# --------------------------------------------------------------------------
+_BYTE_STATS_ORACLE = """
+WITH h AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hs,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+  FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+b AS (
+  SELECT doc_id, n_bytes,
+         list_transform(generate_series(1, CAST(n_bytes AS INT)),
+                        i -> substring(hs, 2 * i - 1, 2)) AS bs
+  FROM h)
+SELECT doc_id, n_bytes,
+       CAST(len(list_distinct(bs)) AS INT) AS distinct_bytes,
+       round(CAST(len(list_filter(bs, x -> x >= '20' AND x <= '7E'))
+                  AS DOUBLE) / n_bytes, 6) AS printable_ratio,
+       CAST(list_sum(list_transform(bs, x -> CAST('0x' || x AS INT)))
+            AS BIGINT) AS byte_sum
+FROM b
+"""
+
+
+@query("multimodal_byte_stats", oracle=_BYTE_STATS_ORACLE)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics — the cheap corruption /
+    compressibility screen run before expensive media decode (a payload
+    whose byte histogram collapses to a few values is padding or a
+    truncated container; printable ratio separates text-in-blob from
+    real codec output).  Stats are computed over the hex encoding of the
+    payload entirely in-row: distinct-byte count, printable ratio, and a
+    byte-sum checksum — integer-exact on both engines (hex pairs compare
+    lexicographically = numerically at fixed width).
+
+    Scale: one narrow pass, zero shuffle, zero UDF; the hex blowup (2×)
+    lives only inside row-scoped expressions, never materialized.  As
+    with the frame/chunk operators, the payload stands in via the
+    UTF-8-encoded text (ASCII-precondition pinned by the chunk-dedup
+    test); a real media column swaps the source expression only."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.hex(F.encode("text", "UTF-8")).alias("hs"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") > 0)
+    )
+    b = d.select(
+        "doc_id",
+        "n_bytes",
+        F.expr(
+            "transform(sequence(1, CAST(n_bytes AS INT)),"
+            " i -> substring(hs, 2 * i - 1, 2))"
+        ).alias("bs"),
+    )
+    return b.select(
+        "doc_id",
+        "n_bytes",
+        F.size(F.array_distinct("bs")).alias("distinct_bytes"),
+        F.round(
+            F.size(F.filter("bs", lambda x: (x >= "20") & (x <= "7E"))).cast("double")
+            / F.col("n_bytes"),
+            6,
+        ).alias("printable_ratio"),
+        F.aggregate(
+            F.transform("bs", lambda x: F.conv(x, 16, 10).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("byte_sum"),
+    )
