@@ -38,3 +38,65 @@ def test_chunk_overlap_invariants(spark, sf_small):
         head_tail = rows[0].chunk_text.split(" ")[pipeline.CHUNK_STRIDE:]
         next_head = rows[1].chunk_text.split(" ")[: len(head_tail)]
         assert head_tail == next_head
+
+
+# --------------------------------------------------------------------------
+# Sequence packing / mixture sampling invariants (beyond the oracle)
+# --------------------------------------------------------------------------
+def test_sequence_packing_conserves_tokens(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.pipeline import (
+        SEQ_LEN,
+        pipeline_sequence_packing,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    out = pipeline_sequence_packing(spark, sf_small).toPandas()
+    total_tokens = (
+        load_table(spark, sf_small, "documents")
+        .select(F.size(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") > 0)
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    # Every token lands in exactly one sequence slot.
+    assert out["seq_tokens"].sum() == total_tokens
+    # Within a shard, only the LAST sequence may be under-full.
+    for shard, grp in out.groupby("shard_id"):
+        under = grp[grp["seq_tokens"] < SEQ_LEN]
+        assert len(under) <= 1
+        if len(under) == 1:
+            assert under["seq_id"].iloc[0] == grp["seq_id"].max()
+        # Sequence ids are dense from 0.
+        assert sorted(grp["seq_id"]) == list(range(len(grp)))
+
+
+def test_mixture_sample_budget_semantics(spark, sf_small):
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.pipeline import (
+        MIX_BUDGET,
+        pipeline_mixture_sample,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    out = pipeline_mixture_sample(spark, sf_small).toPandas()
+    totals = (
+        load_table(spark, sf_small, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") > 0)
+        .groupBy("source")
+        .agg(F.sum("t").alias("total"), F.max("t").alias("max_doc"))
+        .toPandas()
+        .set_index("source")
+    )
+    for r in out.itertuples():
+        total, max_doc = totals.loc[r.source, ["total", "max_doc"]]
+        if r.budget_hit:
+            # Start-under-budget rule: the last doc may overshoot by less
+            # than its own length.
+            assert MIX_BUDGET <= r.kept_tokens < MIX_BUDGET + max_doc
+        else:
+            # Source ran dry: everything kept, under budget.
+            assert r.kept_tokens == total < MIX_BUDGET
