@@ -451,3 +451,17 @@ def test_keep_canonical_membership_attach_not_broadcast(spark, sf_small):
     assert kinds["BroadcastHashJoin"] == 2, kinds
     assert "TakeOrderedAndProject" in nodes, nodes
     assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
+
+
+def test_wide_correlation_prunes_and_single_pass(spark, sf_small):
+    """The moment pass behind all six correlations must scan exactly the 4
+    picked columns (no id — it is not referenced) and aggregate them in
+    ONE pass: a single scan node, no join of per-pair subplans."""
+    from iceberg_table_generator_spark.operators.wide import (
+        _PICKED,
+        wide_metrics_correlation,
+    )
+
+    df = wide_metrics_correlation(spark, sf_small)
+    (schema,) = explain.read_schemas(df)
+    assert set(schema) == set(_PICKED), schema
