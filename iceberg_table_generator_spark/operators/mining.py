@@ -598,3 +598,166 @@ def events_hourly_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("vs", idx(50)).alias("p50"),
         F.element_at("vs", idx(95)).alias("p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP) per hour
+# --------------------------------------------------------------------------
+_TWAP_ORACLE = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, ts, event_id, value FROM events),
+gaps AS (
+  SELECT h, ts, value,
+         CAST(epoch_us(COALESCE(
+                 lead(ts) OVER (PARTITION BY h ORDER BY ts, event_id),
+                 h + INTERVAL 1 HOUR)) - epoch_us(ts) AS BIGINT) AS w_us,
+         CAST(epoch_us(h + INTERVAL 1 HOUR)
+              - epoch_us(min(ts) OVER (PARTITION BY h)) AS BIGINT) AS span_us
+  FROM ev)
+SELECT h AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
+             / any_value(span_us), 6) AS twap
+FROM gaps GROUP BY h
+"""
+
+
+@query("events_twap_hourly", oracle=_TWAP_ORACLE)
+def events_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average of the event value — the TWAP/ops
+    aggregation where each observation counts for how LONG it was the
+    latest one, not once per row (the difference between "mean of
+    samples" and "mean over time" when sampling is irregular).
+    Convention, stated and mirrored in the oracle: each value holds
+    until the next observation in the same hour (the last one until
+    hour end), and the denominator is the observed span (first
+    observation → hour end) — no carry-in from the previous hour, so
+    every hour is computable independently.
+
+    Engine-exactness: weights are exact integer microseconds (epoch µs
+    differences, never float timestamps); value·weight products are
+    IEEE-identical; the cross-row sum accumulates in DECIMAL(38,6); one
+    double division, rounded once.  Scale: the only window partitions by
+    hour — fully parallel; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    h = F.date_trunc("hour", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        h.alias("h"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("h").orderBy("ts", "event_id")
+    # ntz → epoch µs via the repo idiom (session TZ is UTC, so the cast is
+    # the identity on the microsecond value — same as relational_ext)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    hour_end_us = us(F.col("h") + F.expr("INTERVAL 1 HOUR"))
+    gaps = ev.select(
+        "h",
+        "value",
+        (
+            F.coalesce(us(F.lead("ts").over(w)), hour_end_us)
+            - us(F.col("ts"))
+        ).alias("w_us"),
+        (
+            hour_end_us
+            - us(F.min("ts").over(Window.partitionBy("h")))
+        ).alias("span_us"),
+    )
+    return gaps.groupBy(F.col("h").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.first("span_us"),
+            6,
+        ).alias("twap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Open-order backlog over time (sweep-line interval counting)
+# --------------------------------------------------------------------------
+_BACKLOG_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         date_trunc('month', o.o_orderdate) AS m_start,
+         date_trunc('month', max(l.l_shipdate)) AS m_end
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate),
+bounds AS (
+  SELECT min(m_start) AS lo, max(m_end) AS hi FROM iv),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+  FROM bounds),
+starts AS (
+  SELECT m_start AS month, CAST(count(*) AS BIGINT) AS started
+  FROM iv GROUP BY m_start),
+ends AS (
+  SELECT m_end AS month, CAST(count(*) AS BIGINT) AS shipped
+  FROM iv GROUP BY m_end)
+SELECT g.month,
+       COALESCE(s.started, 0) AS started,
+       COALESCE(e.shipped, 0) AS shipped,
+       CAST(sum(COALESCE(s.started, 0) - COALESCE(e.shipped, 0))
+            OVER (ORDER BY g.month ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_backlog
+FROM grid g
+LEFT JOIN starts s ON s.month = g.month
+LEFT JOIN ends e   ON e.month = g.month
+"""
+
+
+@query("orders_open_backlog", oracle=_BACKLOG_ORACLE)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per month — concurrent-interval counting via the
+    sweep line: each order contributes +1 at its order month and -1 at
+    its final-shipment month, and the running sum over a gap-free month
+    grid is the number of orders in flight.  The sweep turns an
+    interval-stabbing problem (naively a range join of every order
+    against every month) into two GROUP BYs plus one cumulative sum over
+    the GRID — O(orders + months), not O(orders × months).
+
+    Scale: the interval build is one orderkey-keyed aggregation (shuffle
+    on the fact join key); start/end diffs collapse map-side to
+    months-sized relations; the only window orders the month grid —
+    thousands of rows at any corpus scale, a deliberate dim-sized
+    global window like the Pareto curve.  All counts integer end to
+    end."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("m_start"),
+            F.date_trunc("month", "last_ship").alias("m_end"),
+        )
+    )
+    bounds = iv.agg(F.min("m_start").alias("lo"), F.max("m_end").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    starts = iv.groupBy(F.col("m_start").alias("month")).agg(
+        F.count(F.lit(1)).alias("started")
+    )
+    ends = iv.groupBy(F.col("m_end").alias("month")).agg(
+        F.count(F.lit(1)).alias("shipped")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(starts, "month", "left")
+        .join(ends, "month", "left")
+        .select(
+            "month",
+            F.coalesce("started", F.lit(0)).alias("started"),
+            F.coalesce("shipped", F.lit(0)).alias("shipped"),
+        )
+        .withColumn(
+            "open_backlog", F.sum(F.col("started") - F.col("shipped")).over(w)
+        )
+    )
