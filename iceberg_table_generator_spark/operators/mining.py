@@ -761,3 +761,148 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open_backlog", F.sum(F.col("started") - F.col("shipped")).over(w)
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness (multi-granularity distinct aggregation)
+# --------------------------------------------------------------------------
+_STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_dau
+  FROM events GROUP BY 1, 2),
+mau AS (
+  SELECT date_trunc('month', ts) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1)
+SELECT d.month, any_value(m.mau) AS mau,
+       CAST(sum(d.n_dau) AS BIGINT) AS sum_dau,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(d.n_dau) AS DOUBLE)
+             / (count(*) * any_value(m.mau)), 6) AS stickiness
+FROM dau d JOIN mau m ON m.month = d.month
+GROUP BY d.month
+"""
+
+
+@query("events_user_stickiness", oracle=_STICKINESS_ORACLE)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the product-health ratio of average
+    daily active users to monthly actives, i.e. what fraction of the
+    month's users show up on a typical day.  Exercises the
+    multi-granularity COUNT DISTINCT shape: the same key de-duplicated
+    at two window sizes, then joined back on the coarser one.
+
+    Scale: both distincts shuffle on (period, user) — Spark's two-phase
+    distinct aggregation keeps the shuffle keyed and partial; the month
+    join is months-sized.  At billions of users the drop-in is HLL
+    (`approx_count_distinct`, exercised with error bounds by
+    `approx_sketches`) — mergeable across days, which exact distinct is
+    not.  The ratio is one double division over exact integers, rounded
+    once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("n_dau")
+    )
+    mau = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month")
+        .agg(
+            F.first("mau").alias("mau"),
+            F.sum("n_dau").alias("sum_dau"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "month",
+            "mau",
+            "sum_dau",
+            "n_days",
+            F.round(
+                F.col("sum_dau").cast("double")
+                / (F.col("n_days") * F.col("mau")),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution (which entry event type converts)
+# --------------------------------------------------------------------------
+_ATTRIBUTION_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+ft AS (
+  SELECT user_id, day, event_type AS first_touch FROM ranked WHERE rn = 1),
+pur AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purchases
+  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+sess AS (
+  SELECT f.first_touch, p.purchases
+  FROM ft f JOIN pur p ON p.user_id = f.user_id AND p.day = f.day)
+SELECT first_touch,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(purchases) AS BIGINT) AS attributed_purchases,
+       CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS converting_sessions,
+       round(CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS conversion_rate
+FROM sess GROUP BY first_touch
+"""
+
+
+@query("events_attribution_first_touch", oracle=_ATTRIBUTION_ORACLE)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase in a user-day credits the
+    day's ENTRY event type — the marketing-channel question ("what did
+    converting sessions start with?") that complements the path-shape
+    view of `events_pattern_match` and the ordered-steps view of
+    `events_funnel`.
+
+    The first touch is selected with min_by on the (ts, event_id) pair —
+    a single aggregation, no window, no sort: at scale this is one
+    shuffle keyed by (user, day) with map-side partial min_by, strictly
+    cheaper than the rank-and-filter form.  Tie-safety: event_id makes
+    the ordering pair total, so both engines pick the identical entry
+    event.  The rollup to attribution rates is event-type-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    sess = ev.groupBy("user_id", "day").agg(
+        F.min_by("event_type", "ord").alias("first_touch"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+    )
+    return (
+        sess.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("purchases").alias("attributed_purchases"),
+            F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0)).alias(
+                "converting_sessions"
+            ),
+        )
+        .select(
+            "first_touch",
+            "n_sessions",
+            "attributed_purchases",
+            "converting_sessions",
+            F.round(
+                F.col("converting_sessions").cast("double") / F.col("n_sessions"), 6
+            ).alias("conversion_rate"),
+        )
+    )
