@@ -94,6 +94,11 @@ HEADLINE = [
     "wide_metrics_correlation",
     "similarity_centroid_classifier",
     "events_hourly_p95",
+    "events_twap_hourly",
+    "orders_open_backlog",
+    "events_user_stickiness",
+    "events_attribution_first_touch",
+    "similarity_mmr_topk",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
