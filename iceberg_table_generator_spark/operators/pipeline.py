@@ -1010,3 +1010,129 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").alias("kept_tokens"),
         (F.max("cum_tokens") - MIX_BUDGET >= 0).alias("budget_hit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Systematic PPS sampling (probability-proportional-to-size, float-free)
+# --------------------------------------------------------------------------
+PPS_TARGET = 64  # sample size k: one draw per W/k tokens of cumulative mass
+
+
+_PPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+cum AS (
+  SELECT doc_id, source, tokens,
+         CAST(sum(tokens) OVER (ORDER BY rk, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_hi
+  FROM tok),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS w FROM tok),
+marked AS (
+  SELECT doc_id, source, tokens,
+         ((c_hi - tokens) * {PPS_TARGET}) // t.w AS lo,
+         (c_hi * {PPS_TARGET}) // t.w AS hi
+  FROM cum CROSS JOIN tot t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS sampled_docs,
+       CAST(sum(tokens) AS BIGINT) AS sampled_tokens
+FROM marked WHERE hi > lo
+GROUP BY source
+"""
+
+
+@query("pipeline_pps_sample", oracle=_PPS_ORACLE)
+def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: documents are
+    laid on the cumulative token line in md5-shuffled order and one draw
+    is taken every W/k tokens — long documents are proportionally more
+    likely to be hit, short ones can be skipped, and the draw count is
+    exactly k (the survey-statistics PPS design, here the "sample big
+    docs proportionally for eval" pass).  Selection is the integer test
+    `floor(c_hi·k/W) > floor(c_lo·k/W)` — NO floats anywhere, so both
+    engines select the identical document set (the float-free twin of
+    Efraimidis-Spirakis weighted sampling, whose u^(1/w) keys are
+    transcendental and therefore un-orableable bit-exactly).
+
+    Scale note: stated honestly, the cumulative line here is ONE global
+    window (deliberate, like Pareto) — at corpus scale the same design
+    shards first (`pipeline_sequence_packing`'s md5 shards) and draws
+    k/shard per shard, which preserves the PPS property within shards;
+    the selection algebra is unchanged."""
+    from pyspark.sql.window import Window
+
+    toks = F.split("text", " ")
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        )
+    )
+    w = Window.orderBy("rk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = tok.withColumn("c_hi", F.sum("tokens").over(w))
+    tot = tok.agg(F.sum("tokens").alias("w_total"))
+    marked = cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"((c_hi - tokens) * {PPS_TARGET}) div w_total").alias("lo"),
+        F.expr(f"(c_hi * {PPS_TARGET}) div w_total").alias("hi"),
+    )
+    return (
+        marked.filter(F.col("hi") > F.col("lo"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("tokens").alias("sampled_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini-Simpson diversity of sources within each language
+# --------------------------------------------------------------------------
+_SIMPSON_ORACLE = """
+WITH cnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       round(CAST(sum(n) * sum(n) - sum(n * n) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * sum(n)), 6) AS simpson_diversity
+FROM cnt GROUP BY lang
+"""
+
+
+@query("stats_simpson_diversity", oracle=_SIMPSON_ORACLE)
+def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity index of the source mix within each
+    language: 1 − Σp² = (N² − Σn²)/N², the probability two random docs
+    of a language come from different sources — the diversity half of
+    the corpus-balance dashboard (chi-square asks "independent?", this
+    asks "how concentrated?").  Chosen over Shannon entropy precisely
+    because it is RATIONAL: integer sums, one fixed-order double
+    division, no logarithm, hence exactly cross-engine reproducible.
+    One vocabulary-sized aggregation, then a languages-sized rollup."""
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.round(
+            (F.sum("n") * F.sum("n") - F.sum(F.col("n") * F.col("n"))).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n")),
+            6,
+        ).alias("simpson_diversity"),
+    )
