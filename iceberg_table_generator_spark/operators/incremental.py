@@ -199,19 +199,15 @@ def incremental_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     t = _value_fixture_table(spark, sf_dir)
-    n_versions = len(t.snapshots()) - 1  # snapshots are 0-indexed; v0=create
-    events = t.read(version=1).select(
-        "doc_id", F.lit(1).alias("version"), F.lit(1).alias("sign")
+    # read_changes_all materializes each version ONCE (V scans, not 2V-1)
+    # — the backfill's dominant cost; see its docstring.
+    events = t.read_changes_all().select(
+        "doc_id",
+        F.col("_version").alias("version"),
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
     )
-    for v in range(2, n_versions + 1):
-        ch = t.read_changes(v - 1, v).select(
-            "doc_id",
-            F.lit(v).alias("version"),
-            F.when(F.col("_change_type") == "insert", F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("sign"),
-        )
-        events = events.unionByName(ch)
     net = (
         events.groupBy("doc_id", "version")
         .agg(F.sum("sign").alias("net"))

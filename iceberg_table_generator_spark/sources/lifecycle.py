@@ -1059,6 +1059,46 @@ class ParquetSnapshotTable:
         )
         return inserted.unionByName(deleted, allowMissingColumns=True)
 
+    def read_changes_all(self) -> DataFrame:
+        """Full-history changelog: the per-version `read_changes` stream for
+        EVERY consecutive snapshot pair, tagged with `_version`, with each
+        version's visible set materialized exactly once.
+
+        Calling `read_changes(v-1, v)` in a loop reads every interior
+        version twice (as the new side of one diff and the old side of the
+        next) — 2V-1 table scans for V versions; here each version is
+        persisted (DISK_ONLY — recomputable lineage, same policy as the
+        operators) and all 2(V-1) anti-joins run over the cached sets:
+        V scans total.  Iceberg's native equivalent walks manifests
+        per-commit (O(Δ) per step); this is the parquet-snapshot
+        approximation of that consumer-side pattern."""
+        from pyspark import StorageLevel
+
+        n = len(self._load()) - 1
+        frames = {
+            v: self.read(version=v).persist(StorageLevel.DISK_ONLY)
+            for v in range(1, n + 1)
+        }
+        parts = []
+        for v in range(1, n + 1):
+            new = frames[v]
+            if v == 1:
+                ch = new.withColumn("_change_type", F.lit("insert"))
+            else:
+                old = frames[v - 1]
+                ins = new.join(old.select(ROW_ID), ROW_ID, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                dele = old.join(new.select(ROW_ID), ROW_ID, "left_anti").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                ch = ins.unionByName(dele, allowMissingColumns=True)
+            parts.append(ch.withColumn("_version", F.lit(v)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:
         return self._load()

@@ -57,3 +57,39 @@ def test_maintained_group_disappears_at_zero_count(spark, tmp_path):
         _full_agg(t.read(version=1)), t.read_changes(1, 2), ["grp"], {"sum_v": "v"}
     )
     assert _as_dict(state) == {"b": (1, 30)}
+
+
+def test_read_changes_all_matches_pairwise(spark, sf_small):
+    """The single-materialization full-history changelog must equal the
+    per-pair read_changes stream, version by version."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.metadata_tables import (
+        _value_fixture_table,
+    )
+
+    t = _value_fixture_table(spark, sf_small)
+    n = len(t.snapshots()) - 1
+    allch = (
+        t.read_changes_all()
+        .groupBy("_version", "_change_type")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+        .orderBy("_version", "_change_type")
+        .collect()
+    )
+    expected = []
+    first = t.read(version=1)
+    expected.append(
+        (1, "insert", first.count(), first.agg(F.sum("doc_id")).collect()[0][0])
+    )
+    for v in range(2, n + 1):
+        ch = (
+            t.read_changes(v - 1, v)
+            .groupBy("_change_type")
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+            .collect()
+        )
+        for r in ch:
+            expected.append((v, r["_change_type"], r["n"], r["s"]))
+    got = [(r["_version"], r["_change_type"], r["n"], r["s"]) for r in allch]
+    assert sorted(got) == sorted(expected)
