@@ -99,6 +99,8 @@ HEADLINE = [
     "events_user_stickiness",
     "events_attribution_first_touch",
     "similarity_mmr_topk",
+    "pipeline_pps_sample",
+    "stats_simpson_diversity",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
