@@ -906,3 +906,122 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("conversion_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical process control: monthly return-rate p-chart
+# --------------------------------------------------------------------------
+_PCHART_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS r
+  FROM lineitem GROUP BY 1),
+c AS (SELECT CAST(sum(r) AS DOUBLE) / sum(n) AS pbar FROM m)
+SELECT m.month, m.n, m.r,
+       round(CAST(m.r AS DOUBLE) / m.n, 6) AS rate,
+       round(c.pbar + 3 * sqrt(c.pbar * (1 - c.pbar) / m.n), 6) AS ucl,
+       round(c.pbar - 3 * sqrt(c.pbar * (1 - c.pbar) / m.n), 6) AS lcl,
+       CAST(CAST(m.r AS DOUBLE) / m.n
+              > c.pbar + 3 * sqrt(c.pbar * (1 - c.pbar) / m.n)
+            OR CAST(m.r AS DOUBLE) / m.n
+              < c.pbar - 3 * sqrt(c.pbar * (1 - c.pbar) / m.n)
+            AS BOOLEAN) AS out_of_control
+FROM m CROSS JOIN c
+"""
+
+
+@query("lineitem_return_pchart", oracle=_PCHART_ORACLE)
+def lineitem_return_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (SPC attribute control chart) over the monthly return rate:
+    3σ binomial limits around the grand rate, months outside flagged —
+    the process-monitoring counterpart of `events_rate_anomaly`'s
+    trailing z-score (fixed center line vs rolling baseline).
+
+    Engine-exactness: rates are one division of exact integers; the 3σ
+    term is a fixed chain ending in a correctly-rounded sqrt —
+    IEEE-identical on both engines — and the out-of-control comparison
+    runs on the UNrounded doubles, so both engines flag the same months
+    (rounding only at the display columns).  One aggregation, one
+    scalar-aggregate broadcast, months-sized output."""
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+        )
+    )
+    c = m.agg(
+        (F.sum("r").cast("double") / F.sum("n")).alias("pbar")
+    )
+    rate = F.col("r").cast("double") / F.col("n")
+    sigma3 = 3 * F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    return m.crossJoin(F.broadcast(c)).select(
+        "month",
+        "n",
+        "r",
+        F.round(rate, 6).alias("rate"),
+        F.round(F.col("pbar") + sigma3, 6).alias("ucl"),
+        F.round(F.col("pbar") - sigma3, 6).alias("lcl"),
+        ((rate > F.col("pbar") + sigma3) | (rate < F.col("pbar") - sigma3)).alias(
+            "out_of_control"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonality index (month-of-year revenue vs grand mean)
+# --------------------------------------------------------------------------
+_SEASONALITY_ORACLE = """
+WITH ym AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1, 2),
+moy AS (
+  SELECT m, CAST(sum(rev) AS DOUBLE) / count(*) AS month_avg,
+         CAST(count(*) AS BIGINT) AS n_years
+  FROM ym GROUP BY m),
+g AS (SELECT CAST(sum(rev) AS DOUBLE) / count(*) AS grand_avg FROM ym)
+SELECT moy.m AS month_of_year, moy.n_years,
+       round(moy.month_avg, 2) AS month_avg,
+       round(moy.month_avg / g.grand_avg, 6) AS seasonality_index
+FROM moy CROSS JOIN g
+"""
+
+
+@query("orders_seasonality_index", oracle=_SEASONALITY_ORACLE)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    revenue (across years) relative to the overall monthly average — the
+    ratio-to-grand-mean step of classical time-series decomposition,
+    used to deseasonalize before trend fitting.
+
+    Revenue accumulates in exact DECIMAL through both grouping levels;
+    the two averages are single divisions of identical decimals by
+    integer counts, and the index one further division — all fixed-order
+    double ops, rounded once each.  Two aggregations (year-month, then
+    month-of-year) plus a scalar-aggregate broadcast; output is ≤12
+    rows at any scale."""
+    ym = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    moy = ym.groupBy("m").agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("month_avg"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    g = ym.agg((F.sum("rev").cast("double") / F.count(F.lit(1))).alias("grand_avg"))
+    return moy.crossJoin(F.broadcast(g)).select(
+        F.col("m").alias("month_of_year"),
+        "n_years",
+        F.round("month_avg", 2).alias("month_avg"),
+        F.round(F.col("month_avg") / F.col("grand_avg"), 6).alias(
+            "seasonality_index"
+        ),
+    )

@@ -1583,3 +1583,54 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.round("rel", 6).alias("rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation (LSH vs exact ground truth, as a first-class query)
+# --------------------------------------------------------------------------
+_RECALL_ORACLE = f"""
+WITH exact AS ({_COSINE_ORACLE}),
+ann AS ({_ANN_LSH_ORACLE})
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS INT) AS hits,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+FROM exact e
+LEFT JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("similarity_ann_recall_eval", oracle=_RECALL_ORACLE)
+def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the hyperplane-LSH ANN against exact cosine ground
+    truth, per query — the ANN quality dashboard as a first-class QUERY
+    (the pytest suite pins an aggregate recall floor; this emits the
+    per-query numbers an index operator actually monitors, and is itself
+    oracle-paired because BOTH sides are).
+
+    Built by COMPOSITION: the registered exact and ANN queries run
+    unchanged and join on (query, neighbor) — queries-× -k-sized inputs,
+    so the eval adds two bounded relations and one tiny join to whatever
+    the underlying operators cost.  The oracle composes the same two
+    registered oracle texts as CTEs, so eval can never drift from the
+    operators it evaluates."""
+    exact = similarity_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_id")
+    )
+    return (
+        exact.join(
+            ann,
+            (exact.query_id == ann.query_id)
+            & (exact.neighbor_id == ann.ann_id),
+            "left",
+        )
+        .drop(ann.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("ann_id").cast("int").alias("hits"),
+            F.round(F.count("ann_id").cast("double") / TOP_K, 6).alias("recall"),
+        )
+    )
