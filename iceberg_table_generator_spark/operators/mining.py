@@ -1025,3 +1025,150 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV: cumulative revenue by signup cohort and age
+# --------------------------------------------------------------------------
+_LTV_ORACLE = """
+WITH first_order AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey),
+rev AS (
+  SELECT f.cohort,
+         CAST(date_diff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate)) AS INT) AS age,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+  GROUP BY f.cohort, age)
+SELECT cohort, age, n_orders,
+       CAST(round(rev, 2) AS DOUBLE) AS month_revenue,
+       CAST(round(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                                 ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+         AS cumulative_ltv
+FROM rev
+"""
+
+
+@query("orders_cohort_ltv", oracle=_LTV_ORACLE)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month, and
+    each cohort's revenue accumulated over its age in months — the
+    money-counterpart of `events_retention`'s headcount matrix (growth
+    teams read the two side by side).
+
+    Plan: the cohort assignment is one aggregation + a self-join of
+    orders against the customer-keyed cohort relation (shuffles on
+    custkey, co-partitioned); revenue aggregates to (cohort, age) —
+    months² rows — before the cumulative window, which partitions by
+    cohort (parallel across cohorts).  Revenue is exact DECIMAL through
+    BOTH the aggregate and the running sum; each output rounds once."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+            )
+            .cast("int")
+            .alias("age"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort",
+        "age",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("month_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("cumulative_ltv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier scorecard: composite rank over operational metrics
+# --------------------------------------------------------------------------
+SCORECARD_TOP = 25
+
+_SCORECARD_ORACLE = f"""
+WITH m AS (
+  SELECT l_suppkey AS suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS returns,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_suppkey),
+ranked AS (
+  SELECT suppkey, n_items,
+         CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+         CAST(rank() OVER (ORDER BY revenue DESC, suppkey) AS BIGINT)
+           AS rev_rank,
+         CAST(rank() OVER (ORDER BY returns * 1000000 // n_items, suppkey)
+              AS BIGINT) AS return_rank
+  FROM m)
+SELECT suppkey, revenue, n_items, rev_rank, return_rank,
+       rev_rank + 2 * return_rank AS composite
+FROM ranked
+ORDER BY composite, suppkey
+LIMIT {SCORECARD_TOP}
+"""
+
+
+@query("supplier_scorecard", oracle=_SCORECARD_ORACLE)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor scorecard: suppliers ranked on a weighted composite of
+    revenue rank and return-rate rank (lower = better) — the multi-metric
+    procurement dashboard, and the rank-aggregation pattern (Borda-style)
+    that sidesteps unit problems when combining incommensurable metrics.
+
+    Everything is INTEGER once the per-supplier aggregate exists: the
+    return rate enters as the integer `returns·10⁶ div n_items` (no
+    float rate, so rank ties are engine-exact), ranks tiebreak on
+    suppkey, and the composite is a small integer sum.  One aggregation
+    over the fact table; the rank windows order the supplier DIM
+    (30-6000× below the fact table — same documented posture as RFM);
+    top-k is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "returns"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    wr = Window.orderBy(F.desc("revenue"), F.asc("suppkey"))
+    wq = Window.orderBy(
+        F.expr("returns * 1000000 div n_items").asc(), F.asc("suppkey")
+    )
+    return (
+        m.select(
+            "suppkey",
+            F.round("revenue", 2).cast("double").alias("revenue"),
+            "n_items",
+            F.rank().over(wr).alias("rev_rank"),
+            F.rank().over(wq).alias("return_rank"),
+        )
+        .withColumn("composite", F.col("rev_rank") + 2 * F.col("return_rank"))
+        .orderBy("composite", "suppkey")
+        .limit(SCORECARD_TOP)
+    )
