@@ -101,6 +101,11 @@ HEADLINE = [
     "similarity_mmr_topk",
     "pipeline_pps_sample",
     "stats_simpson_diversity",
+    "similarity_ann_recall_eval",
+    "lineitem_return_pchart",
+    "orders_seasonality_index",
+    "orders_cohort_ltv",
+    "supplier_scorecard",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
