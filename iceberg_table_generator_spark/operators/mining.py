@@ -1172,3 +1172,140 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("composite", "suppkey")
         .limit(SCORECARD_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift monitor (total-variation distance, log-free)
+# --------------------------------------------------------------------------
+DRIFT_TV_THRESHOLD = 0.15
+
+_DRIFT_ORACLE = f"""
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang),
+src_tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM cell GROUP BY source),
+lang_tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cell GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cell),
+grid AS (
+  SELECT s.source, l.lang, s.n_src, l.n_lang, t.n_all,
+         COALESCE(c.n, 0) AS n
+  FROM src_tot s CROSS JOIN lang_tot l CROSS JOIN tot t
+  LEFT JOIN cell c ON c.source = s.source AND c.lang = l.lang)
+SELECT source, any_value(n_src) AS n_docs,
+       round(CAST(sum(CAST(abs(CAST(n AS DOUBLE) / n_src
+                               - CAST(n_lang AS DOUBLE) / n_all)
+                           AS DECIMAL(38,12))) AS DOUBLE) / 2, 6) AS tv_distance,
+       CAST(CAST(sum(CAST(abs(CAST(n AS DOUBLE) / n_src
+                              - CAST(n_lang AS DOUBLE) / n_all)
+                          AS DECIMAL(38,12))) AS DOUBLE) / 2
+              > {DRIFT_TV_THRESHOLD} AS BOOLEAN) AS drifted
+FROM grid GROUP BY source
+"""
+
+
+@query("pipeline_drift_monitor", oracle=_DRIFT_ORACLE)
+def pipeline_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the total-variation distance between
+    each source's language mix and the corpus-wide mix, flagged over a
+    threshold — the data-drift monitor an ingest pipeline runs per
+    batch/source before the mixture math trusts its metadata (TV chosen
+    over PSI/KL deliberately: those need logarithms, TV is rational, so
+    the monitor is exactly cross-engine reproducible — the same
+    log-avoidance as Simpson diversity and bigram lift).
+
+    Zero-observed cells are materialized by the marginal cross join
+    (dropping them understates drift when a source MISSES a language
+    entirely — the worst drift there is).  Per-cell |p−q| terms are
+    fixed-order doubles over exact integer marginals; the cross-cell sum
+    accumulates in DECIMAL(38,12) (order-free); the flag compares the
+    unrounded value.  Marginals are vocabulary-sized aggregations; the
+    grid is |sources|×|langs|."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src_tot = cell.groupBy("source").agg(F.sum("n").alias("n_src"))
+    lang_tot = cell.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = cell.agg(F.sum("n").alias("n_all"))
+    grid = (
+        src_tot.crossJoin(lang_tot)
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_src",
+            "n_lang",
+            "n_all",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    term = F.abs(
+        F.col("n").cast("double") / F.col("n_src")
+        - F.col("n_lang").cast("double") / F.col("n_all")
+    ).cast("decimal(38,12)")
+    tv = F.sum(term).cast("double") / 2
+    return grid.groupBy("source").agg(
+        F.first("n_src").alias("n_docs"),
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > DRIFT_TV_THRESHOLD).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Perfect-order rate (all items shipped within SLA)
+# --------------------------------------------------------------------------
+SLA_DAYS = 60
+
+_PERFECT_ORACLE = f"""
+WITH per_order AS (
+  SELECT o.o_orderkey,
+         date_trunc('month', o.o_orderdate) AS month,
+         CAST(CASE WHEN max(date_diff('day', o.o_orderdate, l.l_shipdate))
+                        <= {SLA_DAYS}
+                   THEN 1 ELSE 0 END AS INT) AS perfect
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(perfect) AS BIGINT) AS perfect_orders,
+       round(CAST(sum(perfect) AS DOUBLE) / count(*), 6) AS perfect_rate
+FROM per_order GROUP BY month
+"""
+
+
+@query("orders_perfect_rate", oracle=_PERFECT_ORACLE)
+def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate per month: the share of orders whose EVERY line
+    shipped within the SLA window — the all-or-nothing fulfillment KPI
+    (one late line fails the order), i.e. a per-group universal
+    quantifier expressed as `max(lateness) <= SLA` inside the order
+    aggregation rather than an anti-join against late lines.
+
+    One shuffle on the order key (fact-fact equi-join co-partitioned with
+    the per-order aggregate), then a months-sized rollup; day diffs are
+    exact integers, one division per month row."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias(
+                "max_days"
+            )
+        )
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.when(F.col("max_days") <= SLA_DAYS, 1).otherwise(0).alias("perfect"),
+        )
+    )
+    return per_order.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("perfect").alias("perfect_orders"),
+        F.round(F.sum("perfect").cast("double") / F.count(F.lit(1)), 6).alias(
+            "perfect_rate"
+        ),
+    )
