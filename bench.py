@@ -106,6 +106,8 @@ HEADLINE = [
     "orders_seasonality_index",
     "orders_cohort_ltv",
     "supplier_scorecard",
+    "pipeline_drift_monitor",
+    "orders_perfect_rate",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
