@@ -143,3 +143,49 @@ def test_vectorized_cosine_matches_fold_variant(spark, sf_small):
     assert len(vec) == len(exact)
     overlap = len(exact & vec) / len(exact)
     assert overlap >= 0.95, overlap
+
+
+def test_mmr_first_pick_is_exact_top1_and_sets_nest(spark, sf_small):
+    """MMR's rank-1 must equal exact cosine top-1 (λ-penalty only applies
+    from the second pick), and every selection must come from the
+    relevance-ranked pool."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.similarity import (
+        MMR_K,
+        similarity_cosine_topk,
+        similarity_mmr_topk,
+    )
+
+    mmr = similarity_mmr_topk(spark, sf_small).toPandas()
+    exact = similarity_cosine_topk(spark, sf_small).toPandas()
+    top1 = exact[exact["rank"] == 1].set_index("query_id")["neighbor_id"]
+    first = mmr[mmr["rank"] == 1].set_index("query_id")["cid"]
+    assert first.to_dict() == top1.to_dict()
+    # K picks per query, all distinct.
+    g = mmr.groupby("query_id")
+    assert (g.size() == MMR_K).all()
+    assert (g["cid"].nunique() == MMR_K).all()
+
+
+def test_pps_sample_draw_count_exact(spark, sf_small):
+    """Systematic PPS must take exactly PPS_TARGET draws in total: the
+    integer boundary test crosses each of the k grid lines once."""
+    from iceberg_table_generator_spark.operators.pipeline import (
+        PPS_TARGET,
+        pipeline_pps_sample,
+    )
+
+    out = pipeline_pps_sample(spark, sf_small).toPandas()
+    assert out["sampled_docs"].sum() == PPS_TARGET
+
+
+def test_drift_monitor_tv_bounds(spark, sf_small):
+    """Total-variation distance is a metric on [0, 1]."""
+    from iceberg_table_generator_spark.operators.mining import (
+        pipeline_drift_monitor,
+    )
+
+    out = pipeline_drift_monitor(spark, sf_small).toPandas()
+    assert ((out["tv_distance"] >= 0) & (out["tv_distance"] <= 1)).all()
+    assert out["n_docs"].sum() > 0
