@@ -1309,3 +1309,128 @@ def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perfect_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Bounce rate per entry event type
+# --------------------------------------------------------------------------
+_BOUNCE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_events
+  FROM events)
+SELECT event_type AS entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_rate
+FROM ranked WHERE rn = 1 GROUP BY event_type
+"""
+
+
+@query("events_bounce_rate", oracle=_BOUNCE_ORACLE)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by entry event type: user-days that begin with a given
+    event and contain NOTHING else — the single-event-session metric
+    read next to `events_attribution_first_touch`'s conversion column
+    (what converts vs what bounces, per channel).  One window pass over
+    (user, day) computes both the entry flag and the session size; the
+    rollup is event-type-sized."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id", "day")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_events"),
+    ).filter(F.col("rn") == 1)
+    return ranked.groupBy(F.col("event_type").alias("entry_type")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-category OLS revenue trend (regression by moments)
+# --------------------------------------------------------------------------
+_TREND_ORACLE = """
+WITH ym AS (
+  SELECT p.p_type,
+         CAST((year(o.o_orderdate) - 1995) * 12
+              + month(o.o_orderdate) - 1 AS BIGINT) AS x,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS y
+  FROM lineitem l
+  JOIN part p   ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY p.p_type, x),
+m AS (
+  SELECT p_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(18,2)) * y) AS DOUBLE) AS sxy,
+         CAST(count(*) AS BIGINT) AS n_months
+  FROM ym GROUP BY p_type)
+SELECT p_type, n_months,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) > 0 AS BOOLEAN)
+         AS growing
+FROM m
+"""
+
+
+@query("part_type_trend", oracle=_TREND_ORACLE)
+def part_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue trend per part category: ordinary-least-squares slope of
+    the monthly revenue series, computed from moments (n, Σx, Σx², Σy,
+    Σxy) — one aggregation pass per category, the same
+    single-pass-moments pattern as `wide_metrics_correlation`, closing
+    the time-series family (seasonality index = level, this = trend).
+
+    Engine-exactness: x is a small exact integer month index; y
+    accumulates in DECIMAL; the x·y cross-moment multiplies DECIMALs
+    exactly; the closed-form slope is one fixed-parenthesization double
+    chain, rounded once; the growth flag compares the unrounded value
+    against zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    x = (
+        (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    ym = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("p_type", x.alias("x"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("y"))
+    )
+    m = ym.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,2)") * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "p_type",
+        "n_months",
+        F.round(slope, 4).alias("slope"),
+        (slope > 0).alias("growing"),
+    )
