@@ -108,6 +108,8 @@ HEADLINE = [
     "supplier_scorecard",
     "pipeline_drift_monitor",
     "orders_perfect_rate",
+    "events_bounce_rate",
+    "part_type_trend",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
