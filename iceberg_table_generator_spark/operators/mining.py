@@ -1434,3 +1434,104 @@ def part_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("slope"),
         (slope > 0).alias("growing"),
     )
+
+
+# --------------------------------------------------------------------------
+# New vs returning users per month
+# --------------------------------------------------------------------------
+_NEW_RETURNING_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('month', min(ts)) AS first_month
+  FROM events GROUP BY user_id),
+mu AS (
+  SELECT DISTINCT date_trunc('month', ts) AS month, user_id FROM events)
+SELECT mu.month,
+       CAST(sum(CASE WHEN f.first_month = mu.month THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN f.first_month <> mu.month THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users,
+       round(CAST(sum(CASE WHEN f.first_month <> mu.month THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS returning_share
+FROM mu JOIN first_seen f ON f.user_id = mu.user_id
+GROUP BY mu.month
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEW_RETURNING_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly active users split into new (first month of activity) vs
+    returning — the acquisition-vs-retention decomposition read next to
+    `events_user_stickiness` and the cohort matrix.  Two aggregations
+    keyed by user (first-seen, and the month-user distinct) joined on
+    the user key — co-partitioned shuffles; months-sized output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").alias("month"), "user_id", "ts"
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("first_month")
+    )
+    mu = ev.select("month", "user_id").distinct()
+    new_flag = F.when(F.col("first_month") == F.col("month"), 1).otherwise(0)
+    return (
+        mu.join(first_seen, "user_id")
+        .groupBy("month")
+        .agg(
+            F.sum(new_flag).alias("new_users"),
+            F.sum(1 - new_flag).alias("returning_users"),
+            F.round(F.sum(1 - new_flag).cast("double") / F.count(F.lit(1)), 6).alias(
+                "returning_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session-duration histogram (5-minute integer buckets)
+# --------------------------------------------------------------------------
+SESSION_BUCKET_S = 300
+
+_DURATION_HIST_ORACLE = f"""
+WITH sess AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         -- epoch-us floor, NOT date_diff('second'): date_diff counts
+         -- boundary CROSSINGS (0.9s->1.1s = 1), Spark's us-div floors
+         -- elapsed time (= 0) - same pitfall the sessionize oracle pins
+         CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+              AS BIGINT) AS dur_s
+  FROM events GROUP BY user_id, CAST(ts AS DATE))
+SELECT dur_s // {SESSION_BUCKET_S} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(min(dur_s) AS BIGINT) AS min_dur_s,
+       CAST(max(dur_s) AS BIGINT) AS max_dur_s
+FROM sess GROUP BY bucket
+"""
+
+
+@query("events_session_duration_hist", oracle=_DURATION_HIST_ORACLE)
+def events_session_duration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-day session-duration histogram in 5-minute integer buckets —
+    the engagement-distribution companion to `events_bounce_rate`
+    (bucket 0 ⊇ bounces).  Durations are exact integer seconds and the
+    bucket is integer division, so binning is engine-exact (the same
+    reason `histogram_extendedprice` bins integers, not floats).  One
+    (user, day) aggregation, one buckets-sized rollup."""
+    sess = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("dur_us")
+        )
+        .select(F.expr("dur_us div 1000000").alias("dur_s"))
+    )
+    return sess.groupBy(
+        F.expr(f"dur_s div {SESSION_BUCKET_S}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.min("dur_s").alias("min_dur_s"),
+        F.max("dur_s").alias("max_dur_s"),
+    )

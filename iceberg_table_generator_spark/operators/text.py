@@ -607,3 +607,85 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(LIFT_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier eval by composition)
+# --------------------------------------------------------------------------
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANGID_ORACLE})
+SELECT labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY labeled_lang), 6) AS row_share
+FROM pred GROUP BY labeled_lang, predicted_lang
+"""
+
+
+@query("text_lang_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID classifier against the stored
+    labels — classifier evaluation as a first-class query, built by
+    COMPOSITION of the registered `text_language_id` (and of its oracle
+    text, so the eval cannot drift from the classifier), the same
+    pattern as `similarity_ann_recall_eval`.  Row-normalized shares make
+    it a per-class recall table.  One aggregation over the classifier
+    output; the share window partitions by true label — classes-sized."""
+    from pyspark.sql.window import Window
+
+    pred = text_language_id(spark, sf_dir)
+    cnt = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cnt.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("row_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility (chars per token, per language)
+# --------------------------------------------------------------------------
+_FERTILITY_ORACLE = """
+SELECT lang,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(CAST(sum(length(text)) AS DOUBLE)
+             / sum(len(string_split(text, ' '))), 6) AS chars_per_token
+FROM documents
+WHERE len(string_split(text, ' ')) > 0
+GROUP BY lang
+"""
+
+
+@query("text_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per (whitespace)
+    token — the per-language cost factor a multilingual training budget
+    multiplies by (languages with high fertility consume more context
+    per word; the real pipeline swaps the whitespace splitter for its
+    BPE and the query is unchanged).  Integer sums, one division,
+    languages-sized output — a pure single-aggregation pass."""
+    toks = F.split("text", " ")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) > 0)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.size(toks)).alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "total_chars",
+            "total_tokens",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("total_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
