@@ -110,6 +110,10 @@ HEADLINE = [
     "orders_perfect_rate",
     "events_bounce_rate",
     "part_type_trend",
+    "text_lang_confusion",
+    "text_tokenizer_fertility",
+    "events_new_vs_returning",
+    "events_session_duration_hist",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
