@@ -1,0 +1,46 @@
+"""Session-level registry for persisted intermediate DataFrames.
+
+Several operators persist bounded intermediates (DISK_ONLY, recomputable
+lineage) because their plan re-reads them — iteration leaves (PageRank's
+edge relation, MMR's per-round selections), band/posting-list relations,
+version snapshots.  Inside ONE query that is the right call; in a
+long-lived session that runs all 153 registered queries back-to-back
+(scripts/check_oracle.py, bench.py, the driver's correctness sweep) the
+blocks otherwise accumulate until Spark's context cleaner happens to GC
+them (r7 advice).  Operators therefore persist through
+:func:`persist_tracked`, and the harnesses call :func:`release_tracked`
+after each query's terminal action.
+
+``release_tracked`` only unpersists — every tracked frame has
+recomputable lineage, so a subsequent re-execution of the same returned
+DataFrame stays CORRECT (it just recomputes), which is exactly Spark's
+own executor-loss story for DISK_ONLY blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame, level: StorageLevel = StorageLevel.DISK_ONLY
+) -> DataFrame:
+    """Persist ``df`` and register it for harness-level release."""
+    df.persist(level)
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame (blocking=False); returns the count."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a dead session must not mask others
+            pass
+    _TRACKED.clear()
+    return n

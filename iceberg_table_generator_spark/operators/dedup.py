@@ -25,8 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -154,7 +154,7 @@ def dedup_ngram_jaccard(
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(persist_tracked)
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -452,9 +452,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition and a serial verify — measured 12 s vs 4 s at sf0.1 on
     # local[32]; at real scale the scan is already split and spread() is
     # a no-op.
-    clustered = spread(assigned.withColumn("ang", ang)).persist(
-        StorageLevel.DISK_ONLY
-    )
+    clustered = spread(assigned.withColumn("ang", ang)).transform(persist_tracked)
     radii = {
         r.cluster_id: r.r
         for r in clustered.groupBy("cluster_id").agg(F.max("ang").alias("r")).collect()
@@ -596,7 +594,7 @@ def minhash_band_keys(docs: DataFrame, pre_shingled: bool = False) -> DataFrame:
     # re-runs per branch (plan audit showed 0 reused exchanges, 3-4 corpus
     # scans per query).  16 small rows per doc; DISK_ONLY for the same
     # fault-tolerance rationale as the posting streams.
-    return bands.persist(StorageLevel.DISK_ONLY)
+    return bands.transform(persist_tracked)
 
 
 def _band_fold(cols: list[Column]) -> Column:
@@ -837,7 +835,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReuseExchange, so without this the tokenize->md5->bit-vote pipeline
     # runs once per join side (8 bytes per doc; the minhash_band_keys
     # rationale verbatim).
-    fp = simhash(d).persist(StorageLevel.DISK_ONLY)
+    fp = simhash(d).transform(persist_tracked)
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -21,9 +21,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -105,14 +105,27 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    er = edges.join(outw, "src").persist(StorageLevel.DISK_ONLY)
+    er = edges.join(outw, "src").transform(persist_tracked)
     # Persist the |V|-sized node set too: every iteration's rank rebuild
     # references it, and without the persist each reference re-derives it
     # from a FULL events scan (observed: 18 FileScans in the un-persisted
     # plan — the difference between O(iters·|events|) and O(|events|)).
-    nodes = ev.select(F.col("k").alias("node")).distinct().persist(
-        StorageLevel.DISK_ONLY
-    )
+    nodes = ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
+    # Overflow loud-guard (r7 advice): the contribution term computes
+    # ((85*r div 100) * cnt) before the final division, and r is bounded
+    # by the conserved total mass |V|*PR_SCALE.  Spark would WRAP int64
+    # silently where DuckDB errors, so the claimed bit-identical ranks
+    # would break undetected.  One scalar aggregate over the two already-
+    # persisted bounded relations (|V| rows / |E| rows) pins the bound:
+    # max intermediate = (85 * |V| * PR_SCALE // 100) * max(cnt) < 2^63.
+    n_nodes = nodes.count()
+    max_cnt = er.agg(F.max("cnt")).first()[0] or 0
+    if (85 * n_nodes * PR_SCALE // 100) * max_cnt >= 2**63:
+        raise OverflowError(
+            f"events_pagerank: int64 overflow risk — |V|={n_nodes}, "
+            f"max transition count={max_cnt}; raise PR_SCALE granularity "
+            "down or pre-normalize cnt/outw before scaling up."
+        )
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (

@@ -1389,6 +1389,7 @@ SELECT p_type, n_months,
        CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) > 0 AS BOOLEAN)
          AS growing
 FROM m
+WHERE n_months >= 2
 """
 
 
@@ -1428,7 +1429,11 @@ def part_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
-    return m.select(
+    # Degenerate-series guard (r7 advice): a category with ONE month has
+    # n*sxx - sx*sx == 0 exactly, and both engines would emit NaN/Inf
+    # rather than error — a meaningless `growing` flag.  Slope needs two
+    # points; drop single-month categories in both engines identically.
+    return m.filter(F.col("n_months") >= 2).select(
         "p_type",
         "n_months",
         F.round(slope, 4).alias("slope"),

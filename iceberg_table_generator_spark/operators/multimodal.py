@@ -18,7 +18,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
@@ -31,6 +30,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -316,7 +316,7 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("h"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(persist_tracked)
     cnt = ch.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = (
         ch.groupBy("h")

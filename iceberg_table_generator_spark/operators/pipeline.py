@@ -19,9 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -143,7 +143,7 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("shingles").alias("n"),
         F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("h"),
-    ).persist(StorageLevel.DISK_ONLY)
+    ).transform(persist_tracked)
     hot = (
         sh.groupBy("h")
         .agg(F.count("*").alias("df"))

@@ -31,10 +31,10 @@ from __future__ import annotations
 
 import json
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -1337,7 +1337,10 @@ def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Nearest-centroid classification (parametric twin of the kNN vote)
 # --------------------------------------------------------------------------
-_NC_DIM = 64
+# Track the single fixture-width constant (r7 advice): the oracle iterates
+# dims 1.._NC_DIM while the Spark side uses the actual array length, so a
+# divergent literal would silently desynchronize them.
+_NC_DIM = _VEC_DIM
 
 _NC_ORACLE = f"""
 WITH v AS (
@@ -1543,7 +1546,7 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(wrel))
         .filter(F.col("rn") <= MMR_M)
         .drop("rn")
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(persist_tracked)
     )
     sel = (
         cand.withColumn("rn", F.row_number().over(wrel))
@@ -1576,7 +1579,17 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without it the union-chain lineage re-executes every earlier
         # round's join inside every later round (measured 24s → ~7s at
         # sf0.001), and at scale the recompute multiplies corpus passes.
-        sel = sel.unionByName(pick).persist(StorageLevel.DISK_ONLY)
+        # Materialize eagerly, then release the superseded round (r7
+        # advice): the cached footprint stays O(1) rounds instead of O(K),
+        # and the count() does no extra work — it just runs this round's
+        # join now instead of lazily inside the next round.
+        prev = sel
+        sel = sel.unionByName(pick).transform(persist_tracked)
+        sel.count()
+        prev.unpersist()
+    # The final selection is materialized (last round's count), so the
+    # candidate pool's blocks are no longer needed by the returned plan.
+    cand.unpersist()
     return sel.select(
         "query_id",
         F.col("pick").cast("int").alias("rank"),

@@ -15,9 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.relational import sql_dsum
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -345,7 +345,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.DISK_ONLY)
+        .transform(persist_tracked)
     )
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     hot = dfreq.orderBy(F.desc("df"), F.asc("w")).limit(HOT_TERM_CAP)

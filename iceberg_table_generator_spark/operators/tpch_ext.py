@@ -17,9 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark import StorageLevel
 
 from iceberg_table_generator_spark.operators.relational import DEC, dsum
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -307,10 +307,10 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     oracle="""
     SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
@@ -696,7 +696,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem-sized — truncated-lineage localCheckpoint blocks are
         # not recomputable after executor loss at 100 TB, while the
         # persist keeps the write-once/read-twice trade fault-tolerant.
-        .persist(StorageLevel.DISK_ONLY)  # reused by per-line and per-order passes
+        .transform(persist_tracked)  # reused by per-line and per-order passes
     )
     per_order = l_ext.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
         F.countDistinct("l_suppkey").alias("n_supps"),

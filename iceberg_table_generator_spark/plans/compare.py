@@ -14,24 +14,42 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from iceberg_table_generator_spark.sources.tables import TABLE_NAMES, table_path
 
 
 def _canon_value(v) -> str:
-    """Canonical string form of one cell, engine-agnostic."""
+    """Canonical string form of one cell, engine-agnostic.
+
+    Floating-point cells carry an explicit ``f:`` tag so an integer ``7``
+    and a float ``7.0`` can NEVER collide — the driver's value hash is
+    dtype-sensitive (r6 verdict #2: DuckDB's HUGEINT sum materializes as
+    float64 in pandas while Spark's LongType stays int64, and the old
+    untagged canon masked exactly that divergence in q12_late_shipments).
+    The local twin must be at least as strict as the driver's gate.
+    """
     if v is None:
         return "∅"
+    if isinstance(v, np.bool_):
+        return str(bool(v))
+    if isinstance(v, np.floating) and not isinstance(v, float):
+        v = float(v)  # np.float32 does not inherit from float
+    elif isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "f:NaN"
         # Queries round their float outputs, so both engines should produce
         # bit-identical doubles; 12 significant digits tolerates only
         # last-ulp representation noise while still catching real drift.
-        return f"{v + 0.0:.12g}"
+        return f"f:{v + 0.0:.12g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.12g}"
+        # A Decimal reaching pandas means a query failed to cast its
+        # aggregate to DOUBLE/BIGINT — tag as float so it can't silently
+        # alias an int column, and the 3-SF sweep will surface it.
+        return f"f:{float(v):.12g}"
     if isinstance(v, (pd.Timestamp, datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, date):

@@ -1072,11 +1072,11 @@ class ParquetSnapshotTable:
         V scans total.  Iceberg's native equivalent walks manifests
         per-commit (O(Δ) per step); this is the parquet-snapshot
         approximation of that consumer-side pattern."""
-        from pyspark import StorageLevel
+        from iceberg_table_generator_spark.functions.cache import persist_tracked
 
         n = len(self._load()) - 1
         frames = {
-            v: self.read(version=v).persist(StorageLevel.DISK_ONLY)
+            v: self.read(version=v).transform(persist_tracked)
             for v in range(1, n + 1)
         }
         parts = []

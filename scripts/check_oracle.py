@@ -11,6 +11,7 @@ import time
 sys.path.insert(0, ".")
 
 from iceberg_table_generator_spark import all_oracles, all_queries, get_spark
+from iceberg_table_generator_spark.functions.cache import release_tracked
 from iceberg_table_generator_spark.plans.compare import compare_query
 
 
@@ -45,6 +46,9 @@ def main() -> int:
         print(f"{mark} {name}: spark={res.spark_rows} oracle={res.oracle_rows} [{time.time()-t0:.1f}s]")
         for d in res.detail:
             print(f"    {d}")
+        # Drop this query's persisted intermediates before the next one —
+        # a 153-query session otherwise accumulates DISK_ONLY blocks.
+        release_tracked()
     print(f"\n{failures} failures / {len(queries)} queries")
     return 1 if failures else 0
 

@@ -20,6 +20,16 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_frames():
+    """Drop per-query persisted intermediates after every test — the
+    475-test session otherwise accumulates DISK_ONLY blocks (r7 advice)."""
+    yield
+    from iceberg_table_generator_spark.functions.cache import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def sf_small() -> str:
     return SF_SMALL
