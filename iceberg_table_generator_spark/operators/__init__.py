@@ -3,6 +3,7 @@
 from iceberg_table_generator_spark.operators import (  # noqa: F401
     dedup,
     graph,
+    heavyhitters,
     incremental,
     metadata_tables,
     mining,

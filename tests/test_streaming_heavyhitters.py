@@ -87,3 +87,44 @@ def test_mg_guarantees_across_batches(spark, sf_small, tmp_path):
         if key in mg:
             assert mg[key] <= r.true_cnt <= mg[key] + err[r.bucket], key
     assert guaranteed >= 1  # the skew-planted hitter was actually exercised
+
+
+def test_mg_batch_fold_guarantee_adversarial_order():
+    """The batch twin's fold satisfies coverage + bound for a decrement-
+    heavy adversarial order (all singletons first, hitter last) — the
+    worst case for the n/(m+1) undercount."""
+    import pandas as pd
+
+    from iceberg_table_generator_spark.operators.heavyhitters import (
+        _mg_fold_batch,
+    )
+
+    # 40 distinct singletons (5× capacity of decrements), then one item
+    # repeated 20 times: n = 60, threshold n/(m+1) = 60/9 ≈ 6.7 — the
+    # hitter (20) must survive with count ≥ 20 − 6.7.
+    items = list(range(100, 140)) + [7] * 20
+    pdf = pd.DataFrame(
+        {
+            "bucket": [7] * len(items),
+            "item": items,
+            "ts": pd.to_datetime(range(len(items)), unit="s"),
+            "event_id": range(len(items)),
+        }
+    )
+    out = _mg_fold_batch(pdf)
+    assert len(out) <= MG_CAPACITY
+    row = out[out["item"] == 7]
+    assert len(row) == 1, "true heavy hitter evicted"
+    mg = int(row["mg_count"].iloc[0])
+    assert 20 - 60 / (MG_CAPACITY + 1) <= mg <= 20
+
+
+def test_mg_batch_query_flags_true(spark, sf_small):
+    from iceberg_table_generator_spark.operators.heavyhitters import (
+        heavyhitters_mg_guarantee,
+    )
+
+    pdf = heavyhitters_mg_guarantee(spark, sf_small).toPandas()
+    assert len(pdf) == N_BUCKETS
+    assert pdf["coverage_ok"].all() and pdf["bound_ok"].all()
+    assert (pdf["n_events"] > 0).all()
