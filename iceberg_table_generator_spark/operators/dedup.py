@@ -196,6 +196,98 @@ def dedup_ngram_jaccard(
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment near-dup (superset/boilerplate-expansion detector)
+# --------------------------------------------------------------------------
+_CONTAIN_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       CAST(least(ca.n, cb.n) AS BIGINT) AS n_small,
+       round(p.shared * 1.0 / least(ca.n, cb.n), 6) AS containment
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+WHERE p.shared * 1.0 / least(ca.n, cb.n) >= 0.8
+"""
+
+CONTAIN_T = 0.8
+CONTAIN_DF_CAP = 1000  # stop-shingle cap, same contract as Jaccard's
+
+
+@query("dedup_ngram_containment", oracle=_CONTAIN_ORACLE)
+def dedup_ngram_containment(
+    spark: SparkSession, sf_dir: str, df_cap: int = CONTAIN_DF_CAP
+) -> DataFrame:
+    """Exact 3-gram CONTAINMENT near-dup pairs (threshold 0.8): shared
+    shingles over the SMALLER set.  Jaccard misses the quote-expansion /
+    boilerplate-superset case — a 100-shingle doc fully embedded in a
+    2000-shingle doc has Jaccard ≈ 0.05 but containment 1.0 — and that
+    asymmetric case is exactly what training-set contamination and
+    wrapped-boilerplate dedup look for (the standard companion metric to
+    resemblance in Broder's shingling formulation).
+
+    Same inverted-index plan as `dedup_ngram_jaccard` (posting lists over
+    xxhash64 shingle keys, stop-shingle df-cap applied as a broadcast
+    anti-join), with ONE deliberate difference: no size-ratio prefilter —
+    containment is precisely the metric for which |A| ≪ |B| pairs are the
+    signal, so pruning on size asymmetry would delete the answer.  The
+    candidate space stays bounded by the same argument as Jaccard's: a
+    pair is enumerated only under shingles both docs share, and the
+    df-cap bounds every posting list, so candidates ≤ Σ df² over retained
+    shingles, never all-pairs."""
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
+    sh = d.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
+    ).transform(persist_tracked)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    posting = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pair_structs = F.expr(
+        """
+        flatten(transform(docs, (a, i) ->
+          transform(slice(docs, i + 2, size(docs)), b ->
+            struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n AS na, b.n AS nb))))
+        """
+    )
+    pairs = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    containment = F.col("shared") * 1.0 / F.least("na", "nb")
+    return pairs.filter(containment >= CONTAIN_T).select(
+        "doc_a",
+        "doc_b",
+        F.least("na", "nb").cast("long").alias("n_small"),
+        F.round(containment, 6).alias("containment"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Near-dup clusters: connected components over the pair graph
 # --------------------------------------------------------------------------
 # Shared recursive-CTE prefix: near-dup pairs → undirected edges →

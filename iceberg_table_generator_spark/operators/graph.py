@@ -153,3 +153,115 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("rank_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the transition graph (degree-ordered)
+# --------------------------------------------------------------------------
+_TRIANGLE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+dir AS (
+  -- orient every edge from the lower-(degree, id) endpoint to the higher
+  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM dir e1
+  JOIN dir e2 ON e2.a = e1.b
+  JOIN dir e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT n.node, COALESCE(d.degree, 0) AS degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles
+FROM (SELECT DISTINCT k AS node FROM ev) n
+LEFT JOIN deg d ON d.node = n.node
+LEFT JOIN per_node p ON p.node = n.node
+"""
+
+
+@query("events_triangle_count", oracle=_TRIANGLE_ORACLE)
+def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected page-transition graph —
+    the clustering/cohesion motif metric (community density, spam-farm
+    detection) that complements PageRank's centrality on the same graph.
+
+    Degree-ordered counting — THE distributed triangle algorithm: every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher, so each triangle is enumerated exactly once and, crucially,
+    out-degrees are bounded by O(sqrt(|E|)) — a celebrity node's million
+    undirected neighbors become incoming edges, so the wedge join
+    (e1.b = e2.a) never fans out on hot vertices.  All three relations in
+    the 3-way join are the SAME |V|²-bounded, visit-count-independent edge
+    relation (persisted once, tracked), and every join is an equi-join.
+    Pure integer counts — bit-exact on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .transform(persist_tracked)
+    )
+    e1 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = dir_e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = ev.select(F.col("k").alias("node")).distinct()
+    return (
+        nodes.join(deg, "node", "left")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

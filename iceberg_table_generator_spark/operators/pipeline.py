@@ -1136,3 +1136,72 @@ def stats_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("simpson_diversity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split with per-stratum quota audit
+# --------------------------------------------------------------------------
+SPLIT_TRAIN_BP, SPLIT_VAL_BP = 80, 90  # hash %100 < 80 train, < 90 val, else test
+
+
+def _split_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import _sql_md5_60
+
+    return f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN h < {SPLIT_TRAIN_BP} THEN 'train'
+              WHEN h < {SPLIT_VAL_BP} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT lang,
+               {_sql_md5_60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+        FROM documents)),
+g AS (
+  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY 1, 2)
+SELECT lang, split, n_docs,
+       round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang), 6)
+         AS split_share
+FROM g
+"""
+
+
+@query("pipeline_train_val_split", oracle=_split_oracle())
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment with the
+    per-language quota audit a corpus build signs off on.  Membership is
+    a pure function of doc_id through the engine-exact 60-bit md5 prefix
+    (`dedup._md5_60`): stable under repartitioning, cluster size, rerun,
+    and ENGINE — the property that makes the split leakage-free (a doc
+    can never migrate between train and test across pipeline runs, the
+    failure mode of rand()-based splits).  Unlike
+    `pipeline_stratified_sample` (per-language KEEP RATES for mixture
+    reweighting) this PARTITIONS the corpus into disjoint exhaustive
+    splits and reports realized shares against the 80/10/10 target.
+
+    Scale: a narrow hash projection the scan absorbs, one
+    languages×3-row aggregation, and a languages-sized window — no data
+    shuffle beyond the aggregation's."""
+    from pyspark.sql.window import Window
+
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(_md5_60(F.col("doc_id").cast("string")), 100)
+    split = (
+        F.when(h < SPLIT_TRAIN_BP, "train")
+        .when(h < SPLIT_VAL_BP, "val")
+        .otherwise("test")
+    )
+    g = d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wl = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(wl), 6
+        ).alias("split_share"),
+    )

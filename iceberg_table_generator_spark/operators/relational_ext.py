@@ -1134,3 +1134,112 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").cast("string").alias("hour"),
         F.last("v", ignorenulls=True).over(w).alias("val_ffill"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join (temporal state lookup at fact time)
+# --------------------------------------------------------------------------
+def _scd2_pit_oracle() -> str:
+    from iceberg_table_generator_spark.operators.tpch_ext import sql_dsum_rev
+
+    # DuckDB's ASOF LEFT JOIN: for each fact row, the dimension row with
+    # the greatest valid_from <= shipdate — interval semantics without the
+    # O(facts x versions) inequality fan-out (the naive interval-join
+    # formulation measured 250 s at sf0.1 vs 0.8 s for ASOF).  Same-date
+    # versions dedupe to the highest orderkey first (row_number DESC),
+    # matching the lead()-interval convention where the earlier same-date
+    # order holds an empty interval.
+    return f"""
+WITH dimr AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders),
+dim AS (SELECT o_custkey, o_orderpriority, valid_from FROM dimr WHERE rn = 1),
+f AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_extendedprice, l.l_discount
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT COALESCE(d.o_orderpriority, 'UNKNOWN') AS priority_at_ship,
+       CAST(year(f.l_shipdate) AS INT) AS ship_year,
+       {sql_dsum_rev()} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM f ASOF LEFT JOIN dim d
+  ON d.o_custkey = f.custkey AND f.l_shipdate >= d.valid_from
+GROUP BY 1, 2
+"""
+
+
+@query("join_scd2_point_in_time", oracle=_scd2_pit_oracle())
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join: each lineitem is priced against the
+    customer's order-priority STATE as of its ship date — the canonical
+    slowly-changing-dimension lookup every warehouse fact load performs
+    (pandas merge_asof against a versioned dimension; Flink temporal-table
+    join).  The dimension is the per-customer priority history derived
+    from the order stream itself: each order opens a [o_orderdate,
+    next-order-date) validity interval, ties on the date resolved by
+    orderkey (the later key wins an empty predecessor interval) —
+    identical lead() semantics on both engines.
+
+    Implemented as union-and-carry (the `asof_join_events` strategy), NOT
+    an interval join: state-change rows and fact rows union into one
+    relation, ONE shuffle on custkey, and one window pass carries the
+    last state forward — same-instant state changes sort BEFORE facts
+    (kind 0 < 1), so "state applies from its own timestamp" falls out of
+    the sort.  The interval-join formulation the oracle uses would
+    multiply each fact row by the customer's interval count before
+    filtering; union-and-carry is O(n log n) per key with NO fan-out, the
+    shape that survives dimensions with deep version histories at 100 TB.
+    Revenue accumulates in exact DECIMAL (`dsum_rev`)."""
+    from iceberg_table_generator_spark.operators.tpch_ext import dsum_rev
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim_rows = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit(None).cast("double").alias("l_discount"),
+    )
+    fact_rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_orderkey").alias("okey"),
+            F.lit(None).cast("string").alias("priority"),
+            F.lit(1).alias("kind"),
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    u = dim_rows.unionByName(fact_rows)
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("ts", "kind", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # Facts that ship before the customer's first recorded order have no
+    # state yet (474 such lines exist at sf0.001 — shipdates in this data
+    # are not bounded below by the order date); both engines bucket them
+    # as 'UNKNOWN' rather than dropping them.
+    carried = u.withColumn(
+        "priority_at_ship",
+        F.coalesce(
+            F.last("priority", ignorenulls=True).over(w), F.lit("UNKNOWN")
+        ),
+    )
+    return (
+        carried.filter(F.col("kind") == 1)
+        .groupBy(
+            "priority_at_ship",
+            F.year("ts").alias("ship_year"),
+        )
+        .agg(
+            dsum_rev().alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

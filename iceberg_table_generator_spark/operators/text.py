@@ -689,3 +689,68 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-vocabulary OOV rate (fastText-style quality feature)
+# --------------------------------------------------------------------------
+OOV_VOCAB_SIZE = 500
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+dt AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY sum(k) DESC, w) AS r
+    FROM dt GROUP BY w)
+  WHERE r <= {OOV_VOCAB_SIZE})
+SELECT d.doc_id,
+       CAST(sum(d.k) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN d.k ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN d.k ELSE 0 END) * 1.0 / sum(d.k), 6)
+         AS oov_rate
+FROM dt d LEFT JOIN vocab v ON v.w = d.w
+GROUP BY d.doc_id
+"""
+
+
+@query("text_oov_rate", oracle=_OOV_ORACLE)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-500
+    closed vocabulary — the classic cheap LM-free quality feature (high
+    OOV ⇒ OCR noise / non-language / code; the fastText-era companion to
+    `pipeline_token_rarity`'s mean-frequency signal, which averages over
+    ALL tokens and so can't separate "a few garbage tokens" from
+    "uniformly rare prose").  Vocabulary rank ties break (count desc,
+    token asc) — deterministic on both engines.
+
+    Scale: occurrences aggregate once to (doc, token, k); the vocabulary
+    is a global top-k over the unigram table (TakeOrderedAndProject — no
+    full sort) and is FIXED-SIZE (500 rows), so membership is a bounded
+    broadcast join against the doc-token relation — the Zipf-hot tokens
+    never key a shuffle (the `pipeline_token_rarity` skew lesson), and a
+    billions-of-types web vocabulary costs nothing because only the top
+    slice ever leaves the aggregation."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+    )
+    dt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    vocab = (
+        dt.groupBy("w")
+        .agg(F.sum("k").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    j = dt.join(F.broadcast(vocab), "w", "left")
+    oov_k = F.when(F.col("in_v").isNull(), F.col("k")).otherwise(F.lit(0))
+    return j.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.sum(oov_k).alias("n_oov"),
+        F.round(F.sum(oov_k) * 1.0 / F.sum("k"), 6).alias("oov_rate"),
+    )
