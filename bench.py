@@ -118,6 +118,17 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "events_new_vs_returning",
     "events_session_duration_hist",
+    # round-7 additions: every new query family gets a bench guard.
+    "heavyhitters_mg_guarantee",
+    "dedup_ngram_containment",
+    "events_triangle_count",
+    "join_scd2_point_in_time",
+    "pipeline_train_val_split",
+    "text_oov_rate",
+    "text_novelty_rate",
+    "events_activity_streaks",
+    "dedup_incremental_verdict",
+    "join_bloom_filter_audit",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

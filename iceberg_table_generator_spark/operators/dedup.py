@@ -966,3 +966,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (O(Δ)) dedup: new batch vs already-ingested corpus
+# --------------------------------------------------------------------------
+DELTA_MOD, DELTA_REM = 5, 4  # docs with doc_id % 5 == 4 form the new batch
+
+_INCR_DEDUP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hh, doc_id % {DELTA_MOD} = {DELTA_REM} AS is_delta
+  FROM documents),
+base AS (SELECT DISTINCT hh FROM h WHERE NOT is_delta),
+delta AS (SELECT doc_id, hh FROM h WHERE is_delta),
+firsts AS (SELECT hh, min(doc_id) AS first_delta FROM delta GROUP BY hh)
+SELECT d.doc_id,
+       CASE WHEN b.hh IS NOT NULL THEN 'dup_of_base'
+            WHEN d.doc_id > f.first_delta THEN 'dup_in_delta'
+            ELSE 'new' END AS verdict
+FROM delta d
+LEFT JOIN base b ON b.hh = d.hh
+JOIN firsts f ON f.hh = d.hh
+"""
+
+
+@query("dedup_incremental_verdict", oracle=_INCR_DEDUP_ORACLE)
+def dedup_incremental_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup verdict for an incoming ingest batch against the
+    already-ingested corpus — the O(Δ) maintenance form of `dedup_exact`
+    (the `incremental_agg_maintenance` algebra applied to dedup): a
+    continuously-growing corpus must classify each NEW doc as a duplicate
+    of the base, a duplicate within its own batch (first-id wins, the
+    `dedup_one_pass_verdict` arrival rule), or genuinely new — WITHOUT
+    re-deduplicating the base against itself.
+
+    The batch is simulated as doc_id ≡ {DELTA_REM} (mod {DELTA_MOD}) so
+    it exists at every SF.  Cost is O(Δ + matches): the delta's content
+    hashes anti/semi-join the base's hash index on the 16-byte digest
+    (never the text — the `dedup_exact` shuffle posture), co-partitioned
+    by hash; the within-batch rule is one Δ-sized aggregation.  At 100 TB
+    the base-side hash index is exactly what the exactly-once streaming
+    ingest (`streaming/ingest.py`) maintains as state."""
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("hh"),
+        (F.pmod("doc_id", F.lit(DELTA_MOD)) == DELTA_REM).alias("is_delta"),
+    )
+    base = h.filter(~F.col("is_delta")).select("hh").distinct()
+    delta = h.filter(F.col("is_delta")).select("doc_id", "hh")
+    firsts = delta.groupBy("hh").agg(F.min("doc_id").alias("first_delta"))
+    in_base = base.withColumn("in_base", F.lit(1))
+    return (
+        delta.join(in_base, "hh", "left")
+        .join(firsts, "hh")
+        .select(
+            "doc_id",
+            F.when(F.col("in_base").isNotNull(), "dup_of_base")
+            .when(F.col("doc_id") > F.col("first_delta"), "dup_in_delta")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )

@@ -1540,3 +1540,56 @@ def events_session_duration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dur_s").alias("min_dur_s"),
         F.max("dur_s").alias("max_dur_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Activity streaks (gaps-and-islands)
+# --------------------------------------------------------------------------
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS rn
+  FROM d),
+isl AS (
+  SELECT user_id, day - rn AS anchor, CAST(count(*) AS BIGINT) AS streak_len
+  FROM r GROUP BY user_id, day - rn)
+SELECT streak_len,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM isl GROUP BY streak_len
+"""
+
+
+@query("events_activity_streaks", oracle=_STREAK_ORACLE)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of consecutive-day activity streaks — the classic
+    gaps-and-islands idiom (day − row_number is constant within an island
+    of consecutive days), the engagement-streak metric read next to
+    `events_user_stickiness`'s DAU/MAU ratio: stickiness says HOW OFTEN,
+    streaks say HOW CONTIGUOUSLY.
+
+    Scale: one distinct + one window pass + two aggregations, all keyed
+    by user_id (millions of parallel partitions; a user's day count is
+    bounded by the calendar, so no window frame ever grows with event
+    volume), then a streak-length-sized rollup.  Pure integer date
+    arithmetic — exact on both engines."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = (
+        d.withColumn("rn", F.row_number().over(w))
+        .select("user_id", F.expr("date_sub(day, rn)").alias("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return isl.groupBy("streak_len").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

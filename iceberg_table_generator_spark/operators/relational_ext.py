@@ -1243,3 +1243,126 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join audit (the runtime-filter pattern, made explicit)
+# --------------------------------------------------------------------------
+BLOOM_M, BLOOM_K, BLOOM_ACCTBAL = 8192, 3, 9000
+
+
+def _bloom_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import _sql_md5_60
+
+    def pos(expr: str) -> str:
+        return f"{_sql_md5_60(expr)} % {BLOOM_M}"
+
+    return f"""
+WITH k AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}),
+j(j) AS (VALUES (0), (1), (2)),
+bits AS (
+  SELECT DISTINCT
+    {pos("CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")} AS pos
+  FROM k CROSS JOIN j),
+probe AS (SELECT o_orderkey, o_custkey FROM orders),
+pp AS (
+  SELECT DISTINCT o_orderkey,
+    {pos("CAST(j AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)")} AS pos
+  FROM probe CROSS JOIN j),
+hit AS (
+  SELECT p.o_orderkey, count(*) AS npos, count(b.pos) AS nhit
+  FROM pp p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY p.o_orderkey),
+lab AS (
+  SELECT pr.o_orderkey,
+         (h.nhit = h.npos) AS pass,
+         (t.c_custkey IS NOT NULL) AS istrue
+  FROM probe pr
+  JOIN hit h ON h.o_orderkey = pr.o_orderkey
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM k) t
+    ON t.c_custkey = pr.o_custkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       round(sum(CASE WHEN pass AND NOT istrue THEN 1 ELSE 0 END) * 1.0
+             / sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END), 6) AS fp_rate,
+       COALESCE(CAST(min(CASE WHEN istrue THEN pass END) AS BOOLEAN), TRUE)
+         AS no_false_negatives
+FROM lab
+"""
+
+
+@query("join_bloom_filter_audit", oracle=_bloom_oracle())
+def join_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter pre-join ({BLOOM_K} md5-60 hash positions into
+    an m={BLOOM_M}-bit set over high-balance customers, probed by every
+    order) with its full quality audit against the exact semi-join: pass/
+    true counts, measured false-positive rate, and the no-false-negative
+    invariant — computed EXACTLY on both engines because the filter is
+    deterministic integer hashing, not an opaque sketch.
+
+    This is the runtime-filter pattern Spark itself applies
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, DPP's sibling)
+    made first-class and measurable: at 100 TB the filter's bit-position
+    set is bounded by the CONSTANT m (8192 rows at saturation) regardless
+    of key count, so it broadcasts for free and prunes the probe side
+    BEFORE its shuffle — the audit quantifies exactly how much residual
+    work (false positives) the downstream exact join still pays.  The
+    truth-side comparison joins the real key set without a hint (data-
+    dependent size — AQE decides)."""
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(
+                    _md5_60(F.concat(F.lit(f"{j}:"), key.cast("string"))),
+                    F.lit(BLOOM_M),
+                )
+                for j in range(BLOOM_K)
+            ]
+        )
+
+    k = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > BLOOM_ACCTBAL)
+        .select("c_custkey")
+    )
+    bits = (
+        k.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+        .withColumn("b", F.lit(1))
+    )
+    probe = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pp = probe.select(
+        "o_orderkey", F.explode(positions(F.col("o_custkey"))).alias("pos")
+    ).distinct()
+    hit = (
+        pp.join(F.broadcast(bits), "pos", "left")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("npos"), F.count("b").alias("nhit"))
+    )
+    truth = probe.join(
+        k.distinct().withColumn("t", F.lit(1)),
+        probe.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select("o_orderkey", F.col("t").isNotNull().alias("istrue"))
+    lab = truth.join(hit, "o_orderkey").select(
+        "istrue", (F.col("nhit") == F.col("npos")).alias("pass")
+    )
+    fp = F.when(F.col("pass") & ~F.col("istrue"), 1).otherwise(0)
+    return lab.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("istrue"), 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(fp).alias("n_false_pos"),
+        F.round(
+            F.sum(fp) * 1.0 / F.sum(F.when(~F.col("istrue"), 1).otherwise(0)), 6
+        ).alias("fp_rate"),
+        F.coalesce(
+            F.min(F.when(F.col("istrue"), F.col("pass"))), F.lit(True)
+        ).alias("no_false_negatives"),
+    )

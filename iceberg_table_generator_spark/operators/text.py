@@ -754,3 +754,73 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov_k).alias("n_oov"),
         F.round(F.sum(oov_k) * 1.0 / F.sum("k"), 6).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-seen n-gram novelty (corpus diversity saturation)
+# --------------------------------------------------------------------------
+_NOVELTY_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+  FROM w),
+n_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM sh GROUP BY doc_id),
+firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+novel AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+          FROM firsts GROUP BY first_doc)
+SELECT p.doc_id, p.n_shingles,
+       COALESCE(v.n_novel, 0) AS n_novel,
+       round(COALESCE(v.n_novel, 0) * 1.0 / p.n_shingles, 6) AS novelty_rate
+FROM n_per p LEFT JOIN novel v ON v.doc_id = p.doc_id
+"""
+
+
+@query("text_novelty_rate", oracle=_NOVELTY_ORACLE)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of 3-gram shingles never seen in any
+    earlier-id document — the corpus-diversity saturation signal (a
+    falling novelty curve as ids grow means new data is mostly re-hash of
+    what's already ingested: the dedup-ROI / scrape-saturation estimate,
+    Heaps-law measured directly instead of fitted).
+
+    Skew design: novelty NEVER joins on the shingle.  The only
+    shingle-keyed operation is `min(doc_id) GROUP BY shingle` — partial
+    aggregation combines the Zipf-hot shingles map-side, so no task ever
+    holds a hot shingle's posting list.  Per-doc novel counts then come
+    from aggregating the FIRSTS relation (one row per distinct shingle)
+    by its winner doc, and the final join is doc-keyed — uniform by
+    construction.  Compare `dedup_ngram_jaccard`, which must enumerate
+    pairs and therefore needs the df-cap; a first-seen statistic needs
+    neither."""
+    from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
+
+    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    # Docs under 3 tokens have no shingles: the oracle's counts derive
+    # from the exploded shingle stream so such docs vanish there — drop
+    # them here too (a novelty rate over zero shingles is undefined).
+    per = d.select("doc_id", F.size("shingles").alias("n_shingles")).filter(
+        F.col("n_shingles") >= 1
+    )
+    sh = d.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        per.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) * 1.0 / F.col("n_shingles"), 6
+            ).alias("novelty_rate"),
+        )
+    )
