@@ -129,6 +129,9 @@ HEADLINE = [
     "events_activity_streaks",
     "dedup_incremental_verdict",
     "join_bloom_filter_audit",
+    "meta_file_skew",
+    "wide_metrics_feature_hash",
+    "pipeline_corpus_manifest",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

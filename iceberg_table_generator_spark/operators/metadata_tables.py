@@ -22,6 +22,7 @@ import os
 import time
 from typing import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_table_generator_spark.registry import query
@@ -400,3 +401,58 @@ __all__ = [
     "meta_snapshot_summary",
     "lifecycle_pruned_scan",
 ]
+
+
+# --------------------------------------------------------------------------
+# File-size skew / compaction-planning report (ops metadata query)
+# --------------------------------------------------------------------------
+SMALL_FILE_ROWS = 64
+
+_FILE_SKEW_ORACLE = f"""
+WITH r AS (SELECT * FROM read_json('{_PARTS_REFS_JSON}', format='array')),
+v AS (SELECT snapshot_id FROM r WHERE name = 'v1'),
+m AS (SELECT * FROM read_json('{_PARTS_META_JSON}', format='array')),
+f AS (SELECT CAST(e[1]->>'$' AS VARCHAR) AS file_path
+      FROM (SELECT unnest(m.data_files) AS e
+            FROM m JOIN v ON m.snapshot_id = v.snapshot_id)),
+s AS (SELECT file_path, partition_value, record_count
+      FROM read_json('{_PARTS_STATS_JSON}', format='array'))
+SELECT partition_value,
+       CAST(count(*) AS INT) AS n_files,
+       CAST(sum(record_count) AS BIGINT) AS total_records,
+       CAST(min(record_count) AS BIGINT) AS min_file_records,
+       CAST(max(record_count) AS BIGINT) AS max_file_records,
+       CAST(sum(CASE WHEN record_count < {SMALL_FILE_ROWS} THEN 1 ELSE 0 END)
+            AS INT) AS n_small_files,
+       CAST(count(*) > 1 AS BOOLEAN) AS needs_compaction
+FROM f JOIN s USING (file_path)
+GROUP BY partition_value
+"""
+
+
+@query("meta_file_skew", oracle=_FILE_SKEW_ORACLE)
+def meta_file_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-planning report over the tagged PRE-compact snapshot
+    (`v1`): per partition, live-file count, record totals, min/max file
+    sizes, small-file count, and the needs-compaction verdict — the ops
+    query every table-maintenance scheduler runs before deciding what to
+    rewrite (the small-file problem is THE operational failure mode of
+    high-frequency appends at 100 TB).
+
+    Metadata-only, like every `meta_*` query: the new
+    `files_stats_table(ref=...)` resolves the tag and answers from the
+    manifest-stats sidecar — zero data rows are scanned regardless of
+    table size, which is exactly how Iceberg's own `tbl.files` behaves.
+    The oracle recomputes the report from the raw refs/metadata/stats
+    JSON, proving the DataFrame says what the metadata says."""
+    t = _parts_fixture_table(spark, sf_dir)
+    fs = t.files_stats_table(ref="v1")
+    small = F.when(F.col("record_count") < SMALL_FILE_ROWS, 1).otherwise(0)
+    return fs.groupBy("partition_value").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("record_count").alias("total_records"),
+        F.min("record_count").alias("min_file_records"),
+        F.max("record_count").alias("max_file_records"),
+        F.sum(small).cast("int").alias("n_small_files"),
+        (F.count(F.lit(1)) > 1).alias("needs_compaction"),
+    )

@@ -1205,3 +1205,85 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * 1.0 / F.sum("n_docs").over(wl), 6
         ).alias("split_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus manifest (dedup ∘ split ∘ token budget, composed)
+# --------------------------------------------------------------------------
+def _manifest_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import _sql_md5_60
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(lower(text)) AS ck,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         CASE WHEN {_sql_md5_60("CAST(doc_id AS VARCHAR)")} % 100
+                   < {SPLIT_TRAIN_BP} THEN 'train'
+              WHEN {_sql_md5_60("CAST(doc_id AS VARCHAR)")} % 100
+                   < {SPLIT_VAL_BP} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+k AS (
+  SELECT *, (doc_id = min(doc_id) OVER (PARTITION BY ck)) AS is_keep
+  FROM d)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs_raw,
+       CAST(sum(CASE WHEN is_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN is_keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_kept,
+       round(1.0 - sum(CASE WHEN is_keep THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM k GROUP BY lang, split
+"""
+
+
+@query("pipeline_corpus_manifest", oracle=_manifest_oracle())
+def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-set sign-off manifest: per (language, split), raw doc
+    count, docs surviving exact dedup, the surviving TOKEN budget (what a
+    trainer actually consumes), and the realized duplication rate — the
+    one table a corpus release publishes, COMPOSED from the registered
+    operator rules rather than re-invented: `dedup_exact`'s
+    md5(lower(text))/keep-min rule and `pipeline_train_val_split`'s
+    md5-60 hash split, so the manifest can never drift from the operators
+    it summarizes (the `similarity_ann_recall_eval` composition
+    principle).
+
+    Scale: one narrow projection, one window over the content-hash key
+    (group size = duplicate-cluster size — the keep-canonical analysis:
+    bounded by dup multiplicity, not corpus size), one languages×3
+    aggregation.  The shuffle key is the 16-byte digest, never the
+    text."""
+    from pyspark.sql.window import Window
+
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower("text")).alias("ck"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.pmod(_md5_60(F.col("doc_id").cast("string")), 100).alias("h"),
+    )
+    split = (
+        F.when(F.col("h") < SPLIT_TRAIN_BP, "train")
+        .when(F.col("h") < SPLIT_VAL_BP, "val")
+        .otherwise("test")
+    )
+    wck = Window.partitionBy("ck")
+    k = d.select(
+        "lang",
+        split.alias("split"),
+        "n_tokens",
+        (F.col("doc_id") == F.min("doc_id").over(wck)).alias("is_keep"),
+    )
+    kept = F.when(F.col("is_keep"), 1).otherwise(0)
+    return k.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs_raw"),
+        F.sum(kept).alias("n_docs_kept"),
+        F.sum(F.when(F.col("is_keep"), F.col("n_tokens")).otherwise(0)).cast(
+            "long"
+        ).alias("n_tokens_kept"),
+        F.round(1.0 - F.sum(kept) * 1.0 / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

@@ -218,3 +218,66 @@ def wide_metrics_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*pairs)).alias("pc")).select(
         "pc.pair", "pc.corr"
     )
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick): 999 metrics → 16 features
+# --------------------------------------------------------------------------
+# Bucket and sign assignments are a deterministic function of the COLUMN
+# NAMES (hashlib md5, computed once at import) and are baked as literals
+# into BOTH the Spark expressions and the oracle SQL — the hash is model
+# configuration, not data, so cross-engine parity is structural.
+import hashlib as _hashlib
+
+FEATURE_HASH_DIM = 16
+_ALL_METRICS = [f"metric_{i}" for i in range(999)]
+
+
+def _fh_bucket(name: str) -> int:
+    return int(_hashlib.md5(f"b:{name}".encode()).hexdigest()[:8], 16) % FEATURE_HASH_DIM
+
+
+def _fh_sign(name: str) -> float:
+    return 1.0 if int(_hashlib.md5(f"s:{name}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+
+
+_FH_TERMS: list[list[tuple[str, float]]] = [[] for _ in range(FEATURE_HASH_DIM)]
+for _c in _ALL_METRICS:
+    _FH_TERMS[_fh_bucket(_c)].append((_c, _fh_sign(_c)))
+
+_FH_ORACLE = f"""
+SELECT id,
+       {", ".join(
+           " + ".join(f"{c} * {s}" for c, s in _FH_TERMS[j]) + f" AS f{j}"
+           for j in range(FEATURE_HASH_DIM)
+       )}
+FROM read_parquet('{_DATA_DIR}/*.parquet')
+"""
+
+
+@query("wide_metrics_feature_hash", oracle=_FH_ORACLE)
+def wide_metrics_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature projection (Weinberger et al.): the 999
+    metric columns fold into a {FEATURE_HASH_DIM}-dimensional signed-sum
+    feature vector, bucket and sign drawn from md5 of the column name —
+    the model-free dimensionality reduction a feature pipeline applies
+    when the raw width (sparse one-hot vocabularies, wide telemetry)
+    exceeds what a trainer wants to ingest.
+
+    Row-local and zero-shuffle: each feature is one flat array-fold
+    (`hsum` discipline — O(1) expression depth at any width), additions
+    in ascending column order so the IEEE double chain is bit-identical
+    to the oracle's left-associated `+` chain.  At 100 TB this runs
+    entirely inside the scan's whole-stage codegen; the output is 60×
+    narrower than the input, which is the point."""
+    path = _wide_fixture(spark)
+    df = spark.read.parquet(path)
+    feats = [
+        F.aggregate(
+            F.array(*[F.col(c) * F.lit(s) for c, s in _FH_TERMS[j]]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"f{j}")
+        for j in range(FEATURE_HASH_DIM)
+    ]
+    return df.select("id", *feats)

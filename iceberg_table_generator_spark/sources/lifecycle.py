@@ -1214,6 +1214,41 @@ class ParquetSnapshotTable:
             "snapshot_id int, content string, file_path string, sequence_number int",
         )
 
+    def files_stats_table(
+        self, version: int | None = None, ref: str | None = None
+    ) -> DataFrame:
+        """Iceberg `tbl.files` at the stats level: one row per live DATA
+        file of the chosen snapshot (default current; `ref` resolves a
+        branch/tag first) with its manifest record_count and partition
+        tuple — the reference collects exactly these metrics at write time
+        (`IcebergTableGenerator.java:420`) and Iceberg answers `tbl.files`
+        from manifests the same way: no data rows are touched."""
+        if ref is not None:
+            refs = self._load_refs() or {}
+            if ref not in refs:
+                raise ValueError(f"unknown ref {ref!r}")
+            version = refs[ref]["snapshot_id"]
+        snaps = self._load()
+        snap = (
+            snaps[-1]
+            if version is None
+            else next(s for s in snaps if s.snapshot_id == version)
+        )
+        stats = self._load_stats()
+        rows = []
+        for e in snap.data_files:
+            st = stats.get(e[0]) or {}
+            rows.append(
+                (
+                    e[0],
+                    str(st.get("partition_value", "")),
+                    int(st.get("record_count", 0)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "file_path string, partition_value string, record_count bigint"
+        )
+
     def refs_table(self) -> DataFrame:
         """Named refs — Iceberg's `tbl.refs` (branches and tags with the
         snapshot each points at).  Before any branch/tag exists, `main` is
