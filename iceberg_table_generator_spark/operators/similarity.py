@@ -1510,17 +1510,18 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates (the un-diversified twin is `similarity_cosine_topk`;
     combined with the dedup family this is retrieve → diversify).
 
-    The greedy loop is inherently sequential in k, so it is expressed as
-    MMR_K unrolled relational rounds (the PageRank pattern): each round
-    joins the ≤MMR_M-row per-query candidate pool against the ≤k-row
-    selected set — per-query work is M·k dot products over unit vectors,
-    partitioned by query, embarrassingly parallel across queries; no
-    round touches the corpus (only the bounded pool built once by the
-    broadcast top-M pass).  Determinism: unit vectors divide by the
-    same norm on both engines, dots fold sequentially (= list_sum), the
-    score is one fixed λ-chain, and every argmax tiebreaks on candidate
-    id — so the oracle's unrolled CTE chain picks the identical set in
-    the identical order."""
+    Two-stage by design: the CORPUS-scale stage (exact top-MMR_M
+    relevance per query) is fully distributed; the greedy re-rank then
+    runs driver-side over the collected pool, which is model-OUTPUT-sized
+    (N_QUERIES × MMR_M rows — the same bounded-collect class as the
+    audited k-means-sample and z-order-bounds collects) and inherently
+    sequential in k, so distributing it bought k job rounds and k chained
+    cached plans for ~200 rows of work (the pre-r7 form).  Determinism:
+    unit vectors divide by the same norm on both engines, every dot is
+    the same sequential IEEE fold (JVM aggregate = Python left fold =
+    DuckDB list_sum), the score is one fixed λ-chain, and every argmax
+    tiebreaks on candidate id — so the oracle's unrolled CTE chain picks
+    the identical set in the identical order."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
@@ -1546,56 +1547,59 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(wrel))
         .filter(F.col("rn") <= MMR_M)
         .drop("rn")
-        .transform(persist_tracked)
     )
-    sel = (
-        cand.withColumn("rn", F.row_number().over(wrel))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("pick", F.lit(1))
+    # Collect the pool and run the greedy driver-side.  The pool is
+    # MODEL-OUTPUT-sized — N_QUERIES × MMR_M rows (200 here), the same
+    # bounded-collect class as the audited k-means-sample / z-order-bounds
+    # collects — and the greedy is inherently sequential in k: expressing
+    # it as k relational rounds (the pre-r7 form) chained k persisted
+    # frames whose nested cached plans blew up plan inspection
+    # quadratically and paid k job rounds for ~200 rows of work.  The
+    # corpus-scale stage (top-M per query) stays fully distributed above.
+    # Float parity with the oracle's unrolled CTEs is preserved because
+    # `rel` and the unit vectors are computed BEFORE the collect (same JVM
+    # folds as always), and the driver-side dot is the identical
+    # sequential IEEE fold (x*y accumulated left-to-right = `_dot` =
+    # DuckDB list_sum); the score chain uses the same Python double
+    # constants Spark's F.lit would embed.
+    pool: dict[int, list] = {}
+    for row in cand.collect():
+        pool.setdefault(row.query_id, []).append(
+            (row.cid, row.rel, list(row.uvec))
+        )
+
+    def ddot(u: list, v: list) -> float:
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    out_rows = []
+    lam, one_m_lam = MMR_LAM, 1 - MMR_LAM
+    for qid in sorted(pool):
+        cands = sorted(pool[qid])  # by cid — the tiebreak order
+        selected: list[tuple[int, float, list]] = []
+        first = max(cands, key=lambda c: (c[1], -c[0]))
+        selected.append(first)
+        out_rows.append((qid, 1, first[0], first[1]))
+        for r in range(2, MMR_K + 1):
+            remaining = [c for c in cands if all(c[0] != s[0] for s in selected)]
+            if not remaining:
+                break
+            best = max(
+                remaining,
+                key=lambda c: (
+                    lam * c[1]
+                    - one_m_lam * max(ddot(c[2], s[2]) for s in selected),
+                    -c[0],
+                ),
+            )
+            selected.append(best)
+            out_rows.append((qid, r, best[0], best[1]))
+    res = spark.createDataFrame(
+        out_rows, "query_id long, rank int, cid long, rel double"
     )
-    for r in range(2, MMR_K + 1):
-        remaining = cand.join(
-            sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
-        )
-        s = sel.select(
-            F.col("query_id").alias("s_qid"), F.col("uvec").alias("s_uvec")
-        )
-        pen = (
-            remaining.join(s, remaining.query_id == s.s_qid)
-            .groupBy("query_id", "cid", "uvec", "rel")
-            .agg(F.max(_dot("uvec", "s_uvec")).alias("maxsim"))
-        )
-        score = F.lit(MMR_LAM) * F.col("rel") - F.lit(1 - MMR_LAM) * F.col("maxsim")
-        wsc = Window.partitionBy("query_id").orderBy(
-            score.desc(), F.asc("cid")
-        )
-        pick = (
-            pen.withColumn("rn", F.row_number().over(wsc))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cid", "uvec", "rel", F.lit(r).alias("pick"))
-        )
-        # Persist each round's selected set (bounded: queries × k rows) —
-        # without it the union-chain lineage re-executes every earlier
-        # round's join inside every later round (measured 24s → ~7s at
-        # sf0.001), and at scale the recompute multiplies corpus passes.
-        # Materialize eagerly, then release the superseded round (r7
-        # advice): the cached footprint stays O(1) rounds instead of O(K),
-        # and the count() does no extra work — it just runs this round's
-        # join now instead of lazily inside the next round.
-        prev = sel
-        sel = sel.unionByName(pick).transform(persist_tracked)
-        sel.count()
-        prev.unpersist()
-    # The final selection is materialized (last round's count), so the
-    # candidate pool's blocks are no longer needed by the returned plan.
-    cand.unpersist()
-    return sel.select(
-        "query_id",
-        F.col("pick").cast("int").alias("rank"),
-        "cid",
-        F.round("rel", 6).alias("rel"),
-    )
+    return res.select("query_id", "rank", "cid", F.round("rel", 6).alias("rel"))
 
 
 # --------------------------------------------------------------------------
