@@ -132,6 +132,7 @@ HEADLINE = [
     "meta_file_skew",
     "wide_metrics_feature_hash",
     "pipeline_corpus_manifest",
+    "similarity_range_search",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -1651,3 +1651,65 @@ def similarity_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("ann_id").cast("double") / TOP_K, 6).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Range search (all neighbors above a similarity threshold — no k)
+# --------------------------------------------------------------------------
+RANGE_SIM_T = 0.3
+
+_RANGE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, len(vec)),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.vec)),
+                                 i -> q.vec[i] * c.vec[i])) / (q.norm * c.norm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, round(sim, 6) AS sim
+FROM pairs WHERE sim >= {RANGE_SIM_T}
+"""
+
+
+@query("similarity_range_search", oracle=_RANGE_ORACLE)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: EVERY neighbor with cosine ≥ {RANGE_SIM_T} per query —
+    the other first-class vector-index contract next to top-k (FAISS
+    `range_search` / Milvus radius query): dedup and recall-sensitive
+    retrieval want "all sufficiently similar", not "the best k", and the
+    result size is data-dependent by design.
+
+    Plan: identical broadcast-query-set scan as `similarity_cosine_topk`
+    but with NO window at all — the threshold is a plain filter inside the
+    scan's codegen, so range search is strictly cheaper than top-k (no
+    rank shuffle; the output is the only thing that grows).  At scale the
+    LSH/IVF candidate generators compose in front of this filter exactly
+    as they do for top-k.  Same sequential-fold dots → bit-identical
+    sims."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = with_norm(emb)
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    sim = _dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))
+    return (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("sim_raw"),
+        )
+        .filter(F.col("sim_raw") >= RANGE_SIM_T)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
