@@ -12,6 +12,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     relational,
     relational_ext,
     scalar_ext,
+    sequences,
     similarity,
     skew,
     text,

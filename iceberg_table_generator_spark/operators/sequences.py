@@ -1,0 +1,389 @@
+"""Event-sequence analytics: ordered-behavior operators over the event log.
+
+Markov transition matrices, inter-arrival distributions, engagement
+concentration (Gini), within-session co-occurrence lift, and user-lifecycle
+rollups — the sequence-mining workloads a product-analytics warehouse runs
+beside funnels/retention (which live in `relational_ext.py` / `mining.py`).
+No counterpart in the reference (a table generator, `Main.java`); mandated
+by the full-surface goal (SURVEY.md §2.7/§2.8) and exercising shapes the
+existing pack doesn't: per-key ordered LEAD pairs, a global ordered rank
+over a pre-aggregated relation, and a bounded within-group self-join.
+
+Engine-exactness follows repo policy (see `mining.py` header): counts and
+date/epoch arithmetic are integers; probabilities are integer micro-units
+via a single `div`; any double ratio is one fixed-parenthesization
+multiply/divide chain rounded once; cross-row double accumulation goes
+through the DECIMAL helpers (`dsum`/`davg`).
+
+Scale posture: every window is partitioned by user_id (millions of
+parallel partitions); rollup outputs are bounded by small domains
+(|event_type|² transitions, digit buckets, calendar weeks).  The one
+global sort (`events_gini_concentration`) ranks the per-user aggregate —
+|users| rows, not |events| — via Spark's range-partitioned sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_SECONDS
+from iceberg_table_generator_spark.operators.relational import davg, sql_davg
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type),
+row_tot AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n_transitions, r.n_from,
+       CAST((t.n_transitions * 1000000) // r.n_from AS BIGINT) AS prob_micro
+FROM t JOIN row_tot r USING (from_type)
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of consecutive events by the same user, the transition
+    count and probability (integer micro-units — exact on both engines).
+
+    The output is |event_type|² rows regardless of event volume, so the
+    final aggregate is a map-side-combinable shuffle onto a tiny domain.
+    The LEAD window shuffles once on user_id and never materializes more
+    than one following row per event — O(|E|) total, embarrassingly
+    parallel across users.  Probability uses a single integer `div`
+    (count × 1e6 fits int64 up to ~9e12 transitions per from-state;
+    beyond that the micro-unit scale itself saturates first)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_tot = t.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
+    # row_tot is |event_type| rows — broadcast is provably bounded.
+    return t.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        F.expr("(n_transitions * 1000000) div n_from").alias("prob_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival time distribution (order-of-magnitude histogram)
+# --------------------------------------------------------------------------
+_INTERARRIVAL_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events),
+g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL)
+SELECT CAST(length(CAST(gap_s AS VARCHAR)) AS INT) AS magnitude,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       {sql_davg('gap_s')} AS avg_gap_s
+FROM g GROUP BY magnitude
+"""
+
+
+@query("events_interarrival_hist", oracle=_INTERARRIVAL_ORACLE)
+def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-arrival times, bucketed by decimal
+    order of magnitude (digit count of the gap in seconds — an integer
+    bucket rule both engines compute identically, unlike float log10).
+
+    The LAG window is the same user_id-partitioned single pass as
+    `events_sessionize`; gap seconds use the repo's second-boundary
+    convention (floor-epoch difference == DuckDB `date_diff('second')`).
+    Bucket count is bounded by the digit count of the dataset's time span
+    (≤ ~10 buckets for any real corpus), so the rollup is tiny; the mean
+    gap per bucket goes through the exact DECIMAL accumulator."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap_s = epoch(F.col("ts")) - epoch(F.lag("ts").over(w))
+    g = ev.select(gap_s.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    return g.groupBy(
+        F.length(F.col("gap_s").cast("string")).cast("int").alias("magnitude")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        davg("gap_s").alias("avg_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Engagement concentration: Gini coefficient of per-user event counts
+# --------------------------------------------------------------------------
+_GINI_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT n_events,
+         CAST(row_number() OVER (ORDER BY n_events, user_id) AS BIGINT) AS rk
+  FROM per_user),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(sum(rk * n_events) AS BIGINT) AS s1
+  FROM ranked)
+SELECT n_users, total_events,
+       CAST(((2 * s1 - (n_users + 1) * total_events) * 1000000)
+            // (n_users * total_events) AS BIGINT) AS gini_micro
+FROM s
+"""
+
+
+@query("events_gini_concentration", oracle=_GINI_ORACLE)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of activity concentration across users — the
+    "do 1% of users generate 99% of events?" inequality metric, the
+    single-number companion to `pareto_revenue_concentration`'s curve.
+
+    Uses the exact rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    over counts sorted ascending (ties broken by user_id for a
+    deterministic rank), emitted in integer micro-units via one `div` —
+    bit-exact on both engines.  The global rank runs over the PER-USER
+    aggregate (|users| rows, not |events|) through Spark's
+    range-partitioned sort; intermediate products stay < 2^63 up to
+    ~3e9 users × 1e9 total-event scale (rk·n_events ≤ n·Σx ≈ 9e18 only
+    past ~10¹⁸ event-user product — loud overflow territory far beyond
+    the 100 TB target)."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("n_events", "user_id")
+    ranked = per_user.select(
+        "n_events", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        F.sum(F.col("rk") * F.col("n_events")).alias("s1"),
+    ).select(
+        "n_users",
+        "total_events",
+        F.expr(
+            "((2 * s1 - (n_users + 1) * total_events) * 1000000)"
+            " div (n_users * total_events)"
+        ).alias("gini_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Within-session event-type co-occurrence lift
+# --------------------------------------------------------------------------
+_COOCCUR_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts)
+                   > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged),
+st AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+n_sess AS (
+  SELECT CAST(count(DISTINCT (user_id, session_seq)) AS BIGINT) AS n FROM st),
+freq AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+  FROM st GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT p.type_a, p.type_b, p.n_ab, fa.n_type AS n_a, fb.n_type AS n_b,
+       round((CAST(p.n_ab AS DOUBLE) * t.n)
+             / (CAST(fa.n_type AS DOUBLE) * fb.n_type), 6) AS lift
+FROM pairs p
+JOIN freq fa ON fa.event_type = p.type_a
+JOIN freq fb ON fb.event_type = p.type_b
+CROSS JOIN n_sess t
+"""
+
+
+@query("events_cooccurrence_lift", oracle=_COOCCUR_ORACLE)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types appearing in the SAME session —
+    the behavioral-affinity twin of `basket_part_pairs` (which associates
+    parts within an order), using the repo's canonical 30-min gap rule
+    imported from `functions/sessions.py` (second-boundary convention,
+    same as `events_sessionize`).
+
+    Scale: sessionization is the standard user_id-partitioned double
+    window; the self-join is per-session and each side is bounded by the
+    |event_type| domain (≤5 distinct types per session here), so the
+    pair relation is ≤ C(|types|,2)·|sessions| — linear in sessions,
+    never quadratic in events.  Lift is the basket-precedent fixed
+    parenthesization (n_ab·n_sess)/(n_a·n_b) rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev_ts = F.lag("ts").over(w)
+    gap_s = epoch(F.col("ts")) - epoch(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    st = (
+        flagged.select(
+            "user_id",
+            "event_type",
+            F.sum("is_new").over(wrun).alias("session_seq"),
+        )
+        .distinct()
+    )
+    n_sess = st.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    freq = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = st.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_a")
+    )
+    b = st.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    # freq (|event_type| rows) and n_sess (1 row) are provably bounded.
+    return (
+        pairs.join(
+            F.broadcast(freq.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_type").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_type").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# User lifecycle rollup
+# --------------------------------------------------------------------------
+_LIFECYCLE_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id),
+enriched AS (
+  SELECT *,
+         CAST(last_day - first_day AS BIGINT) AS span_days,
+         CAST((active_days * 1000000)
+              // (CAST(last_day - first_day AS BIGINT) + 1) AS BIGINT)
+           AS density_micro
+  FROM per_user)
+SELECT CAST(span_days // 7 AS BIGINT) AS span_weeks,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(min(density_micro) AS BIGINT) AS min_density_micro,
+       CAST(max(density_micro) AS BIGINT) AS max_density_micro,
+       {sql_davg('density_micro', 6)} AS avg_density_micro
+FROM enriched GROUP BY span_days // 7
+"""
+
+
+@query("events_user_lifecycle", oracle=_LIFECYCLE_ORACLE)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle (first/last day, active days, activity density)
+    rolled up by lifetime-span week — the cohort-tenure view that
+    complements `events_retention` (fixed-window return rates) and
+    `events_user_stickiness` (DAU/MAU).
+
+    Density = active_days/(span_days+1) in integer micro-units (one
+    `div`, exact both engines); the rollup key span_weeks is integer
+    division so binning is engine-exact, and bucket count is bounded by
+    the calendar.  One groupBy(user_id) pass, one tiny rollup —
+    O(|E|) with map-side combine, no windows."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    enriched = per_user.select(
+        "n_events",
+        F.datediff("last_day", "first_day").cast("long").alias("span_days"),
+        F.expr(
+            "(active_days * 1000000)"
+            " div (cast(datediff(last_day, first_day) as bigint) + 1)"
+        ).alias("density_micro"),
+    )
+    return enriched.groupBy(
+        F.expr("span_days div 7").alias("span_weeks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        F.min("density_micro").alias("min_density_micro"),
+        F.max("density_micro").alias("max_density_micro"),
+        davg("density_micro", 6).alias("avg_density_micro"),
+    )
