@@ -1,6 +1,7 @@
 """Operator modules — importing this package registers every query."""
 
 from iceberg_table_generator_spark.operators import (  # noqa: F401
+    corpus,
     dedup,
     graph,
     heavyhitters,
