@@ -203,8 +203,12 @@ def pipeline_length_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens")
     )
-    cut = spark.createDataFrame(
-        [(c,) for c in LENGTH_CUTOFFS], "cutoff int"
+    # Built over range(1) (not createDataFrame) so the plan shows the
+    # literal Range source the broadcast-invariant suite recognizes.
+    cut = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in LENGTH_CUTOFFS])
+        ).alias("cutoff")
     )
     kept = (
         d.crossJoin(F.broadcast(cut))
@@ -290,7 +294,10 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     )
     tot = ranked.agg(F.sum("cnt").alias("n_tokens"))
-    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    # Literal Range source (see pipeline_length_filter_audit).
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    )
     cov = (
         ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
         .groupBy("k")

@@ -79,8 +79,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions")
     )
     row_tot = t.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
-    # row_tot is |event_type| rows — broadcast is provably bounded.
-    return t.join(F.broadcast(row_tot), "from_type").select(
+    # No broadcast hint: row_tot's |event_type| domain is small in practice
+    # but not provable by construction (the invariant suite's bar) — both
+    # join sides are ≤ |types|² rows, so the shuffle is trivial and AQE
+    # upgrades it to a broadcast at runtime from observed sizes.
+    return t.join(row_tot, "from_type").select(
         "from_type",
         "to_type",
         "n_transitions",
@@ -292,16 +295,19 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    # freq (|event_type| rows) and n_sess (1 row) are provably bounded.
+    # n_sess (scalar agg, 1 row) is provably bounded and hinted below;
+    # freq's |event_type| domain is small in practice but not provable by
+    # construction, so it carries no hint — pairs ⋈ freq is a tiny-by-tiny
+    # shuffle join that AQE upgrades to broadcast from observed sizes.
     return (
         pairs.join(
-            F.broadcast(freq.select(F.col("event_type").alias("type_a"),
-                                    F.col("n_type").alias("n_a"))),
+            freq.select(F.col("event_type").alias("type_a"),
+                        F.col("n_type").alias("n_a")),
             "type_a",
         )
         .join(
-            F.broadcast(freq.select(F.col("event_type").alias("type_b"),
-                                    F.col("n_type").alias("n_b"))),
+            freq.select(F.col("event_type").alias("type_b"),
+                        F.col("n_type").alias("n_b")),
             "type_b",
         )
         .crossJoin(F.broadcast(n_sess))
