@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -1026,4 +1027,153 @@ def dedup_incremental_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("new")
             .alias("verdict"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator error audit
+# --------------------------------------------------------------------------
+# err ∈ [-1e6, 1e6] micro-units; shifting by +1e6 before the integer
+# division keeps the operand non-negative so Spark's truncating `div` and
+# DuckDB's flooring `//` agree (32 buckets of width 1/16).
+_ERR_BUCKET_W = 62_500
+
+_MINHASH_ERR_ORACLE = f"""{_SQL_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+  GROUP BY c.doc_a, c.doc_b),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+err AS (
+  SELECT (e.n_match * 1000000) // {N_PERM} AS est_micro,
+         (coalesce(s.shared, 0) * 1000000)
+           // (ca.n + cb.n - coalesce(s.shared, 0)) AS exact_micro
+  FROM est e
+  LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+  JOIN cnt ca ON ca.doc_id = e.doc_a
+  JOIN cnt cb ON cb.doc_id = e.doc_b)
+SELECT CAST((est_micro - exact_micro + 1000000) // {_ERR_BUCKET_W} AS BIGINT)
+         AS err_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(est_micro - exact_micro) AS BIGINT) AS min_err_micro,
+       CAST(max(est_micro - exact_micro) AS BIGINT) AS max_err_micro,
+       {sql_davg('est_micro', 6)} AS avg_est_micro,
+       {sql_davg('exact_micro', 6)} AS avg_exact_micro
+FROM err GROUP BY (est_micro - exact_micro + 1000000) // {_ERR_BUCKET_W}
+"""
+
+
+@query("dedup_minhash_error_audit", oracle=_MINHASH_ERR_ORACLE)
+def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: on every LSH
+    candidate pair, the 64-slot signature-agreement Jaccard estimate vs
+    the exact shingle Jaccard, histogrammed by signed error (width-1/16
+    buckets, integer micro-units) — the empirical check of the
+    1/√64 ≈ 12.5% standard-error bound that justifies the banding
+    thresholds in `dedup_minhash_lsh`.
+
+    Both engines compute BOTH sides from raw parquet: the signatures are
+    the engine-independent universal-hash minima (constants above), so
+    the estimate — not just the exact value — is hash-checked.  Scale:
+    candidates come from the same bounded band buckets as the dedup
+    query; per-pair work is a constant 64-slot comparison plus the
+    shingle-set intersection already paid by exact verification, and the
+    output is ≤32 buckets."""
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: _md5_60(s) % MH_P)).alias("h"),
+    )
+    sig = minhash_signatures(sh).transform(persist_tracked)
+    band_cols = [
+        _band_fold(
+            [F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        "stack({}, {}) AS (band_id, band_hash)".format(
+            N_BANDS, ", ".join(f"{b}, band_{b}" for b in range(N_BANDS))
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(N_PERM)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(N_PERM)],
+    )
+    n_match = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN a_mh_{i} = b_mh_{i} THEN 1 ELSE 0 END)"
+            for i in range(N_PERM)
+        )
+        + " AS BIGINT)"
+    )
+    est = cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+    sets = d.select("doc_id", F.size("shingles").alias("n"), "shingles")
+    err = (
+        est.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("n_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("n_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.expr(f"(n_match * 1000000) div {N_PERM}").alias("est_micro"),
+            F.expr(
+                "(cast(size(array_intersect(sh_a, sh_b)) as bigint) * 1000000)"
+                " div (n_a + n_b - cast(size(array_intersect(sh_a, sh_b)) as bigint))"
+            ).alias("exact_micro"),
+        )
+    )
+    return err.groupBy(
+        F.expr(
+            f"(est_micro - exact_micro + 1000000) div {_ERR_BUCKET_W}"
+        ).alias("err_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.expr("est_micro - exact_micro")).alias("min_err_micro"),
+        F.max(F.expr("est_micro - exact_micro")).alias("max_err_micro"),
+        davg("est_micro", 6).alias("avg_est_micro"),
+        davg("exact_micro", 6).alias("avg_exact_micro"),
     )

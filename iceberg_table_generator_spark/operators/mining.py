@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.operators.tpch_ext import (
     DEC18,
     rev_dec,
@@ -1592,4 +1593,65 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isl.groupBy("streak_len").agg(
         F.count(F.lit(1)).alias("n_streaks"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment latency profile
+# --------------------------------------------------------------------------
+_FULFILL_ORACLE = f"""
+WITH li AS (
+  SELECT o.o_orderpriority,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS ship_days,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(ship_days) AS BIGINT) AS min_ship_days,
+       CAST(max(ship_days) AS BIGINT) AS max_ship_days,
+       {sql_davg('ship_days', 6)} AS avg_ship_days,
+       CAST(sum(CAST(is_late AS BIGINT)) AS BIGINT) AS n_late,
+       CAST((sum(CAST(is_late AS BIGINT)) * 1000000) // count(*) AS BIGINT)
+         AS late_micro
+FROM li GROUP BY o_orderpriority
+"""
+
+
+@query("orders_fulfillment_latency", oracle=_FULFILL_ORACLE)
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment scorecard: order-to-ship latency and the >90-day late
+    rate per order priority — the operations companion to
+    `q12_late_shipments` (which counts late lines per year; this
+    profiles the latency distribution itself per priority class, using
+    the same 90-day lateness convention — this testdata has no
+    shipmode/receiptdate, see the q12 docstring).
+
+    Pure integer date arithmetic; the mean goes through the DECIMAL
+    accumulator and the late rate is integer micro-units.  The
+    orders ⋈ lineitem equi-join shuffles both sides on orderkey (the
+    standard co-partitioned fact join — bucketable at scale), then one
+    aggregation onto the 5-value priority domain with map-side
+    combine."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_days"),
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.make_interval(days=F.lit(90)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_late"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("ship_days").alias("min_ship_days"),
+        F.max("ship_days").alias("max_ship_days"),
+        davg("ship_days", 6).alias("avg_ship_days"),
+        F.sum("is_late").alias("n_late"),
+        F.expr("(sum(is_late) * 1000000) div count(1)").alias("late_micro"),
     )

@@ -393,3 +393,48 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("density_micro").alias("max_density_micro"),
         davg("density_micro", 6).alias("avg_density_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hour-of-week activity heatmap
+# --------------------------------------------------------------------------
+_HEATMAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, value,
+         CAST(((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod
+  FROM events)
+SELECT dow, hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       {sql_davg('value')} AS avg_value
+FROM e GROUP BY dow, hod
+"""
+
+
+@query("events_hour_of_week_heatmap", oracle=_HEATMAP_ORACLE)
+def events_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap over the 7×24 hour-of-week grid — the seasonality
+    fingerprint behind capacity planning and anomaly baselines (the
+    hourly-rate anomaly query compares against "this hour last week";
+    this is that baseline surface).
+
+    Day-of-week comes from pure epoch-day arithmetic ((days+4) % 7,
+    anchored on 1970-01-01 = Thursday) rather than engine dayofweek()
+    builtins, whose week-start conventions differ — integer-exact on
+    both engines.  One aggregation onto a fixed 168-cell domain with
+    map-side combine; count-distinct users is the only shuffled set."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "value",
+        (
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7
+        ).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    return e.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        davg("value", 6).alias("avg_value"),
+    )

@@ -1713,3 +1713,74 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim_raw") >= RANGE_SIM_T)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster diagnostics over the shared IVF index
+# --------------------------------------------------------------------------
+def _cluster_stats_oracle() -> str:
+    k, iters, dim = IVF_CLUSTERS, IVF_ITERS, _VEC_DIM
+    cf = f"c{iters}"
+    return f"""{_sql_km_setup()}{_sql_ivf_fit_ctes(k, iters, dim)},
+assignq AS (
+  SELECT q0.vec_id, c.cid,
+         {_sql_d2_int('q0.qv', 'c.cv', dim)} AS d2,
+         row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_sql_d2_int('q0.qv', 'c.cv', dim)}, c.cid) AS rn
+  FROM q0 CROSS JOIN {cf} c),
+a AS (SELECT vec_id, cid, d2 FROM assignq WHERE rn = 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a)
+SELECT a.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(a.d2) AS BIGINT) AS inertia,
+       CAST(min(a.d2) AS BIGINT) AS min_d2,
+       CAST(max(a.d2) AS BIGINT) AS max_d2,
+       CAST((count(*) * 1000000) // t.n_total AS BIGINT) AS share_micro
+FROM a CROSS JOIN tot t
+GROUP BY a.cid, t.n_total
+"""
+
+
+@query("similarity_cluster_stats", oracle=_cluster_stats_oracle())
+def similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health diagnostics for the shared IVF coarse quantizer:
+    per-cluster population, exact integer inertia (sum of scale-6 squared
+    distances to the assigned centroid), distance extrema, and corpus
+    share — the balance report consulted before trusting nprobe recall
+    (one mega-cluster means probing is near-exhaustive; empty lists mean
+    wasted k).
+
+    Reuses the engine-exact integer k-means (`ivf_index`, same cache the
+    search queries hit) and the same argmin tie rule (smaller cid), so
+    DuckDB refits identical centroids and replays assignment — the whole
+    report is hash-checked.  Scale: one narrow assignment pass (zero
+    shuffle — centroids are a broadcast literal), then a k-row rollup
+    with map-side combine; the scalar total joins back as a 1-row
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    centroids = ivf_index(emb, cache_key=sf_dir)
+    best = F.array_min(_d2_structs_int(_qint("vec"), centroids))
+    a = emb.select(
+        best["cluster_id"].alias("cluster_id"), best["d2"].alias("d2")
+    )
+    tot = a.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        a.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("d2").alias("inertia"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "inertia",
+            "min_d2",
+            "max_d2",
+            F.expr("(n_vectors * 1000000) div n_total").alias("share_micro"),
+        )
+    )
