@@ -265,3 +265,160 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the undirected transition graph
+# --------------------------------------------------------------------------
+_DEGREE_ORACLE = """
+WITH ev AS (SELECT user_id, ts, event_id,
+                   CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (SELECT k AS src, lead(k) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM seq WHERE dst IS NOT NULL AND src <> dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@query("events_degree_distribution", oracle=_DEGREE_ORACLE)
+def events_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected page-transition graph — the
+    first diagnostic read on any graph (power-law vs uniform decides
+    whether the degree-ordered triangle join and the k-core peel have
+    skew to worry about), over the SAME edge relation as
+    `events_triangle_count` / `events_pagerank`.
+
+    One distinct-edge aggregation (|V|²-bounded, visit-count-independent),
+    one degree count, one histogram rollup — all integer, all
+    map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------
+# K-core decomposition (iterative peel, fixed unrolled rounds)
+# --------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 6  # fixed unroll; the Spark side loud-guards convergence
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel: alive{i} keeps nodes with ≥ K neighbors inside
+    alive{i-1}.  Pure integer set logic — bit-exact on both engines."""
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v"
+        " FROM seq WHERE dst IS NOT NULL AND src <> dst)",
+        "adj AS (SELECT u AS node, v AS nbr FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+        "alive0 AS (SELECT DISTINCT node FROM adj)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"alive{i} AS (SELECT a.node FROM adj a"
+            f" JOIN alive{p} s ON s.node = a.node"
+            f" JOIN alive{p} t ON t.node = a.nbr"
+            f" GROUP BY a.node HAVING count(*) >= {KCORE_K})"
+        )
+    body = ",\n".join(ctes)
+    last = f"alive{KCORE_ROUNDS}"
+    return f"""
+WITH {body}
+SELECT a.node, CAST(count(*) AS BIGINT) AS core_degree
+FROM adj a
+JOIN {last} s ON s.node = a.node
+JOIN {last} t ON t.node = a.nbr
+GROUP BY a.node
+"""
+
+
+@query("events_kcore_membership", oracle=_kcore_oracle())
+def events_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the transition graph: nodes surviving iterative
+    removal of everything with fewer than K neighbors among survivors —
+    the standard cohesion filter (spam/periphery pruning before
+    PageRank-style quality weighting; the dense nucleus is what remains).
+    Second iterative fixed-point in the graph family (PageRank's peel-off
+    twin: PageRank iterates VALUES to a fixpoint, k-core iterates the
+    VERTEX SET).
+
+    The edge EXTRACTION is distributed (the same one-pass LEAD +
+    distinct as the rest of the family); the peel itself runs
+    DRIVER-side over the collected distinct-edge relation — the MMR
+    precedent: the relation is |V|²-bounded and visit-count-independent
+    (a model-sized set, NOT corpus-sized), and running the bounded
+    sequential fixpoint in plain Python costs one Spark job instead of
+    3 shuffle stages × KCORE_ROUNDS (measured 13.5 s -> ~2 s at
+    sf0.001 for identical output).  Runs exactly KCORE_ROUNDS rounds
+    (matching the oracle's unrolled CTEs) and LOUD-GUARDS convergence:
+    if round R+1 would still remove nodes, raise rather than return a
+    non-fixpoint — the `dedup_connected_components` contract."""
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    edges = [(r.u, r.v) for r in und.collect()]  # |V|²-bounded model relation
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    alive = set(nbrs)
+    for _ in range(KCORE_ROUNDS):
+        alive = {
+            n for n in alive if len(nbrs[n] & alive) >= KCORE_K
+        }
+    converged = {n for n in alive if len(nbrs[n] & alive) >= KCORE_K}
+    if converged != alive:
+        raise RuntimeError(
+            f"k-core did not converge in {KCORE_ROUNDS} rounds "
+            f"({len(alive)} -> {len(converged)}); raise KCORE_ROUNDS "
+            f"(oracle unrolls the same count)"
+        )
+    rows = sorted(
+        (n, len(nbrs[n] & alive)) for n in alive
+    )
+    return spark.createDataFrame(
+        [(int(n), int(d)) for n, d in rows], "node int, core_degree bigint"
+    )
