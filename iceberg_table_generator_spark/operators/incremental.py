@@ -231,3 +231,44 @@ __all__ = [
     "incremental_join_maintenance",
     "incremental_scd2_intervals",
 ]
+
+
+@query(
+    "incremental_distinct_maintenance",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    WHERE doc_id < 400 AND doc_id % 10 NOT IN (3, 7)
+    GROUP BY lang
+    """,
+)
+def incremental_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain COUNT(DISTINCT source) per lang under churn — the
+    aggregate that is NOT directly incrementalizable (a delete may or may
+    not remove the last witness of a value), solved the standard IVM way:
+    keep the SUPPORT multiset as auxiliary state.  The maintained state
+    is the (lang, source) multiplicity table — itself a plain signed
+    count view, so `apply_agg_delta` maintains it in O(Δ) — and the
+    distinct count is a rollup over surviving support rows (groups whose
+    multiplicity hits 0 vanish, exactly removing the last witness).
+
+    Seeded at fixture version 1 and maintained through the same v1→v6
+    changelog as `incremental_join_maintenance` (appends, equality
+    deletes, compaction, rollback); the oracle recomputes from scratch.
+    Scale: state is |lang × source| rows (domain-bounded), each refresh
+    shuffles only changed groups, and the final rollup is support-sized,
+    not corpus-sized."""
+    t = _value_fixture_table(spark, sf_dir)
+    base = (
+        t.read(version=1)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    changes = t.read_changes(1, 6)
+    support = apply_agg_delta(base, changes, ["lang", "source"], {})
+    return support.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("cnt").cast("bigint").alias("cnt"),
+    )

@@ -1784,3 +1784,96 @@ def similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_vectors * 1000000) div n_total").alias("share_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster separation (Dunn-flavor index over the IVF index)
+# --------------------------------------------------------------------------
+def _cluster_sep_oracle() -> str:
+    k, iters, dim = IVF_CLUSTERS, IVF_ITERS, _VEC_DIM
+    cf = f"c{iters}"
+    return f"""{_sql_km_setup()}{_sql_ivf_fit_ctes(k, iters, dim)},
+assignq AS (
+  SELECT q0.vec_id, c.cid,
+         {_sql_d2_int('q0.qv', 'c.cv', dim)} AS d2,
+         row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {_sql_d2_int('q0.qv', 'c.cv', dim)}, c.cid) AS rn
+  FROM q0 CROSS JOIN {cf} c),
+a AS (SELECT vec_id, cid, d2 FROM assignq WHERE rn = 1),
+intra AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM a GROUP BY cid),
+inter AS (
+  SELECT p.cid, CAST(min({_sql_d2_int('p.cv', 'q.cv', dim)}) AS BIGINT)
+           AS min_inter_centroid_d2
+  FROM {cf} p JOIN {cf} q ON p.cid <> q.cid GROUP BY p.cid)
+SELECT i.cid AS cluster_id, i.n_vectors,
+       CAST(i.inertia // i.n_vectors AS BIGINT) AS avg_intra_d2,
+       e.min_inter_centroid_d2,
+       CAST((e.min_inter_centroid_d2 * 1000000)
+            // greatest(i.inertia // i.n_vectors, 1) AS BIGINT)
+         AS separation_micro
+FROM intra i JOIN inter e ON e.cid = i.cid
+"""
+
+
+@query("similarity_cluster_separation", oracle=_cluster_sep_oracle())
+def similarity_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn-flavor separation index per IVF cluster: nearest other
+    centroid distance over mean within-cluster distance (both in exact
+    scale-6 integer d² units) — separation ≫ 1e6 means tight, distant
+    clusters (nprobe=1 would already recall well); separation ≲ 1e6
+    means overlapping lists, so raise nprobe.  The tuning companion to
+    `similarity_cluster_stats`' balance report and
+    `similarity_ann_recall_eval`'s measured recall.
+
+    The k² centroid-pair minima are model-sized and computed driver-side
+    from the shared integer centroids, attached as a literal map — the
+    corpus-side work is the same single narrow assignment pass as the
+    other IVF queries, one k-row rollup, zero extra shuffles.  All
+    arithmetic is integer (micro-unit ratio via one `div`), so DuckDB
+    refits and replays bit-exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    centroids = ivf_index(emb, cache_key=sf_dir)
+    min_inter = {
+        cid: min(
+            sum((x - y) * (x - y) for x, y in zip(vec, ovec))
+            for ocid, ovec in centroids
+            if ocid != cid
+        )
+        for cid, vec in centroids
+    }
+    best = F.array_min(_d2_structs_int(_qint("vec"), centroids))
+    a = emb.select(
+        best["cluster_id"].alias("cluster_id"), best["d2"].alias("d2")
+    )
+    intra = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").alias("inertia"),
+    )
+    inter_map = F.create_map(
+        *[
+            F.lit(x)
+            for cid in sorted(min_inter)
+            for x in (cid, min_inter[cid])
+        ]
+    )
+    return intra.select(
+        "cluster_id",
+        "n_vectors",
+        F.expr("inertia div n_vectors").alias("avg_intra_d2"),
+        inter_map[F.col("cluster_id")].cast("long").alias(
+            "min_inter_centroid_d2"
+        ),
+    ).select(
+        "cluster_id",
+        "n_vectors",
+        "avg_intra_d2",
+        "min_inter_centroid_d2",
+        F.expr(
+            "(min_inter_centroid_d2 * 1000000) div greatest(avg_intra_d2, 1)"
+        ).alias("separation_micro"),
+    )
