@@ -438,3 +438,146 @@ def events_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         davg("value", 6).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel time-to-convert
+# --------------------------------------------------------------------------
+_FUNNEL_TIME_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+d AS (
+  SELECT 'view_to_click' AS stage,
+         date_diff('second', v.t1, c.t2) AS delay_s
+  FROM c JOIN v USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase' AS stage,
+         date_diff('second', c.t2, p.t3) AS delay_s
+  FROM p JOIN c USING (user_id))
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(delay_s) AS BIGINT) AS min_delay_s,
+       CAST(max(delay_s) AS BIGINT) AS max_delay_s,
+       {sql_davg('delay_s')} AS avg_delay_s
+FROM d GROUP BY stage
+"""
+
+
+@query("events_funnel_time_to_convert", oracle=_FUNNEL_TIME_ORACLE)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW LONG each funnel transition takes, for the users who make it —
+    the latency companion to `events_funnel`'s conversion counts, using
+    the identical strictly-after stage semantics (first view → first
+    subsequent click → first subsequent purchase) so the two reports
+    describe the same cohort.
+
+    Delays are integer epoch-second differences (the repo's
+    second-boundary convention); the per-stage means go through the
+    DECIMAL accumulator.  Same plan skeleton as `events_funnel` — three
+    user_id-keyed chained min-aggregations, no hinted broadcasts
+    (per-user tables scale with the corpus) — plus one 2-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter("event_type = 'click'")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("stage"),
+            (epoch("t2") - epoch("t1")).alias("delay_s"),
+        )
+        .unionByName(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("stage"),
+                (epoch("t3") - epoch("t2")).alias("delay_s"),
+            )
+        )
+    )
+    return d.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("delay_s").alias("min_delay_s"),
+        F.max("delay_s").alias("max_delay_s"),
+        davg("delay_s").alias("avg_delay_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Jackknife leave-one-day-out means
+# --------------------------------------------------------------------------
+_JACKKNIFE_ORACLE = """
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_day,
+         sum(CAST(value AS DECIMAL(25,6))) AS s_day
+  FROM events GROUP BY CAST(ts AS DATE)),
+tot AS (
+  SELECT CAST(sum(n_day) AS BIGINT) AS n_total,
+         sum(s_day) AS s_total
+  FROM per_day)
+SELECT CAST(p.day AS VARCHAR) AS day, p.n_day,
+       round(CAST(t.s_total - p.s_day AS DOUBLE) / (t.n_total - p.n_day), 6)
+         AS loo_mean
+FROM per_day p CROSS JOIN tot t
+"""
+
+
+@query("stats_jackknife_loo_mean", oracle=_JACKKNIFE_ORACLE)
+def stats_jackknife_loo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jackknife sensitivity panel: the corpus mean of `value` with each
+    DAY deleted in turn — the delete-one-block diagnostic that flags a
+    single day dominating a metric (one bad batch shifting the corpus
+    mean is exactly what a training-data drift review wants surfaced;
+    block-jackknife over days respects the within-day correlation that
+    row-level resampling would destroy).
+
+    Computed from per-day partial sums, NOT by re-scanning per fold: one
+    groupBy(day) pass with exact DECIMAL accumulation, a 1-row scalar
+    total broadcast back, and each leave-one-out mean is one exact
+    decimal subtraction and one rounded double division — calendar-many
+    output rows, corpus-size-independent fold cost.  Day renders as a
+    string (DATE canon rule, `verify` skill gotchas)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(25,6)"
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum(F.col("value").cast(dec)).alias("s_day"),
+    )
+    tot = per_day.agg(
+        F.sum("n_day").alias("n_total"),
+        F.sum("s_day").cast(dec).alias("s_total"),
+    )
+    return per_day.crossJoin(F.broadcast(tot)).select(
+        F.col("day").cast("string").alias("day"),
+        "n_day",
+        F.round(
+            (F.col("s_total") - F.col("s_day")).cast("double")
+            / (F.col("n_total") - F.col("n_day")),
+            6,
+        ).alias("loo_mean"),
+    )
