@@ -426,3 +426,147 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("rk") * F.col("cnt"), 6).alias("avg_rank_freq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-rater agreement between two heuristic quality gates
+# --------------------------------------------------------------------------
+KAPPA_MIN_TOKENS = 48
+KAPPA_MIN_CHARS = 256
+
+_KAPPA_ORACLE = f"""
+WITH lab AS (
+  SELECT CASE WHEN len(string_split(text, ' ')) >= {KAPPA_MIN_TOKENS}
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars >= {KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS b
+  FROM documents),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM lab)
+SELECT n, tp, fp, fn, tn,
+       CAST(((tp + tn) * 1000000) // n AS BIGINT) AS agree_micro,
+       CAST(((n * (tp + tn) - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+             * 1000000)
+            // (n * n - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+         AS BIGINT) AS kappa_micro
+FROM m
+"""
+
+
+@query("stats_cohens_kappa", oracle=_KAPPA_ORACLE)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality gates (a
+    token-length rule and a char-length rule) — the chance-corrected
+    agreement metric an annotation pipeline reports before trusting a
+    cheap label as a proxy for an expensive one.  Raw agreement and
+    kappa both land in integer micro-units: kappa's numerator and
+    denominator are cleared of fractions (×n²) so the whole statistic is
+    one integer `div` — bit-exact on both engines, no floats anywhere.
+
+    One scan, one scalar aggregate (map-side combinable), one-row
+    output; the contingency cells ride along for auditability.  At
+    1e12 docs the ×1e6×n² intermediate products stay under 2^63 only
+    for n ≲ 3e6 — beyond that the same report runs per-shard; the
+    micro-unit output scale saturates far earlier anyway."""
+    lab = load_table(spark, sf_dir, "documents").select(
+        F.when(F.size(F.split("text", " ")) >= KAPPA_MIN_TOKENS, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("n_chars") >= KAPPA_MIN_CHARS, 1).otherwise(0).alias("b"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("tn"),
+    )
+    return m.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("((tp + tn) * 1000000) div n").alias("agree_micro"),
+        F.expr(
+            "((n * (tp + tn) - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))"
+            " * 1000000)"
+            " div (n * n - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))"
+        ).alias("kappa_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Word burstiness (variance-to-mean ratio of per-doc term counts)
+# --------------------------------------------------------------------------
+BURST_MIN_DF = 10
+BURST_TOP_K = 20
+
+_BURST_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, w),
+stats AS (
+  SELECT w,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         CAST(sum(tf * tf) AS BIGINT) AS total_tf2
+  FROM tf GROUP BY w HAVING count(*) >= {BURST_MIN_DF})
+SELECT w AS word, df, total_tf,
+       CAST(((df * total_tf2 - total_tf * total_tf) * 1000000)
+            // (total_tf * (df - 1)) AS BIGINT) AS vmr_micro
+FROM stats
+WHERE df > 1
+ORDER BY vmr_micro DESC, word
+LIMIT {BURST_TOP_K}
+"""
+
+
+@query("text_burstiness_topk", oracle=_BURST_ORACLE)
+def text_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most BURSTY vocabulary: variance-to-mean ratio of per-document
+    term counts, over documents containing the term (VMR ≈ 1 is
+    Poisson/background; VMR ≫ 1 marks topical/templated terms that
+    cluster inside few documents) — the corpus-linguistics signal that
+    separates content words from function words where raw frequency
+    (`text_word_freq`) cannot.
+
+    Entirely integer: Σtf and Σtf² are exact int64 sums, and the sample
+    VMR over occurring docs, (df·Σtf² − (Σtf)²)/(Σtf·(df−1)), clears
+    its fraction into one micro-unit `div`.  Same (doc, term) → term
+    aggregation spine as TF-IDF (map-side combine both levels, shuffle
+    keys are hashed terms); the min-df gate drops the hapax tail before
+    ranking and the top-20 is a TakeOrderedAndProject."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        tf.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sum(F.col("tf") * F.col("tf")).alias("total_tf2"),
+        )
+        .filter(F.col("df") >= BURST_MIN_DF)
+        .filter(F.col("df") > 1)
+    )
+    return (
+        stats.select(
+            F.col("w").alias("word"),
+            "df",
+            "total_tf",
+            F.expr(
+                "((df * total_tf2 - total_tf * total_tf) * 1000000)"
+                " div (total_tf * (df - 1))"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.desc("vmr_micro"), F.asc("word"))
+        .limit(BURST_TOP_K)
+    )
