@@ -133,6 +133,30 @@ HEADLINE = [
     "wide_metrics_feature_hash",
     "pipeline_corpus_manifest",
     "similarity_range_search",
+    # round-7 wave 2: sequence/corpus/graph/IVM additions.
+    "events_markov_transitions",
+    "events_interarrival_hist",
+    "events_gini_concentration",
+    "events_cooccurrence_lift",
+    "events_user_lifecycle",
+    "events_hour_of_week_heatmap",
+    "events_funnel_time_to_convert",
+    "stats_jackknife_loo_mean",
+    "text_boilerplate_ngrams",
+    "pipeline_dedup_cascade",
+    "pipeline_length_filter_audit",
+    "text_ngram_coverage",
+    "pipeline_epoch_shuffle",
+    "text_zipf_check",
+    "stats_cohens_kappa",
+    "text_burstiness_topk",
+    "events_degree_distribution",
+    "events_kcore_membership",
+    "similarity_cluster_stats",
+    "similarity_cluster_separation",
+    "dedup_minhash_error_audit",
+    "incremental_distinct_maintenance",
+    "orders_fulfillment_latency",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -15,9 +15,12 @@ through the DECIMAL helpers, and content keys use the 60-bit md5 prefix
 
 Scale posture: shingle/vocab relations shuffle on content keys (uniform
 by construction — hashed text), rollups land on bounded domains (top-50,
-cutoff lists, shards, deciles).  The two global vocab sorts rank the
-AGGREGATED vocabulary (|vocab| rows, not |tokens|) via Spark's
-range-partitioned sort.
+cutoff lists, shards, deciles).  Rank-based statistics that are
+tie-invariant (coverage) run over the COUNT DISTRIBUTION (|distinct
+count values| rows — ≈√(2·total) under Zipf) instead of ranking the
+vocabulary; the one remaining vocab-rank window (`text_zipf_check`)
+sorts the AGGREGATED vocabulary (|vocab| rows, not |tokens|), the same
+accepted tier as `pareto_revenue_concentration`'s global cumsum.
 """
 
 from __future__ import annotations
@@ -279,31 +282,49 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixes the vocab and scores documents; this sweeps K).
 
     The token explode shuffles once onto word keys (skew bounded by the
-    heavy-hitter word, same posture as `text_word_freq`); the rank
-    window sorts the AGGREGATED vocab (|vocab| rows).  K-cutoffs are a
-    4-row broadcast; coverage is an integer micro-unit ratio."""
+    heavy-hitter word, same posture as `text_word_freq`).  Top-K
+    coverage is TIE-INVARIANT (words sharing a count contribute equally
+    whichever of them make the cut), so the Spark side never ranks the
+    vocabulary: it aggregates the COUNT DISTRIBUTION — m words per
+    distinct count — and takes clamp(K − cum_above, 0, m) words from
+    each block in descending-count order.  The only window runs over the
+    |distinct count values| relation (≈√(2·total) under Zipf —
+    thousands of rows for a billion-term vocab), not the |vocab| rows a
+    row_number() formulation would single-partition; the oracle keeps
+    the literal rank formulation and lands on identical coverage.
+    K-cutoffs are a 4-row literal broadcast; coverage is an integer
+    micro-unit ratio."""
     w = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = vocab.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-        .cast("long")
-        .alias("rk"),
+    dist = vocab.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wcum = Window.orderBy(F.desc("cnt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    tot = ranked.agg(F.sum("cnt").alias("n_tokens"))
+    blocks = dist.select(
+        "cnt", "m", (F.sum("m").over(wcum) - F.col("m")).alias("c_above")
+    )
+    tot = dist.agg(F.sum(F.col("cnt") * F.col("m")).alias("n_tokens"))
     # Literal Range source (see pipeline_length_filter_audit).
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
     )
     cov = (
-        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        blocks.crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "cnt",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("m"), F.col("k") - F.col("c_above")),
+            ).alias("t"),
+        )
+        .filter(F.col("t") > 0)
         .groupBy("k")
         .agg(
-            F.count(F.lit(1)).alias("n_vocab_used"),
-            F.sum("cnt").alias("covered_tokens"),
+            F.sum("t").alias("n_vocab_used"),
+            F.sum(F.col("t") * F.col("cnt")).alias("covered_tokens"),
         )
     )
     return cov.crossJoin(F.broadcast(tot)).select(
@@ -401,9 +422,12 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decile product profile is engine-exact integers + one DECIMAL
     mean).
 
-    Same vocab aggregate + rank window as `text_ngram_coverage`
-    (Catalyst reuses the shuffle shape); the decile key is integer
-    division so binning is exact, and the output is ≤10 rows."""
+    Same vocab aggregate as `text_ngram_coverage`; the rank window here
+    DOES sort the aggregated vocabulary (decile boundaries split
+    tie-blocks, so the distribution shortcut coverage uses does not
+    apply verbatim) — the accepted global-cumsum tier, |vocab| rows.
+    The decile key is integer division so binning is exact, and the
+    output is ≤10 rows."""
     w = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("word")
     )

@@ -168,28 +168,46 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "do 1% of users generate 99% of events?" inequality metric, the
     single-number companion to `pareto_revenue_concentration`'s curve.
 
-    Uses the exact rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
-    over counts sorted ascending (ties broken by user_id for a
-    deterministic rank), emitted in integer micro-units via one `div` —
-    bit-exact on both engines.  The global rank runs over the PER-USER
-    aggregate (|users| rows, not |events|) through Spark's
-    range-partitioned sort; intermediate products stay < 2^63 up to
-    ~3e9 users × 1e9 total-event scale (rk·n_events ≤ n·Σx ≈ 9e18 only
-    past ~10¹⁸ event-user product — loud overflow territory far beyond
-    the 100 TB target)."""
+    Uses the exact rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),
+    emitted in integer micro-units via one `div` — bit-exact on both
+    engines.  S₁ = Σ rank·x is TIE-INVARIANT (users sharing a count x
+    contribute x·Σranks over their block however the block is ordered),
+    so the Spark side never ranks users at all: it aggregates the COUNT
+    DISTRIBUTION — m_v users per distinct count v — and folds each
+    block's rank range in closed form, v·(m_v·C_v + m_v(m_v+1)/2) with
+    C_v the cumulative users below v.  The only window runs over the
+    |distinct count values| relation (≈√(2·Σx) under any skewed
+    distribution — thousands of rows at billions of users), not the
+    |users| relation a row_number() formulation would single-partition.
+    The oracle keeps the literal per-user row_number() formulation and
+    lands on the identical S₁.  Intermediate products stay < 2^63 up to
+    ~3e9 users × 1e9 total events."""
     per_user = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    w = Window.orderBy("n_events", "user_id")
-    ranked = per_user.select(
-        "n_events", F.row_number().over(w).cast("long").alias("rk")
+    dist = per_user.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("n_events").alias("total_events"),
-        F.sum(F.col("rk") * F.col("n_events")).alias("s1"),
+    w = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = dist.select(
+        "n_events",
+        "m",
+        (F.sum("m").over(w) - F.col("m")).alias("c_below"),
+    )
+    return blocks.agg(
+        F.sum("m").alias("n_users"),
+        F.sum(F.col("n_events") * F.col("m")).alias("total_events"),
+        F.sum(
+            F.col("n_events")
+            * (
+                F.col("m") * F.col("c_below")
+                + F.expr("(m * (m + 1)) div 2")
+            )
+        ).alias("s1"),
     ).select(
         "n_users",
         "total_events",
