@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.registry import query
@@ -298,7 +299,13 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    dist = vocab.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    # Persist the distribution: blocks and the scalar total both consume
+    # it — one token explode, not two.
+    dist = (
+        vocab.groupBy("cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .transform(persist_tracked)
+    )
     wcum = Window.orderBy(F.desc("cnt")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -432,13 +439,15 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # Persist the ranked vocab: the scalar n_vocab and the decile fold
+    # both consume it — one token explode + one rank sort, not two.
     ranked = vocab.select(
         "cnt",
         F.row_number()
         .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
         .cast("long")
         .alias("rk"),
-    )
+    ).transform(persist_tracked)
     n = ranked.agg(F.count(F.lit(1)).alias("n_vocab"))
     return (
         ranked.crossJoin(F.broadcast(n))

@@ -17,9 +17,10 @@ through the DECIMAL helpers (`dsum`/`davg`).
 
 Scale posture: every window is partitioned by user_id (millions of
 parallel partitions); rollup outputs are bounded by small domains
-(|event_type|² transitions, digit buckets, calendar weeks).  The one
-global sort (`events_gini_concentration`) ranks the per-user aggregate —
-|users| rows, not |events| — via Spark's range-partitioned sort.
+(|event_type|² transitions, digit buckets, calendar weeks).  Rank-based
+statistics that are tie-invariant (`events_gini_concentration`) fold the
+COUNT DISTRIBUTION in closed form instead of ranking users — the only
+unpartitioned window runs over |distinct count values| rows.
 """
 
 from __future__ import annotations
@@ -28,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_SECONDS
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.registry import query
@@ -75,8 +77,13 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    t = seq.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n_transitions")
+    # Persist the |types|²-row aggregate: it feeds both the final join and
+    # row_tot — without it the LEAD window + corpus scan run twice (plan
+    # audit showed two FileScans).
+    t = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .transform(persist_tracked)
     )
     row_tot = t.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
     # No broadcast hint: row_tot's |event_type| domain is small in practice
@@ -289,6 +296,8 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Persist: four consumers (n_sess, freq, and both self-join sides)
+    # would otherwise re-run the double-window sessionization per branch.
     st = (
         flagged.select(
             "user_id",
@@ -296,6 +305,7 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_new").over(wrun).alias("session_seq"),
         )
         .distinct()
+        .transform(persist_tracked)
     )
     n_sess = st.select("user_id", "session_seq").distinct().agg(
         F.count(F.lit(1)).alias("n")
@@ -582,10 +592,12 @@ def stats_jackknife_loo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     string (DATE canon rule, `verify` skill gotchas)."""
     ev = load_table(spark, sf_dir, "events")
     dec = "decimal(25,6)"
+    # Persist the calendar-sized partials: both the scalar total and the
+    # final fold read them — one corpus scan, not two.
     per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_day"),
         F.sum(F.col("value").cast(dec)).alias("s_day"),
-    )
+    ).transform(persist_tracked)
     tot = per_day.agg(
         F.sum("n_day").alias("n_total"),
         F.sum("s_day").cast(dec).alias("s_total"),
