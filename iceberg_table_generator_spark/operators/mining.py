@@ -1655,3 +1655,130 @@ def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_late").alias("n_late"),
         F.expr("(sum(is_late) * 1000000) div count(1)").alias("late_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+# Expected Benford share of leading digit d is log10(1 + 1/d) — engine-
+# independent micro-unit LITERALS (no transcendental at query time).
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS first_digit
+  FROM orders),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+obs AS (
+  SELECT first_digit, CAST(count(*) AS BIGINT) AS n_orders
+  FROM d GROUP BY first_digit)
+SELECT o.first_digit, o.n_orders,
+       CAST((o.n_orders * 1000000) // t.n_total AS BIGINT) AS observed_micro,
+       CAST({_BENFORD_SQL_CASE} AS BIGINT) AS benford_micro,
+       CAST((o.n_orders * 1000000) // t.n_total
+            - {_BENFORD_SQL_CASE} AS BIGINT) AS deviation_micro
+FROM obs o CROSS JOIN tot t
+"""
+
+
+@query("stats_benford_audit", oracle=_BENFORD_ORACLE)
+def stats_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit shares
+    vs the log10(1+1/d) expectation — the classic fabricated-numbers /
+    synthetic-data screen an auditing warehouse runs (genuine multi-scale
+    amounts follow Benford; generator artifacts and capped domains show
+    up as large signed deviations, which is exactly what this flags on
+    TPC-H-style uniform prices).
+
+    The leading digit comes from exact integer cents (DECIMAL(18,2)
+    cast ×100 → BIGINT → first character), never from float formatting;
+    Benford expectations are precomputed micro-unit literals, so the
+    whole report is integer arithmetic.  One scan, a 9-cell rollup with
+    map-side combine, scalar total broadcast back."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    obs = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    benford = F.create_map(
+        *[F.lit(x) for dm in _BENFORD_MICRO.items() for x in dm]
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_orders",
+        F.expr("(n_orders * 1000000) div n_total").alias("observed_micro"),
+        benford[F.col("first_digit")].cast("long").alias("benford_micro"),
+        (
+            F.expr("(n_orders * 1000000) div n_total")
+            - benford[F.col("first_digit")].cast("long")
+        ).alias("deviation_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# What-if: discount-cap revenue scenario
+# --------------------------------------------------------------------------
+DISCOUNT_CAP = "0.04"
+
+_WHATIF_ORACLE = f"""
+WITH li AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS p,
+         CAST(l_discount AS DECIMAL(18,6)) AS disc
+  FROM lineitem)
+SELECT
+  round(CAST(sum(p * (1 - disc)) AS DOUBLE), 2) AS actual_revenue,
+  round(CAST(sum(p * (1 - least(disc, {DISCOUNT_CAP}))) AS DOUBLE), 2)
+    AS capped_revenue,
+  round(CAST(sum(p * (1 - least(disc, {DISCOUNT_CAP})))
+             - sum(p * (1 - disc)) AS DOUBLE), 2) AS revenue_delta,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CASE WHEN disc > {DISCOUNT_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_capped_items
+FROM li
+"""
+
+
+@query("orders_whatif_discount_cap", oracle=_WHATIF_ORACLE)
+def orders_whatif_discount_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scenario query: revenue if discounts were capped at 4% — the
+    counterfactual pricing analysis (TPC-H Q6's "forecast revenue
+    change" idea generalized from dropping a discount band to capping
+    it), reported as actual vs scenario vs delta plus how many line
+    items the cap would touch.
+
+    Both accumulations ride the exact DECIMAL(18,6) revenue pattern
+    (`SQL_REV_DEC` precedent) — order-insensitive, bit-exact on both
+    engines — in ONE scalar aggregate over one scan (the scenario is a
+    second conditional expression, not a second pass)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("p"),
+        F.col("l_discount").cast("decimal(18,6)").alias("disc"),
+    )
+    cap = F.lit(DISCOUNT_CAP).cast("decimal(18,6)")
+    actual = F.sum(F.col("p") * (F.lit(1) - F.col("disc")))
+    capped = F.sum(F.col("p") * (F.lit(1) - F.least(F.col("disc"), cap)))
+    return li.agg(
+        F.round(actual.cast("double"), 2).alias("actual_revenue"),
+        F.round(capped.cast("double"), 2).alias("capped_revenue"),
+        F.round((capped - actual).cast("double"), 2).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("disc") > cap, 1).otherwise(0)).alias(
+            "n_capped_items"
+        ),
+    )

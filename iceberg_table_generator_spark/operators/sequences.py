@@ -611,3 +611,65 @@ def stats_jackknife_loo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loo_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Second-order sequence patterns (behavior trigrams)
+# --------------------------------------------------------------------------
+TRIGRAM_TOP_K = 20
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (
+  SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+  GROUP BY a, b, c),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM t)
+SELECT t.a, t.b, t.c, t.n,
+       CAST((t.n * 1000000) // x.n_total AS BIGINT) AS share_micro
+FROM t CROSS JOIN tot x
+ORDER BY t.n DESC, t.a, t.b, t.c
+LIMIT {TRIGRAM_TOP_K}
+"""
+
+
+@query("events_trigram_patterns", oracle=_TRIGRAM_ORACLE)
+def events_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common 3-step behavior sequences — the second-order
+    companion to `events_markov_transitions` (first-order transitions
+    cannot distinguish view→click→purchase from view→click→error; the
+    trigram table can, and is what a funnel designer actually mines).
+
+    Two stacked LEADs ride the SAME user_id window (one shuffle + sort,
+    Catalyst collapses both into a single WindowExec pass); the rollup
+    lands on the ≤|types|³ domain with map-side combine, the share uses
+    one integer `div` against the scalar total, and the top-20 is a
+    TakeOrderedAndProject with a full deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    t = seq.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n")).transform(
+        persist_tracked
+    )
+    tot = t.agg(F.sum("n").alias("n_total"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c",
+            "n",
+            F.expr("(n * 1000000) div n_total").alias("share_micro"),
+        )
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"), F.asc("c"))
+        .limit(TRIGRAM_TOP_K)
+    )
