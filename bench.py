@@ -157,6 +157,9 @@ HEADLINE = [
     "dedup_minhash_error_audit",
     "incremental_distinct_maintenance",
     "orders_fulfillment_latency",
+    "events_trigram_patterns",
+    "stats_benford_audit",
+    "orders_whatif_discount_cap",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
