@@ -1177,3 +1177,152 @@ def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("est_micro", 6).alias("avg_est_micro"),
         davg("exact_micro", 6).alias("avg_exact_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style, exact)
+# --------------------------------------------------------------------------
+PF_N = 4  # 4-word shingles (vs the posting-list family's 3)
+PF_TAU_NUM = 11  # Jaccard threshold 11/20 = 0.55, tested with integer
+PF_TAU_DEN = 20  # cross-multiplication only — no float compare anywhere
+
+_PREFIX_FILTER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(ws) - {PF_N - 1}),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         ))) AS s
+  FROM w),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.shared,
+       ca.n AS size_a, cb.n AS size_b,
+       (10000 * p.shared) // (ca.n + cb.n - p.shared) AS jacc_bp
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+WHERE {PF_TAU_DEN} * p.shared >= {PF_TAU_NUM} * (ca.n + cb.n - p.shared)
+"""
+
+
+@query("dedup_prefix_filter_join", oracle=_PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard join (threshold 0.55) via PREFIX FILTERING —
+    the PPJoin/AllPairs candidate-generation strategy (Xiao et al.,
+    WWW'08; Bayardo et al., WWW'07), the third candidate-generation
+    family in the dedup tier list after posting lists
+    (`dedup_ngram_jaccard`) and banded MinHash (`dedup_minhash_lsh`).
+
+    The algorithm: order every document's shingle set by ASCENDING global
+    document frequency (ties by shingle text — any consistent total order
+    works); a pair with Jaccard >= t must share at least one shingle
+    within each side's first |S| - ceil(t*|S|) + 1 shingles (the prefix),
+    so only PREFIX postings enter the candidate self-join.  Candidates
+    are then verified exactly with a full-set intersection.  The oracle
+    does not replay the pruning — it computes the exact threshold-join
+    from the full posting lists; a hash match therefore CHECKS the
+    completeness theorem, not just the arithmetic.
+
+    Scale posture vs the siblings: the posting-list join keys on EVERY
+    shingle — its candidate volume is sum over shingles of df², dominated
+    by mid-frequency shingles; banded MinHash bounds candidates but is
+    approximate.  Prefix filtering keys only on each set's RAREST
+    (1-t)·|S| shingles, so candidate buckets are small BY CONSTRUCTION
+    (frequency-ascending order is the heavy-hitter mitigation — a
+    boilerplate shingle shared by 10⁶ docs lands in nobody's prefix
+    unless a doc consists of almost nothing else), while staying exact.
+    Joins: one uniform shuffle on the shingle hash for the df count, one
+    candidate self-join on prefix shingles, two doc_id equi-joins to
+    fetch the sorted arrays for verification — candidate-bounded, never
+    corpus × corpus.  The size-ratio prune (t·|B| <= |A| <= |B|/t) runs
+    inside the candidate join condition.  Everything is 64-bit integer;
+    the basis-point ratio uses one truncating div (both engines floor on
+    non-negatives)."""
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))), n=PF_N)
+    sh = d.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).transform(persist_tracked)
+    df_cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc shingle array sorted by (global df asc, shingle asc): rare
+    # shingles first.  Struct sort_array gives the lexicographic
+    # (df, s) order on both engines' comparator-free integer/string keys.
+    sets = (
+        sh.join(df_cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(df, s))), x -> x.s)")
+            .alias("arr")
+        )
+        .select(
+            "doc_id",
+            "arr",
+            F.size("arr").cast("long").alias("n"),
+            # prefix length = n - ceil(t*n) + 1; integer ceil on positives
+            F.expr(
+                f"size(arr) - (({PF_TAU_NUM} * size(arr) + {PF_TAU_DEN - 1})"
+                f" div {PF_TAU_DEN}) + 1"
+            ).cast("int").alias("p"),
+        )
+        .transform(persist_tracked)
+    )
+    prefix = sets.select(
+        "doc_id", "n", F.explode(F.expr("slice(arr, 1, p)")).alias("s")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size-ratio prune: J >= t forces t*max(na,nb) <= min(na,nb)
+            & (PF_TAU_NUM * F.col("n_a") <= PF_TAU_DEN * F.col("n_b"))
+            & (PF_TAU_NUM * F.col("n_b") <= PF_TAU_DEN * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "shared",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+        .filter(
+            PF_TAU_DEN * F.col("shared")
+            >= PF_TAU_NUM * (F.col("size_a") + F.col("size_b") - F.col("shared"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        "size_a",
+        "size_b",
+        F.expr("(10000 * shared) div (size_a + size_b - shared)").alias("jacc_bp"),
+    )

@@ -422,3 +422,140 @@ def events_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n), int(d)) for n, d in rows], "node int, core_degree bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (fixed unrolled iterations, integer micro-units)
+# --------------------------------------------------------------------------
+HITS_SCALE = 1_000_000_000_000  # 1e12 micro-units of total score mass
+HITS_ITERS = 4  # fixed unroll; the oracle replays the same count
+
+
+def _hits_oracle() -> str:
+    """Unrolled DuckDB twin of the driver-side integer HITS loop.
+
+    Each half-iteration is one weighted-edge join + aggregate followed by
+    a sum-normalization:  x' = x // greatest(1, S // SCALE)  where S is
+    the pre-normalization total — the same truncating-div form the Python
+    loop uses (both floor on non-negatives), so scores are bit-identical.
+    """
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)",
+        "nodes AS (SELECT DISTINCT k AS node FROM ev)",
+        f"h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i}_raw AS (SELECT n.node,"
+            f" COALESCE(CAST(sum(p.cnt * p.h) AS BIGINT), 0) AS a"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst, e.cnt, hp.h"
+            f"  FROM edges e JOIN h{p} hp ON e.src = hp.node) p"
+            f" ON p.dst = n.node GROUP BY n.node)"
+        )
+        ctes.append(
+            # window total (one CTE reference) — a scalar subquery would
+            # reference a{i}_raw twice and DuckDB's CTE inlining would
+            # duplicate the whole upstream chain per iteration (2^N blowup)
+            f"a{i} AS (SELECT node, a // greatest(1,"
+            f" CAST(sum(a) OVER () AS BIGINT)"
+            f" // {HITS_SCALE}) AS a FROM a{i}_raw)"
+        )
+        ctes.append(
+            f"h{i}_raw AS (SELECT n.node,"
+            f" COALESCE(CAST(sum(p.cnt * p.a) AS BIGINT), 0) AS h"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.src, e.cnt, ap.a"
+            f"  FROM edges e JOIN a{i} ap ON e.dst = ap.node) p"
+            f" ON p.src = n.node GROUP BY n.node)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, h // greatest(1,"
+            f" CAST(sum(h) OVER () AS BIGINT)"
+            f" // {HITS_SCALE}) AS h FROM h{i}_raw)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node, h.h AS hub_micro, a.a AS auth_micro
+FROM nodes n
+JOIN h{HITS_ITERS} h ON h.node = n.node
+JOIN a{HITS_ITERS} a ON a.node = n.node
+"""
+
+
+@query("events_hits_scores", oracle=_hits_oracle())
+def events_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg'99) hub/authority scores over the same weighted
+    page-transition graph as `events_pagerank` — the mutual-reinforcement
+    twin of PageRank's random walk: a page is a good AUTHORITY if good
+    hubs transition into it, a good HUB if it transitions into good
+    authorities.  Curation use: hub score flags portal/index pages whose
+    outlinks are quality signals; authority flags destination content.
+
+    Arithmetic: pure 64-bit integers.  Scores live in micro-units
+    (SCALE=1e12 of total mass); each half-iteration aggregates
+    h·cnt over in-edges (resp. a·cnt over out-edges) and re-normalizes
+    with ONE truncating division  x // max(1, S // SCALE)  so both
+    engines floor identically and the oracle replays the loop as an
+    unrolled CTE chain (the `events_pagerank` precedent).  L2
+    normalization (the textbook form) would need a square root — the
+    sum-normalization variant has the same fixpoint direction and stays
+    in integers.
+
+    Execution: the edge relation is |V|²-bounded and visit-count-
+    independent, so after the ONE distributed aggregation pass the
+    iteration runs DRIVER-side over the collected edges — the
+    `events_kcore_membership` precedent (a model-sized relation; 8
+    sequential |E|-sized sweeps in Python beat 16 shuffle stages).  A
+    loud overflow guard pins the bound the oracle's BIGINT cast needs:
+    sum-of-(h·cnt) <= SCALE · total_visits < 2^63."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    edges = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    erows = [(r.src, r.dst, r.cnt) for r in edges.collect()]
+    # all nodes, including isolated ones (appear in ev but never in an edge)
+    all_nodes = sorted(
+        {r.k for r in ev.select("k").distinct().collect()}
+    )
+    total_cnt = sum(c for _, _, c in erows)
+    if HITS_SCALE * total_cnt >= 2**63:
+        raise OverflowError(
+            f"events_hits_scores: int64 overflow risk — total transition "
+            f"count {total_cnt}; lower HITS_SCALE or pre-aggregate counts."
+        )
+    h = {n: HITS_SCALE for n in all_nodes}
+    a: dict[int, int] = {}
+    for _ in range(HITS_ITERS):
+        a = {n: 0 for n in all_nodes}
+        for s, d, c in erows:
+            a[d] += c * h[s]
+        sa = sum(a.values())
+        den = max(1, sa // HITS_SCALE)
+        a = {n: v // den for n, v in a.items()}
+        h = {n: 0 for n in all_nodes}
+        for s, d, c in erows:
+            h[s] += c * a[d]
+        sh_ = sum(h.values())
+        den = max(1, sh_ // HITS_SCALE)
+        h = {n: v // den for n, v in h.items()}
+    rows = [(int(n), int(h[n]), int(a[n])) for n in all_nodes]
+    return spark.createDataFrame(
+        rows, "node int, hub_micro bigint, auth_micro bigint"
+    )

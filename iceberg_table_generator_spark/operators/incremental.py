@@ -272,3 +272,64 @@ def incremental_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("cnt").cast("bigint").alias("cnt"),
     )
+
+
+TOPK_K = 10
+TOPK_SPLIT = "1998-06-01"
+
+@query(
+    "incremental_topk_maintenance",
+    oracle=f"""
+    SELECT CAST(row_number() OVER
+             (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+           o_orderkey, o_totalprice,
+           o_orderdate >= TIMESTAMP '{TOPK_SPLIT} 00:00:00'
+             AS entered_from_delta
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {TOPK_K}
+    """,
+)
+def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a global top-{K} (orders by total price) under an
+    insert-only delta WITHOUT rescanning the base: the base table is
+    orders before {SPLIT}, the delta is orders on/after it, and the
+    maintained result is top-k(top-k(base) ∪ top-k(delta)) — correct for
+    insert-only streams because a row outside a partition's top-k can
+    never enter the union's top-k (the standard monotone top-k algebra;
+    deletions would need the full-aggregate fallback that
+    `incremental_agg_maintenance` demonstrates).  The oracle recomputes
+    the top-{K} from the whole table — a hash match proves the algebra.
+
+    Scale: each side is a TakeOrderedAndProject (bounded K rows, no
+    global sort), the union is 2K rows, and on a real lakehouse the
+    base's top-k comes from the PREVIOUS materialization, so each
+    refresh touches only the delta partition — O(Δ) + O(K)."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(TOPK_SPLIT).cast("timestamp")
+    base_topk = (
+        o.filter(F.col("o_orderdate") < split)
+        .select("o_orderkey", "o_totalprice", F.lit(False).alias("entered_from_delta"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(TOPK_K)
+    )
+    delta_topk = (
+        o.filter(F.col("o_orderdate") >= split)
+        .select("o_orderkey", "o_totalprice", F.lit(True).alias("entered_from_delta"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(TOPK_K)
+    )
+    merged = (
+        base_topk.unionAll(delta_topk)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(TOPK_K)
+    )
+    from pyspark.sql.window import Window as W
+
+    wr = W.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return merged.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "o_orderkey",
+        "o_totalprice",
+        "entered_from_delta",
+    )

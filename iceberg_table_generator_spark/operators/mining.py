@@ -1782,3 +1782,208 @@ def orders_whatif_discount_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_capped_items"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected, count-distribution form)
+# --------------------------------------------------------------------------
+_MWU_ORACLE = """
+WITH ranked_langs AS (
+  SELECT lang, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
+  FROM documents GROUP BY lang),
+ab AS (
+  SELECT max(CASE WHEN rk = 1 THEN lang END) AS lang_a,
+         max(CASE WHEN rk = 2 THEN lang END) AS lang_b
+  FROM ranked_langs),
+dist AS (
+  SELECT d.n_chars AS v,
+         CAST(sum(CASE WHEN d.lang = ab.lang_a THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN d.lang = ab.lang_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM documents d CROSS JOIN ab
+  WHERE d.lang IN (ab.lang_a, ab.lang_b)
+  GROUP BY d.n_chars),
+cum AS (
+  SELECT v, ca, cb,
+         COALESCE(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cb_less,
+         COALESCE(sum(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS ca_less
+  FROM dist)
+SELECT ab.lang_a, ab.lang_b,
+       CAST(sum(ca) AS BIGINT) AS n_a,
+       CAST(sum(cb) AS BIGINT) AS n_b,
+       CAST(sum(2 * ca * cb_less + ca * cb) AS BIGINT) AS u2_a,
+       CAST(sum(2 * cb * ca_less + ca * cb) AS BIGINT) AS u2_b
+FROM cum CROSS JOIN ab
+GROUP BY ab.lang_a, ab.lang_b
+"""
+
+
+@query("stats_mann_whitney_u", oracle=_MWU_ORACLE)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the document-length
+    (n_chars) distributions of the two largest languages — the standard
+    nonparametric "are these two corpora drawn from the same length
+    distribution" test a curation pipeline runs before pooling sources.
+
+    Exactness by fraction clearing: with ties, U_A = #(a>b pairs) +
+    ½·#(a=b pairs); doubling clears the half, so the emitted statistics
+    are 2·U — pure integers (u2_a + u2_b = 2·n_a·n_b, a checkable
+    invariant the test suite pins).  Computed in the COUNT-DISTRIBUTION
+    closed form: group both samples by value, then one window over the
+    |distinct values| rows accumulates the cross-pair counts —
+    U is tie-invariant, so per-row ranks are never materialized (the
+    `events_gini_concentration` tier; the window runs over the
+    aggregated relation, never the corpus).
+
+    Scale: one groupBy on (value) — map-combinable conditional counts —
+    then a single bounded window and a scalar rollup.  The two-language
+    selection is itself a bounded aggregate (|langs| rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = Window.orderBy(F.desc("n"), "lang")
+    langs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 2)
+    )
+    ab = langs.groupBy().agg(
+        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("lang"))).alias("lang_b"),
+    )
+    dist = (
+        d.crossJoin(F.broadcast(ab))
+        .filter(
+            (F.col("lang") == F.col("lang_a"))
+            | (F.col("lang") == F.col("lang_b"))
+        )
+        .groupBy("n_chars", "lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_a"), 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_b"), 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    wv = Window.partitionBy("lang_a", "lang_b").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dist.select(
+        "lang_a",
+        "lang_b",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wv), F.lit(0)).alias("cb_less"),
+        F.coalesce(F.sum("ca").over(wv), F.lit(0)).alias("ca_less"),
+    )
+    return cum.groupBy("lang_a", "lang_b").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            2 * F.col("ca") * F.col("cb_less") + F.col("ca") * F.col("cb")
+        ).alias("u2_a"),
+        F.sum(
+            2 * F.col("cb") * F.col("ca_less") + F.col("ca") * F.col("cb")
+        ).alias("u2_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Discrete survival (life-table) hazard of customer repurchase
+# --------------------------------------------------------------------------
+SURV_BUCKET_DAYS = 30
+SURV_MAX_BUCKET = 11  # terminal bucket aggregates everything >= 330 days
+
+_SURVIVAL_ORACLE = f"""
+WITH anchor AS (SELECT max(o_orderdate) AS a FROM orders),
+seq AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders),
+dur AS (
+  SELECT least({SURV_MAX_BUCKET},
+               date_diff('second', o_orderdate, COALESCE(nxt, x.a))
+                 // {86400 * SURV_BUCKET_DAYS}) AS bucket,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS is_event
+  FROM seq CROSS JOIN anchor x),
+hist AS (
+  SELECT bucket,
+         CAST(sum(is_event) AS BIGINT) AS n_events,
+         CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+  FROM dur GROUP BY bucket),
+lt AS (
+  SELECT bucket, n_events, n_censored,
+         CAST(sum(n_events + n_censored) OVER
+           (ORDER BY bucket DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_at_risk
+  FROM hist)
+SELECT bucket, n_at_risk, n_events, n_censored,
+       (10000 * n_events) // n_at_risk AS hazard_bp
+FROM lt
+"""
+
+
+@query("orders_survival_hazard", oracle=_SURVIVAL_ORACLE)
+def orders_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time life table of customer repurchase: for each 30-day
+    interval since an order, how many customers were still "at risk" of
+    reordering, how many did (event = a next order with that gap), how
+    many ran out of observation window (censored at the dataset's last
+    order date) — and the interval hazard in basis points.  The
+    Kaplan-Meier-style churn/retention read every subscription and
+    repeat-purchase business runs; censoring handling is what separates
+    it from a naive gap histogram (`events_interarrival_hist`).
+
+    Exactness: gaps are whole-day integer differences (epoch seconds,
+    one truncating division), the terminal bucket ({SURV_MAX_BUCKET})
+    absorbs every longer duration, and the hazard is one integer div —
+    no survival-probability product (a product of fractions) is ever
+    materialized, so there are no floats anywhere.
+
+    Scale: one per-customer LEAD window (partitioned, millions of
+    parallel groups), one scalar anchor broadcast, a map-combinable
+    bucket histogram, and the at-risk reverse cumsum runs over the
+    {SURV_MAX_BUCKET}+1-row AGGREGATED life table — never the orders."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("a"))
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wc).alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(anchor)).select(
+        F.expr(
+            f"least(cast({SURV_MAX_BUCKET} as bigint),"
+            " (cast(cast(coalesce(nxt, a) as timestamp) as long)"
+            "  - cast(cast(o_orderdate as timestamp) as long))"
+            f" div {86400 * SURV_BUCKET_DAYS})"
+        ).alias("bucket"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("is_event"),
+    )
+    hist = dur.groupBy("bucket").agg(
+        F.sum("is_event").alias("n_events"),
+        F.sum(1 - F.col("is_event")).alias("n_censored"),
+    )
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lt = hist.withColumn(
+        "n_at_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(wb)
+    )
+    return lt.select(
+        "bucket",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.expr("(10000 * n_events) div n_at_risk").alias("hazard_bp"),
+    )

@@ -673,3 +673,167 @@ def events_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("a"), F.asc("b"), F.asc("c"))
         .limit(TRIGRAM_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Half-life decayed engagement score (recency weighting)
+# --------------------------------------------------------------------------
+DECAY_CAP_WEEKS = 20  # ages beyond 20 weeks all get the minimum weight 2^0
+DECAY_TOP_K = 100
+
+_DECAY_ORACLE = f"""
+WITH anchor AS (SELECT max(ts) AS a FROM events),
+wk AS (
+  SELECT e.user_id, e.ts,
+         least({DECAY_CAP_WEEKS},
+               date_diff('second', e.ts, x.a) // 604800) AS weeks
+  FROM events e CROSS JOIN anchor x),
+scored AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(1 AS BIGINT) << ({DECAY_CAP_WEEKS} - weeks))
+              AS BIGINT) AS decayed_score,
+         CAST(max(ts) AS VARCHAR) AS last_seen
+  FROM wk GROUP BY user_id)
+SELECT user_id, n_events, decayed_score, last_seen
+FROM scored
+ORDER BY decayed_score DESC, user_id
+LIMIT {DECAY_TOP_K}
+"""
+
+
+@query("events_decay_engagement", oracle=_DECAY_ORACLE)
+def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} users by exponentially decayed activity: each event is
+    worth 2^-(weeks old) of a fresh one (one-week half-life, age capped
+    at 20 weeks), anchored at the newest event in the table.  The
+    standard recency-weighted engagement/freshness score a curation
+    pipeline uses to up-sample active sources without a hard cutoff.
+
+    Exactness: ages are whole weeks (epoch-second difference, one
+    truncating division), weights are exact powers of two computed with
+    an integer shift — max weight 2^20, so a user needs > 2^43 events to
+    overflow the BIGINT sum.  No floats, no `pow`.
+
+    Scale: one scalar aggregate (the anchor — broadcast as a 1-row
+    relation), one narrow projection, one map-side-combinable groupBy
+    on user_id, and a global top-K that compiles to
+    TakeOrderedAndProject — never a full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("a"))
+    wk = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "ts",
+        F.expr(
+            f"least(cast({DECAY_CAP_WEEKS} as bigint),"
+            " (cast(cast(a as timestamp) as long)"
+            "  - cast(cast(ts as timestamp) as long)) div 604800)"
+        ).alias("weeks"),
+    )
+    scored = wk.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast({DECAY_CAP_WEEKS} - weeks as int))"
+            )
+        ).alias("decayed_score"),
+        F.max("ts").cast("string").alias("last_seen"),
+    )
+    return scored.orderBy(
+        F.desc("decayed_score"), "user_id"
+    ).limit(DECAY_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint scan over hourly event-rate series
+# --------------------------------------------------------------------------
+CUSUM_ALARM_MULT = 4  # alarm when the CUSUM peak exceeds 4 × total count
+
+_CUSUM_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type),
+pref AS (
+  SELECT h.event_type, h.hr, t.tot, t.n_hours,
+         t.n_hours * sum(h.c) OVER w
+           - (row_number() OVER w) * t.tot AS pn
+  FROM hourly h JOIN tot t USING (event_type)
+  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr)),
+cusum AS (
+  SELECT event_type, hr, tot, n_hours,
+         pn - least(CAST(0 AS BIGINT), min(pn) OVER
+           (PARTITION BY event_type ORDER BY hr)) AS s
+  FROM pref),
+peak AS (
+  SELECT event_type, hr, tot, n_hours, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, hr) AS rn
+  FROM cusum)
+SELECT event_type, CAST(hr AS VARCHAR) AS peak_hour,
+       CAST(s AS BIGINT) AS peak_cusum_scaled, n_hours, tot,
+       s > {CUSUM_ALARM_MULT} * tot AS alarm
+FROM peak WHERE rn = 1
+"""
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint scan (Page, 1954) per event type over
+    the hourly-count series: detects sustained upward shifts in event
+    rate (traffic ramp, instrumentation bug, bot onset) — the classic
+    sequential drift detector, complementing `events_rate_anomaly`'s
+    pointwise z-scores with an accumulating statistic.
+
+    The recursion S_t = max(0, S_{{t-1}} + (x_t - mean)) is deliberately
+    NOT computed recursively (no SQL engine exposes a recursive window):
+    with P_t = prefix_sum(x - mean), the closed form
+    S_t = P_t - min(0, running_min(P_t)) needs only two windows — both
+    computable in one pass.  Fraction clearing makes it exact: all terms
+    are scaled by n_hours (P·n = n·prefix_count - t·total), so the mean
+    never materializes as a float.  Emitted per event type: the PEAK
+    statistic, its hour, and an alarm flag (peak > {CUSUM_ALARM_MULT}×
+    total, i.e. mean-normalized CUSUM > {CUSUM_ALARM_MULT}·mean·n).
+
+    Scale: one map-combinable hourly rollup, then ALL windows partitioned
+    by event_type over the |types|×|hours| AGGREGATED relation (never the
+    raw events), and a 1-row-per-type argmax via row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_hours")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    pref = (
+        hourly.join(tot, "event_type")
+        .withColumn(
+            "pn",
+            F.col("n_hours") * F.sum("c").over(w)
+            - F.row_number().over(w) * F.col("tot"),
+        )
+    )
+    cusum = pref.withColumn(
+        "s",
+        F.col("pn")
+        - F.least(F.lit(0).cast("long"), F.min("pn").over(w)),
+    )
+    wp = Window.partitionBy("event_type").orderBy(F.desc("s"), "hr")
+    return (
+        cusum.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hr").cast("string").alias("peak_hour"),
+            F.col("s").alias("peak_cusum_scaled"),
+            "n_hours",
+            "tot",
+            (F.col("s") > CUSUM_ALARM_MULT * F.col("tot")).alias("alarm"),
+        )
+    )

@@ -824,3 +824,81 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Phrase search via positional inverted index
+# --------------------------------------------------------------------------
+PHRASE_TOP_K = 5  # search the 5 globally most frequent bigram phrases
+
+_PHRASE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS phrase
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+top AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM bg GROUP BY phrase
+  ORDER BY count(*) DESC, phrase
+  LIMIT {PHRASE_TOP_K})
+SELECT phrase, n_docs, n_occurrences FROM top
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over a POSITIONAL inverted index: doc and occurrence
+    counts for the {K} most frequent two-word phrases, where the counts
+    are produced by the search-engine plan — posting lists keyed by term
+    carrying (doc_id, position), phrase matches found by joining the
+    first term's postings with the second term's at position+1.  The
+    oracle computes the same counts from a direct adjacent-bigram scan,
+    so a hash match proves the positional-index join is equivalent to
+    rescanning the text — the standard correctness argument for serving
+    phrase queries from an index instead of the corpus.
+
+    Scale: the index build is one posexplode (narrow) and the postings
+    shuffle on the TERM — at 100 TB this is the classic partitioned
+    inverted index.  The phrase list is a bounded top-K (broadcast as a
+    {K}-row relation on both sides of the join), so the join touches only
+    postings of the {K}·2 query terms — filter-pushdown on term before
+    any shuffle.  The position join (doc_id, pos+1) is an equi-join
+    within each term bucket."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    post = d.select(
+        "doc_id", F.posexplode("ws").alias("pos", "term")
+    ).transform(persist_tracked)
+    # top-K phrases from the bigram rollup (deterministic tie-break)
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    bg = post.select(
+        "doc_id",
+        F.concat_ws(" ", "term", F.lead("term").over(w2)).alias("phrase"),
+        F.lead("term").over(w2).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    top = (
+        bg.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "phrase")
+        .limit(PHRASE_TOP_K)
+        .select(
+            "phrase",
+            F.split("phrase", " ").getItem(0).alias("w1"),
+            F.split("phrase", " ").getItem(1).alias("w2"),
+        )
+    )
+    # positional-index join: postings(term=w1) ⋈ postings(term=w2, pos+1)
+    p1 = post.join(
+        F.broadcast(top.select("phrase", F.col("w1").alias("term"))), "term"
+    ).select("phrase", "doc_id", "pos")
+    p2 = post.join(
+        F.broadcast(top.select("phrase", F.col("w2").alias("term"))), "term"
+    ).select("phrase", "doc_id", (F.col("pos") - 1).alias("pos"))
+    hits = p1.join(p2, ["phrase", "doc_id", "pos"])
+    return hits.groupBy("phrase").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )

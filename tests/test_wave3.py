@@ -1,0 +1,175 @@
+"""Mathematical invariants for the round-7 wave-3 operators.
+
+Each pins a property the oracle hash can't see on its own (the oracle
+proves cross-engine equality; these prove the STATISTIC is the one the
+docstring claims).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_table_generator_spark.operators.dedup import (
+    PF_TAU_DEN,
+    PF_TAU_NUM,
+    dedup_prefix_filter_join,
+)
+from iceberg_table_generator_spark.operators.graph import (
+    HITS_ITERS,
+    HITS_SCALE,
+    events_hits_scores,
+)
+from iceberg_table_generator_spark.operators.incremental import (
+    TOPK_K,
+    incremental_topk_maintenance,
+)
+from iceberg_table_generator_spark.operators.mining import (
+    orders_survival_hazard,
+    stats_mann_whitney_u,
+)
+from iceberg_table_generator_spark.operators.sequences import (
+    DECAY_CAP_WEEKS,
+    events_cusum_changepoint,
+    events_decay_engagement,
+)
+from iceberg_table_generator_spark.operators.text import (
+    PHRASE_TOP_K,
+    text_phrase_search,
+)
+from iceberg_table_generator_spark.sources.tables import load_table
+
+
+def test_mwu_pair_count_identity(spark, sf_small):
+    """2U_A + 2U_B must equal 2·n_a·n_b — every cross pair is counted
+    exactly once on each side (the tie-handling sanity check)."""
+    row = stats_mann_whitney_u(spark, sf_small).collect()[0]
+    assert row.u2_a + row.u2_b == 2 * row.n_a * row.n_b
+    assert row.lang_a != row.lang_b
+
+
+def test_prefix_filter_jaccard_threshold(spark, sf_small):
+    """Every emitted pair genuinely meets the Jaccard threshold, with
+    intersection bounded by both set sizes."""
+    rows = dedup_prefix_filter_join(spark, sf_small).collect()
+    assert rows, "fixture corpus contains near-dup pairs"
+    for r in rows:
+        union = r.size_a + r.size_b - r.shared
+        assert PF_TAU_DEN * r.shared >= PF_TAU_NUM * union
+        assert r.shared <= min(r.size_a, r.size_b)
+        assert r.jacc_bp == (10000 * r.shared) // union
+        assert r.doc_a < r.doc_b
+
+
+def test_survival_life_table_consistency(spark, sf_small):
+    """at-risk counts telescope: n_at_risk(b) = n_at_risk(b+1) + events(b)
+    + censored(b), and the top bucket's at-risk equals every order."""
+    rows = sorted(
+        orders_survival_hazard(spark, sf_small).collect(),
+        key=lambda r: r.bucket,
+    )
+    n_orders = load_table(spark, sf_small, "orders").count()
+    assert rows[0].bucket == 0 and rows[0].n_at_risk == n_orders
+    for cur, nxt in zip(rows, rows[1:]):
+        assert (
+            cur.n_at_risk - cur.n_events - cur.n_censored == nxt.n_at_risk
+        )
+    last = rows[-1]
+    assert last.n_at_risk == last.n_events + last.n_censored
+
+
+def test_hits_mass_and_sinks(spark, sf_small):
+    """Scores are non-negative, the total stays within the normalization
+    band (sum <= SCALE + |V| truncation slack, and > 0), and a node with
+    no out-edges has hub exactly 0."""
+    rows = events_hits_scores(spark, sf_small).collect()
+    assert all(r.hub_micro >= 0 and r.auth_micro >= 0 for r in rows)
+    assert sum(r.auth_micro for r in rows) > 0
+    # reconstruct out-degree from the same transition definition
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    srcs = {
+        r.src for r in seq.filter(F.col("dst").isNotNull()).select("src").distinct().collect()
+    }
+    for r in rows:
+        if r.node not in srcs:
+            assert r.hub_micro == 0
+
+
+def test_cusum_matches_recursive_definition(spark, sf_small):
+    """The two-window closed form equals the textbook recursion
+    S_t = max(0, S_{t-1} + n·x_t - tot), replayed per event type in
+    plain Python over the same hourly series."""
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_small, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in hourly:
+        by_type.setdefault(r.event_type, []).append((r.hr, r.c))
+    expected = {}
+    for et, series in by_type.items():
+        series.sort()
+        n = len(series)
+        tot = sum(c for _, c in series)
+        s = 0
+        peak, peak_hr = -1, None
+        for hr, c in series:
+            s = max(0, s + n * c - tot)
+            if s > peak:
+                peak, peak_hr = s, hr
+        expected[et] = (peak, peak_hr)
+    got = events_cusum_changepoint(spark, sf_small).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        peak, peak_hr = expected[r.event_type]
+        assert r.peak_cusum_scaled == peak
+        assert str(peak_hr) == r.peak_hour
+
+
+def test_decay_score_bounds(spark, sf_small):
+    """Each event contributes between 2^0 and 2^CAP, so the score is
+    bounded by n_events and n_events << CAP."""
+    rows = events_decay_engagement(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events <= r.decayed_score <= r.n_events * (
+            1 << DECAY_CAP_WEEKS
+        )
+    scores = [r.decayed_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_maintenance_equals_recompute(spark, sf_small):
+    """The insert-only union algebra reproduces the full-table top-K
+    (the IVM claim, asserted directly against a recompute)."""
+    import pyspark.sql.functions as F
+
+    got = incremental_topk_maintenance(spark, sf_small).collect()
+    full = (
+        load_table(spark, sf_small, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(TOPK_K)
+        .collect()
+    )
+    assert [r.o_orderkey for r in got] == [r.o_orderkey for r in full]
+    assert [r.rank for r in got] == list(range(1, len(full) + 1))
+
+
+def test_phrase_search_counts_positive(spark, sf_small):
+    """Exactly K phrases, every phrase two tokens, occurrences >= docs."""
+    rows = text_phrase_search(spark, sf_small).collect()
+    assert len(rows) == PHRASE_TOP_K
+    for r in rows:
+        assert len(r.phrase.split(" ")) == 2
+        assert r.n_occurrences >= r.n_docs >= 1
