@@ -559,3 +559,79 @@ def events_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "node int, hub_micro bigint, auth_micro bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Directed-graph reciprocity / density summary
+# --------------------------------------------------------------------------
+_RECIPROCITY_ORACLE = """
+WITH ev AS (SELECT user_id, ts, event_id,
+                   CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (SELECT k AS src, lead(k) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+tr AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+d AS (SELECT DISTINCT src, dst FROM tr WHERE src <> dst),
+stats AS (
+  SELECT CAST((SELECT count(DISTINCT k) FROM ev) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_dir_edges,
+         CAST(count(CASE WHEN EXISTS (
+             SELECT 1 FROM d r WHERE r.src = d.dst AND r.dst = d.src)
+           THEN 1 END) AS BIGINT) AS n_reciprocal,
+         CAST((SELECT count(*) FROM tr WHERE src = dst) AS BIGINT)
+           AS n_self_loops
+  FROM d)
+SELECT n_nodes, n_dir_edges, n_self_loops, n_reciprocal,
+       (10000 * n_reciprocal) // n_dir_edges AS recip_bp,
+       (10000 * n_dir_edges) // (n_nodes * (n_nodes - 1)) AS density_bp
+FROM stats
+"""
+
+
+@query("events_reciprocity", oracle=_RECIPROCITY_ORACLE)
+def events_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row shape summary of the directed transition graph:
+    reciprocity (fraction of distinct directed edges whose reverse also
+    exists — navigation back-and-forth vs one-way funnels), self-loop
+    volume (repeated same-page events), and edge density.  The first
+    scalar diagnostic on any directed graph, complementing the
+    per-node family (`events_pagerank`/`events_hits_scores`) and the
+    undirected family (`events_triangle_count`).
+
+    Scale: the distinct-edge relation is |V|²-bounded; reciprocity is a
+    self-join of that bounded relation on the reversed key (equi-join),
+    and everything else is counting.  Ratios are integer basis points
+    (one truncating div, both engines floor)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    tr = seq.filter(F.col("dst").isNotNull()).transform(persist_tracked)
+    d = (
+        tr.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(persist_tracked)
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = d.join(rev, ["src", "dst"], "left_semi").count()
+    n_dir = d.count()
+    n_self = tr.filter(F.col("src") == F.col("dst")).count()
+    n_nodes = ev.select("k").distinct().count()
+    row = [
+        (
+            n_nodes,
+            n_dir,
+            n_self,
+            n_recip,
+            (10000 * n_recip) // n_dir if n_dir else 0,
+            (10000 * n_dir) // (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_nodes bigint, n_dir_edges bigint, n_self_loops bigint,"
+        " n_reciprocal bigint, recip_bp bigint, density_bp bigint",
+    )

@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 from iceberg_table_generator_spark.streaming.heavyhitters import (
@@ -133,4 +134,113 @@ def heavyhitters_mg_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(retained, in_bound).otherwise(F.lit(True))).alias(
             "bound_ok"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch overcount audit (deterministic md5 rows)
+# --------------------------------------------------------------------------
+CMS_W = 1024  # buckets per row
+CMS_D = 3  # independent hash rows
+CMS_TOP_K = 20  # audit the K most frequent tokens against the sketch
+
+
+def _cms_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import _sql_md5_60
+
+    hashes = ", ".join(
+        "{h} % {w} AS b{j}".format(
+            h=_sql_md5_60("token || '#%d'" % j), w=CMS_W, j=j
+        )
+        for j in range(CMS_D)
+    )
+    row_ctes = ",\n".join(
+        f"s{j} AS (SELECT b{j} AS bucket, CAST(sum(cnt) AS BIGINT) AS s"
+        f" FROM h GROUP BY b{j})"
+        for j in range(CMS_D)
+    )
+    est = "least(" + ", ".join(f"s{j}.s" for j in range(CMS_D)) + ")"
+    joins = " ".join(
+        f"JOIN s{j} ON s{j}.bucket = t.b{j}" for j in range(CMS_D)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+h AS (SELECT token, cnt, {hashes} FROM vocab),
+{row_ctes},
+top AS (SELECT * FROM h ORDER BY cnt DESC, token LIMIT {CMS_TOP_K})
+SELECT t.token, t.cnt AS exact_cnt, {est} AS cms_est,
+       {est} - t.cnt AS overcount, n.n_total
+FROM top t {joins} CROSS JOIN n
+"""
+
+
+@query("heavyhitters_cms_audit", oracle=_cms_oracle())
+def heavyhitters_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) built over the
+    document token stream, audited against exact counts for the top-{K}
+    tokens: the sketch's min-of-rows estimate can only OVERcount
+    (emitted as `overcount` >= 0, expected <= N/w per row in the
+    average case) — the second bounded-state sketch after the
+    Misra-Gries summary, covering the opposite trade (MG undercounts
+    within n/(m+1); CMS overcounts, never under).
+
+    Determinism: the d hash rows are the engine-exact 60-bit md5 prefix
+    of `token || '#row'` mod w — no random seeds — so the whole sketch,
+    the estimates, and the audit are bit-identical on both engines and
+    the oracle simply replays them.
+
+    Scale: the token stream is aggregated to VOCABULARY level first
+    (one map-combinable groupBy — the sketch of the counts equals the
+    sketch of the stream), so the d×w bucket sums aggregate |vocab|·d
+    rows, and the final audit joins a top-{K} limit (broadcast) against
+    the {d}×{w}-row sketch relation.  On a true stream the same fold
+    runs as a map-side partial aggregate into {d}·{w} integers per
+    partition — mergeable by addition."""
+    from iceberg_table_generator_spark.operators.dedup import _md5_60
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(persist_tracked)
+    )
+    n_total = vocab.agg(F.sum("cnt").alias("n_total"))
+    hashed = vocab.select(
+        "token",
+        "cnt",
+        *[
+            F.pmod(
+                _md5_60(F.concat(F.col("token"), F.lit(f"#{j}"))), F.lit(CMS_W)
+            ).alias(f"b{j}")
+            for j in range(CMS_D)
+        ],
+    ).transform(persist_tracked)
+    top = (
+        hashed.orderBy(F.desc("cnt"), "token").limit(CMS_TOP_K)
+    )
+    est_cols = []
+    out = F.broadcast(top)
+    for j in range(CMS_D):
+        sk = (
+            hashed.groupBy(F.col(f"b{j}").alias("bucket"))
+            .agg(F.sum("cnt").alias(f"s{j}"))
+        )
+        out = out.join(sk, on=F.col(f"b{j}") == F.col("bucket")).drop("bucket")
+        est_cols.append(f"s{j}")
+    est = F.least(*[F.col(c) for c in est_cols])
+    return (
+        out.withColumn("cms_est", est)
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+            "n_total",
+        )
     )

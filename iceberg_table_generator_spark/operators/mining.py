@@ -1787,8 +1787,10 @@ def orders_whatif_discount_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Mann-Whitney U rank-sum test (tie-corrected, count-distribution form)
 # --------------------------------------------------------------------------
-_MWU_ORACLE = """
-WITH ranked_langs AS (
+# shared by the two-sample tests (Mann-Whitney U, Kolmogorov-Smirnov):
+# deterministically pick the two largest languages and build the joint
+# count distribution of n_chars over them.
+_TOP2_LANGS_CTES = """ranked_langs AS (
   SELECT lang, count(*) AS n,
          row_number() OVER (ORDER BY count(*) DESC, lang) AS rk
   FROM documents GROUP BY lang),
@@ -1804,7 +1806,10 @@ dist AS (
               AS BIGINT) AS cb
   FROM documents d CROSS JOIN ab
   WHERE d.lang IN (ab.lang_a, ab.lang_b)
-  GROUP BY d.n_chars),
+  GROUP BY d.n_chars)"""
+
+_MWU_ORACLE = f"""
+WITH {_TOP2_LANGS_CTES},
 cum AS (
   SELECT v, ca, cb,
          COALESCE(sum(cb) OVER (ORDER BY v
@@ -1822,6 +1827,42 @@ SELECT ab.lang_a, ab.lang_b,
 FROM cum CROSS JOIN ab
 GROUP BY ab.lang_a, ab.lang_b
 """
+
+
+def _top2_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint n_chars count distribution over the two largest languages:
+    one row per distinct value with per-group counts (ca, cb) and the
+    selected language names carried along.  Shared by the two-sample
+    tests (`stats_mann_whitney_u`, `stats_ks_test`) — the Spark twin of
+    `_TOP2_LANGS_CTES`."""
+    d = load_table(spark, sf_dir, "documents")
+    wl = Window.orderBy(F.desc("n"), "lang")
+    langs = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= 2)
+    )
+    ab = langs.groupBy().agg(
+        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("lang"))).alias("lang_b"),
+    )
+    return (
+        d.crossJoin(F.broadcast(ab))
+        .filter(
+            (F.col("lang") == F.col("lang_a"))
+            | (F.col("lang") == F.col("lang_b"))
+        )
+        .groupBy("n_chars", "lang_a", "lang_b")
+        .agg(
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_a"), 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_b"), 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
 
 
 @query("stats_mann_whitney_u", oracle=_MWU_ORACLE)
@@ -1844,34 +1885,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy on (value) — map-combinable conditional counts —
     then a single bounded window and a scalar rollup.  The two-language
     selection is itself a bounded aggregate (|langs| rows)."""
-    d = load_table(spark, sf_dir, "documents")
-    wl = Window.orderBy(F.desc("n"), "lang")
-    langs = (
-        d.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rk", F.row_number().over(wl))
-        .filter(F.col("rk") <= 2)
-    )
-    ab = langs.groupBy().agg(
-        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("lang_a"),
-        F.max(F.when(F.col("rk") == 2, F.col("lang"))).alias("lang_b"),
-    )
-    dist = (
-        d.crossJoin(F.broadcast(ab))
-        .filter(
-            (F.col("lang") == F.col("lang_a"))
-            | (F.col("lang") == F.col("lang_b"))
-        )
-        .groupBy("n_chars", "lang_a", "lang_b")
-        .agg(
-            F.sum(
-                F.when(F.col("lang") == F.col("lang_a"), 1).otherwise(0)
-            ).alias("ca"),
-            F.sum(
-                F.when(F.col("lang") == F.col("lang_b"), 1).otherwise(0)
-            ).alias("cb"),
-        )
-    )
+    dist = _top2_lang_dist(spark, sf_dir)
     wv = Window.partitionBy("lang_a", "lang_b").orderBy("n_chars").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1986,4 +2000,91 @@ def orders_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_censored",
         F.expr("(10000 * n_events) div n_at_risk").alias("hazard_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (count-distribution closed form)
+# --------------------------------------------------------------------------
+# c(0.05)^2 = 1.358^2 = 1.844164, carried as parts-per-million so the
+# rejection inequality  D^2 > c^2 (n+m)/(nm)  clears to pure integers:
+#   1e6 * d_raw^2  >  1844164 * n_a * n_b * (n_a + n_b)
+# with d_raw = max |cumA*n_b - cumB*n_a| (the ECDF gap times n_a*n_b).
+_KS_C2_PPM = 1_844_164
+
+_KS_ORACLE = f"""
+WITH {_TOP2_LANGS_CTES},
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM dist),
+cum AS (
+  SELECT v, t.n_a, t.n_b,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM dist CROSS JOIN tot t),
+gap AS (
+  SELECT n_a, n_b,
+         CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_raw
+  FROM cum GROUP BY n_a, n_b)
+SELECT ab.lang_a, ab.lang_b, g.n_a, g.n_b, g.d_raw,
+       (1000000 * g.d_raw) // (g.n_a * g.n_b) AS d_micro,
+       1000000 * CAST(g.d_raw AS HUGEINT) * g.d_raw >
+         {_KS_C2_PPM} * CAST(g.n_a AS HUGEINT) * g.n_b * (g.n_a + g.n_b)
+         AS reject_95
+FROM gap g CROSS JOIN ab
+"""
+
+
+@query("stats_ks_test", oracle=_KS_ORACLE)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on the document-length
+    distributions of the two largest languages — the distribution-SHAPE
+    companion to `stats_mann_whitney_u`'s location test (KS sees
+    variance/shape differences a rank-sum misses).
+
+    Exactness by fraction clearing: the ECDF gap |F_A(v) - F_B(v)| is
+    scaled by n_a·n_b, so the supremum D_raw = max|cumA·n_b - cumB·n_a|
+    is a pure integer (the max over jump points of the pooled sample,
+    which is where the supremum of a step-function difference lives).
+    The 5%-level decision D > 1.358·sqrt((n_a+n_b)/(n_a·n_b)) is squared
+    and cross-multiplied into 128-bit integer space (DECIMAL(38,0) on
+    Spark, HUGEINT on DuckDB — both exact), so even the boolean is
+    bit-identical; no sqrt, no float anywhere.
+
+    Scale: same posture as the MWU — one conditional-count groupBy on the
+    value, one running-sum window over the |distinct values| AGGREGATED
+    relation, one scalar rollup."""
+    dist = _top2_lang_dist(spark, sf_dir)
+    tot = dist.groupBy("lang_a", "lang_b").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    wv = (
+        Window.partitionBy("lang_a", "lang_b")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "lang_a",
+        "lang_b",
+        F.sum("ca").over(wv).alias("cum_a"),
+        F.sum("cb").over(wv).alias("cum_b"),
+    ).join(F.broadcast(tot), ["lang_a", "lang_b"])
+    gap = cum.groupBy("lang_a", "lang_b", "n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_raw")
+    )
+    dec = "cast(d_raw as decimal(38,0))"
+    na, nb = "cast(n_a as decimal(38,0))", "cast(n_b as decimal(38,0))"
+    return gap.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        "d_raw",
+        F.expr("(1000000 * d_raw) div (n_a * n_b)").alias("d_micro"),
+        F.expr(
+            f"1000000 * {dec} * {dec} >"
+            f" {_KS_C2_PPM} * {na} * {nb} * (n_a + n_b)"
+        ).alias("reject_95"),
     )

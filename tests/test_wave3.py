@@ -173,3 +173,58 @@ def test_phrase_search_counts_positive(spark, sf_small):
     for r in rows:
         assert len(r.phrase.split(" ")) == 2
         assert r.n_occurrences >= r.n_docs >= 1
+
+
+def test_ks_matches_python_replay(spark, sf_small):
+    """D_raw from the two-window plan equals a plain-Python ECDF sweep
+    over the same per-value counts."""
+    from iceberg_table_generator_spark.operators.mining import (
+        _top2_lang_dist,
+        stats_ks_test,
+    )
+
+    got = stats_ks_test(spark, sf_small).collect()[0]
+    rows = sorted(
+        _top2_lang_dist(spark, sf_small).collect(), key=lambda r: r.n_chars
+    )
+    n_a = sum(r.ca for r in rows)
+    n_b = sum(r.cb for r in rows)
+    cum_a = cum_b = 0
+    d_raw = 0
+    for r in rows:
+        cum_a += r.ca
+        cum_b += r.cb
+        d_raw = max(d_raw, abs(cum_a * n_b - cum_b * n_a))
+    assert (got.n_a, got.n_b, got.d_raw) == (n_a, n_b, d_raw)
+    assert 0 <= got.d_micro <= 1_000_000
+    assert got.reject_95 == (
+        1_000_000 * d_raw * d_raw > 1_844_164 * n_a * n_b * (n_a + n_b)
+    )
+
+
+def test_reciprocity_parity(spark, sf_small):
+    """Reciprocal edges come in pairs, so the count is even; ratios stay
+    in [0, 10000]."""
+    from iceberg_table_generator_spark.operators.graph import events_reciprocity
+
+    r = events_reciprocity(spark, sf_small).collect()[0]
+    assert r.n_reciprocal % 2 == 0
+    assert 0 <= r.recip_bp <= 10000
+    assert 0 <= r.density_bp <= 10000
+    assert r.n_reciprocal <= r.n_dir_edges
+
+
+def test_cms_never_undercounts(spark, sf_small):
+    """The min-of-rows estimate is >= the exact count for every audited
+    token (the one-sided CMS error guarantee), and bounded by N."""
+    from iceberg_table_generator_spark.operators.heavyhitters import (
+        CMS_TOP_K,
+        heavyhitters_cms_audit,
+    )
+
+    rows = heavyhitters_cms_audit(spark, sf_small).collect()
+    assert len(rows) == CMS_TOP_K
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_est == r.exact_cnt + r.overcount
+        assert r.cms_est <= r.n_total
