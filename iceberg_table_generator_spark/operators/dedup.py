@@ -1246,13 +1246,21 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basis-point ratio uses one truncating div (both engines floor on
     non-negatives)."""
     d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))), n=PF_N)
+    # Postings carry the xxhash64 of the shingle, not the string: an
+    # 8-byte shuffle key instead of a ~25-byte phrase (the
+    # `dedup_ngram_jaccard` convention — a collision needs ~2^32 distinct
+    # shingles to matter, and the oracle's string-exact replay would
+    # catch one).  The prefix theorem only needs a CONSISTENT total
+    # order, so (df asc, hash asc) serves as well as (df, text).
     sh = d.select(
-        "doc_id", F.explode("shingles").alias("s")
+        "doc_id",
+        F.explode(F.transform("shingles", lambda x: F.xxhash64(x))).alias("s"),
     ).transform(persist_tracked)
     df_cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Per-doc shingle array sorted by (global df asc, shingle asc): rare
-    # shingles first.  Struct sort_array gives the lexicographic
-    # (df, s) order on both engines' comparator-free integer/string keys.
+    # Per-doc shingle array sorted by (global df asc, hash asc): rare
+    # shingles first.  Both sides of the df join arrive hash-partitioned
+    # on `s` from the same persisted relation, so the join itself adds no
+    # third shuffle.
     sets = (
         sh.join(df_cnt, "s")
         .groupBy("doc_id")
