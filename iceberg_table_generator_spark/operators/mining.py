@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.operators.tpch_ext import (
     DEC18,
@@ -2087,4 +2088,157 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"1000000 * {dec} * {dec} >"
             f" {_KS_C2_PPM} * {na} * {nb} * (n_a + n_b)"
         ).alias("reject_95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted median via the count-distribution closed form
+# --------------------------------------------------------------------------
+_WMEDIAN_ORACLE = """
+WITH dist AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, qty, w,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty)
+              AS BIGINT) AS cw,
+         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+  FROM dist)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN qty END) AS BIGINT)
+         AS weighted_median_qty,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY l_returnflag
+"""
+
+
+@query("lineitem_weighted_median", oracle=_WMEDIAN_ORACLE)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median order quantity per return flag: the
+    smallest quantity where the running revenue weight reaches half the
+    total — "half the dollars ship in lines of this size or smaller",
+    the weighted robust location statistic a naive AVG(quantity) and the
+    unweighted `percentiles` query both miss.
+
+    Exact at any scale WITHOUT a sort of the fact table: quantity has a
+    small value domain (1..50 in TPC-H), so the whole computation folds
+    to the |flags|×|quantities| COUNT DISTRIBUTION (one map-combinable
+    groupBy), a cumulative-weight window over those ~150 aggregated
+    rows, and the 2·cum >= tot crossing rule — the
+    `events_gini_concentration` tier.  Weights are whole dollars
+    (round(extendedprice) — identical IEEE double input and half-up
+    rounding on both engines), so the crossing comparison is pure
+    integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dist = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.sum(F.round("l_extendedprice").cast("long")).alias("w"))
+    wq = Window.partitionBy("l_returnflag").orderBy("qty")
+    wt = Window.partitionBy("l_returnflag")
+    cum = dist.select(
+        "l_returnflag",
+        "qty",
+        F.sum("w").over(wq).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("qty"))).alias(
+            "weighted_median_qty"
+        ),
+        F.max("tw").alias("total_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA forecast backtest (half-life weights, integer arithmetic)
+# --------------------------------------------------------------------------
+EWMA_LOOKBACK = 12  # months of history per forecast; weights 2^(12-k)
+EWMA_DEN = (1 << EWMA_LOOKBACK) - 1  # sum of the 12 power-of-two weights
+
+_EWMA_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mi,
+         min(CAST(date_trunc('month', o_orderdate) AS VARCHAR)) AS month,
+         CAST(count(*) AS BIGINT) AS actual
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT m.mi, m.month, m.actual,
+         CAST(sum(h.actual * (CAST(1 AS BIGINT) << ({EWMA_LOOKBACK} - (m.mi - h.mi))))
+              AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS n_hist
+  FROM monthly m
+  JOIN monthly h ON h.mi BETWEEN m.mi - {EWMA_LOOKBACK} AND m.mi - 1
+  GROUP BY m.mi, m.month, m.actual)
+SELECT month, actual,
+       (1000000 * num) // {EWMA_DEN} AS forecast_micro,
+       abs(1000000 * actual - (1000000 * num) // {EWMA_DEN}) AS abs_err_micro
+FROM lagged
+WHERE n_hist = {EWMA_LOOKBACK}
+"""
+
+
+@query("orders_ewma_forecast", oracle=_EWMA_ORACLE)
+def orders_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead EWMA backtest of monthly order volume: each month
+    is forecast from the previous 12 months with half-life weights
+    2^(12-k) (most recent month carries half the mass), and the absolute
+    error is emitted per month — the rolling-origin evaluation a demand
+    forecaster runs before trusting a smoother, with no leakage (the
+    target month never enters its own forecast).
+
+    Exactness: months are indexed by the integer year·12+month, weights
+    are integer powers of two summing to {den} = 2^12 - 1, and the
+    forecast is ONE truncating division of the weighted sum scaled to
+    micro-units — both engines floor on non-negatives.  Only months with
+    a full 12-month history are scored, so the denominator is constant.
+
+    Scale: the monthly rollup is one map-combinable aggregate down to a
+    |months|-sized relation; the lag attachment is a self-equi-range-join
+    of that BOUNDED relation with itself (|months|·12 rows) — the fact
+    table is scanned exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(
+            F.min(
+                F.date_trunc("month", "o_orderdate").cast("date").cast("string")
+            ).alias("month"),
+            F.count(F.lit(1)).alias("actual"),
+        )
+        .transform(persist_tracked)
+    )
+    hist = monthly.select(
+        F.col("mi").alias("hi"), F.col("actual").alias("h_actual")
+    )
+    lagged = (
+        monthly.join(
+            hist,
+            (F.col("hi") >= F.col("mi") - EWMA_LOOKBACK)
+            & (F.col("hi") <= F.col("mi") - 1),
+        )
+        .groupBy("mi", "month", "actual")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"h_actual * shiftleft(cast(1 as bigint),"
+                    f" cast({EWMA_LOOKBACK} - (mi - hi) as int))"
+                )
+            ).alias("num"),
+            F.count(F.lit(1)).alias("n_hist"),
+        )
+        .filter(F.col("n_hist") == EWMA_LOOKBACK)
+    )
+    return lagged.select(
+        "month",
+        "actual",
+        F.expr(f"(1000000 * num) div {EWMA_DEN}").alias("forecast_micro"),
+        F.expr(
+            f"abs(1000000 * actual - (1000000 * num) div {EWMA_DEN})"
+        ).alias("abs_err_micro"),
     )

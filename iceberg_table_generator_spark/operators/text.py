@@ -902,3 +902,106 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed co-occurrence strength (skip-gram PMI proxy)
+# --------------------------------------------------------------------------
+COOC_WINDOW = 3  # pair tokens up to 3 positions apart
+COOC_MIN_SUPPORT = 5  # PMI's rare-pair bias guard
+COOC_TOP_K = 30
+
+_COOC_STRENGTH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (
+  SELECT unnest(ws) AS t FROM w),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+pr AS (
+  SELECT least(ws[i], ws[i+k]) AS w1, greatest(ws[i], ws[i+k]) AS w2
+  FROM w,
+       unnest(generate_series(1, len(ws) - 1)) AS s(i),
+       unnest(generate_series(1, {COOC_WINDOW})) AS o(k)
+  WHERE i + k <= len(ws)),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+  FROM pr GROUP BY w1, w2
+  HAVING count(*) >= {COOC_MIN_SUPPORT})
+SELECT p.w1, p.w2, p.c_pair, u1.c AS c_w1, u2.c AS c_w2,
+       (1000000 * p.c_pair * n.n_tokens) // (u1.c * u2.c)
+         AS strength_micro
+FROM pc p
+JOIN uni u1 ON u1.t = p.w1
+JOIN uni u2 ON u2.t = p.w2
+CROSS JOIN n
+ORDER BY strength_micro DESC, p.w1, p.w2
+LIMIT {COOC_TOP_K}
+"""
+
+
+@query("text_cooccurrence_strength", oracle=_COOC_STRENGTH_ORACLE)
+def text_cooccurrence_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest token associations within a ±{W}-position window — the
+    word2vec-style skip-gram context matrix, ranked by the integer PMI
+    proxy  c(a,b)·N / (c(a)·c(b))  in micro-units.  Complements
+    `text_bigram_lift`, which sees only ADJACENT pairs: collocations
+    with an intervening word ("neural ___ network") are invisible there
+    and first-class here.  Minimum pair support {S} guards PMI's
+    rare-pair bias.
+
+    Exactness: ranking a rational a/b across rows cannot rely on float
+    division, so the score is ONE truncating div into micro-units —
+    identical on both engines — and ties break lexicographically.
+
+    Scale: pair generation is IN-ROW over the token array (flatten/
+    transform — O(W·len) per doc inside codegen, never a positional
+    self-join, which would be O(len²) per doc through a shuffle); the
+    pair rollup shuffles on the (w1,w2) key — uniform by content — and
+    the unigram attach joins the AGGREGATED vocabulary, with the final
+    top-K a TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    uni = (
+        d.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(persist_tracked)
+    )
+    n = uni.agg(F.sum("c").alias("n_tokens"))
+    pair_expr = f"""
+      flatten(transform(sequence(1, size(ws) - 1), i ->
+        filter(transform(sequence(1, {COOC_WINDOW}), k ->
+          CASE WHEN i + k <= size(ws)
+               THEN struct(least(ws[i-1], ws[i+k-1]) AS w1,
+                           greatest(ws[i-1], ws[i+k-1]) AS w2)
+          END), p -> p IS NOT NULL)))
+    """
+    pc = (
+        d.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= COOC_MIN_SUPPORT)
+    )
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_w2"))
+    return (
+        pc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_w1",
+            "c_w2",
+            F.expr(
+                "(1000000 * c_pair * n_tokens) div (c_w1 * c_w2)"
+            ).alias("strength_micro"),
+        )
+        .orderBy(F.desc("strength_micro"), "w1", "w2")
+        .limit(COOC_TOP_K)
+    )

@@ -228,3 +228,101 @@ def test_cms_never_undercounts(spark, sf_small):
         assert r.overcount >= 0
         assert r.cms_est == r.exact_cnt + r.overcount
         assert r.cms_est <= r.n_total
+
+
+def test_weighted_median_crossing(spark, sf_small):
+    """The reported quantity is the exact half-weight crossing point."""
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.operators.mining import (
+        lineitem_weighted_median,
+    )
+
+    got = {
+        r.l_returnflag: (r.weighted_median_qty, r.total_weight)
+        for r in lineitem_weighted_median(spark, sf_small).collect()
+    }
+    li = (
+        load_table(spark, sf_small, "lineitem")
+        .groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("q"))
+        .agg(F.sum(F.round("l_extendedprice").cast("long")).alias("w"))
+        .collect()
+    )
+    per_flag: dict[str, list] = {}
+    for r in li:
+        per_flag.setdefault(r.l_returnflag, []).append((r.q, r.w))
+    for flag, rows in per_flag.items():
+        rows.sort()
+        tot = sum(w for _, w in rows)
+        cum = 0
+        med = None
+        for q, w in rows:
+            cum += w
+            if 2 * cum >= tot:
+                med = q
+                break
+        assert got[flag] == (med, tot)
+
+
+def test_ewma_no_leakage_and_replay(spark, sf_small):
+    """Each forecast equals the Python replay over the PREVIOUS 12 months
+    only — the target month never contributes to its own forecast."""
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.operators.mining import (
+        EWMA_DEN,
+        EWMA_LOOKBACK,
+        orders_ewma_forecast,
+    )
+
+    monthly = {
+        r.mi: r.actual
+        for r in load_table(spark, sf_small, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(F.count(F.lit(1)).alias("actual"))
+        .collect()
+    }
+    got = orders_ewma_forecast(spark, sf_small).collect()
+    assert got
+    by_month = {r.month[:7]: r for r in got}
+    for mi, actual in monthly.items():
+        hist = [
+            (k, monthly.get(mi - k)) for k in range(1, EWMA_LOOKBACK + 1)
+        ]
+        if any(v is None for _, v in hist):
+            continue
+        num = sum(v * (1 << (EWMA_LOOKBACK - k)) for k, v in hist)
+        fc = (1_000_000 * num) // EWMA_DEN
+        key = f"{mi // 12:04d}-{mi % 12 + 1:02d}"
+        r = by_month[key]
+        assert r.actual == actual
+        assert r.forecast_micro == fc
+        assert r.abs_err_micro == abs(1_000_000 * actual - fc)
+
+
+def test_cooccurrence_strength_formula(spark, sf_small):
+    """Pairs are canonically ordered, meet min support, and the score is
+    exactly the integer PMI proxy."""
+    from iceberg_table_generator_spark.operators.text import (
+        COOC_MIN_SUPPORT,
+        COOC_TOP_K,
+        text_cooccurrence_strength,
+    )
+
+    rows = text_cooccurrence_strength(spark, sf_small).collect()
+    assert 0 < len(rows) <= COOC_TOP_K
+    n_tokens = (
+        load_table(spark, sf_small, "documents")
+        .selectExpr("size(split(lower(text), ' ')) AS n")
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.w1 <= r.w2
+        assert r.c_pair >= COOC_MIN_SUPPORT
+        assert r.strength_micro == (1_000_000 * r.c_pair * n_tokens) // (
+            r.c_w1 * r.c_w2
+        )
