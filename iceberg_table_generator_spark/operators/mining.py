@@ -2242,3 +2242,113 @@ def orders_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"abs(1000000 * actual - (1000000 * num) div {EWMA_DEN})"
         ).alias("abs_err_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast benchmark: EWMA vs seasonal-naive (MASE, integer form)
+# --------------------------------------------------------------------------
+SEASONAL_LAG = 12  # the seasonal-naive baseline predicts month m-12
+
+_MASE_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mi,
+         CAST(count(*) AS BIGINT) AS actual
+  FROM orders GROUP BY 1),
+ew AS (
+  SELECT m.mi, m.actual,
+         CAST(sum(h.actual * (CAST(1 AS BIGINT) << ({EWMA_LOOKBACK} - (m.mi - h.mi))))
+              AS BIGINT) AS num,
+         CAST(count(*) AS BIGINT) AS n_hist
+  FROM monthly m
+  JOIN monthly h ON h.mi BETWEEN m.mi - {EWMA_LOOKBACK} AND m.mi - 1
+  GROUP BY m.mi, m.actual),
+scored AS (
+  SELECT e.mi, e.actual,
+         abs(1000000 * e.actual - (1000000 * e.num) // {EWMA_DEN})
+           AS ewma_err_micro,
+         1000000 * abs(e.actual - sn.actual) AS naive_err_micro
+  FROM ew e
+  JOIN monthly sn ON sn.mi = e.mi - {SEASONAL_LAG}
+  WHERE e.n_hist = {EWMA_LOOKBACK})
+SELECT CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(ewma_err_micro) AS BIGINT) AS ewma_abs_err_micro,
+       CAST(sum(naive_err_micro) AS BIGINT) AS naive_abs_err_micro,
+       (1000000 * CAST(sum(ewma_err_micro) AS BIGINT))
+         // CAST(sum(naive_err_micro) AS BIGINT) AS mase_micro,
+       CAST(sum(ewma_err_micro) AS BIGINT)
+         < CAST(sum(naive_err_micro) AS BIGINT) AS ewma_wins
+FROM scored
+"""
+
+
+@query("orders_forecast_mase", oracle=_MASE_ORACLE)
+def orders_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE scorecard for the EWMA forecaster: total absolute error of
+    `orders_ewma_forecast` against the SEASONAL-NAIVE baseline (predict
+    month m-12) over the common backtest window — the scale-free
+    forecast-accuracy standard (Hyndman & Koehler '06; MASE < 1 means
+    the model beats the naive baseline it must justify itself against).
+
+    Exactness: both error totals are sums of integer micro-unit absolute
+    errors (the EWMA error reuses the exact arithmetic of the per-month
+    query; the naive error is a plain integer difference), and the MASE
+    ratio is ONE truncating division — the verdict boolean compares the
+    totals directly, no division at all.
+
+    Scale: everything after the single monthly rollup operates on the
+    |months|-sized bounded relation (one self-range-join for the EWMA
+    window, one self-equi-join for the seasonal lag, one scalar
+    rollup)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mi")
+        )
+        .agg(F.count(F.lit(1)).alias("actual"))
+        .transform(persist_tracked)
+    )
+    hist = monthly.select(
+        F.col("mi").alias("hi"), F.col("actual").alias("h_actual")
+    )
+    ew = (
+        monthly.join(
+            hist,
+            (F.col("hi") >= F.col("mi") - EWMA_LOOKBACK)
+            & (F.col("hi") <= F.col("mi") - 1),
+        )
+        .groupBy("mi", "actual")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"h_actual * shiftleft(cast(1 as bigint),"
+                    f" cast({EWMA_LOOKBACK} - (mi - hi) as int))"
+                )
+            ).alias("num"),
+            F.count(F.lit(1)).alias("n_hist"),
+        )
+        .filter(F.col("n_hist") == EWMA_LOOKBACK)
+    )
+    sn = monthly.select(
+        (F.col("mi") + SEASONAL_LAG).alias("mi"),
+        F.col("actual").alias("sn_actual"),
+    )
+    scored = ew.join(sn, "mi").select(
+        F.expr(
+            f"abs(1000000 * actual - (1000000 * num) div {EWMA_DEN})"
+        ).alias("ewma_err_micro"),
+        F.expr("1000000 * abs(actual - sn_actual)").alias("naive_err_micro"),
+    )
+    return scored.groupBy().agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("ewma_err_micro").alias("ewma_abs_err_micro"),
+        F.sum("naive_err_micro").alias("naive_abs_err_micro"),
+        F.expr(
+            "(1000000 * sum(ewma_err_micro)) div sum(naive_err_micro)"
+        ).alias("mase_micro"),
+        (F.sum("ewma_err_micro") < F.sum("naive_err_micro")).alias(
+            "ewma_wins"
+        ),
+    )

@@ -837,3 +837,168 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") > CUSUM_ALARM_MULT * F.col("tot")).alias("alarm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bot-likeness audit per user (rate + regularity rules)
+# --------------------------------------------------------------------------
+BOT_MIN_EVENTS = 20  # rate rule: at least this many events
+BOT_MAX_MEAN_GAP_MIN = 600  # ...at a mean inter-event gap under 10 hours
+BOT_VMR_THR_MILLI = 500  # regularity rule: gap VMR below 0.5 (in milli)
+
+_BOT_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) // 60 AS gap_min
+  FROM events),
+st AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) + 1 AS n_events,
+         CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(gap_min) AS BIGINT) AS sg,
+         CAST(sum(gap_min * gap_min) AS BIGINT) AS sg2
+  FROM g WHERE gap_min IS NOT NULL GROUP BY user_id),
+sc AS (
+  SELECT user_id, n_events,
+         (1000000 * sg) // ng AS mean_gap_min_micro,
+         ng * sg2 - sg * sg AS vmr_num,
+         ng * sg AS vmr_den
+  FROM st WHERE sg > 0)
+SELECT user_id, n_events, mean_gap_min_micro, vmr_num, vmr_den,
+       (n_events >= {BOT_MIN_EVENTS}
+        AND mean_gap_min_micro < {BOT_MAX_MEAN_GAP_MIN} * 1000000
+        AND 1000 * vmr_num < {BOT_VMR_THR_MILLI} * vmr_den) AS bot_flag
+FROM sc
+"""
+
+
+@query("events_bot_score", oracle=_BOT_ORACLE)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot audit per user: volume (>= {N} events), tempo
+    (mean inter-event gap under {G} minutes) and REGULARITY — a
+    variance-to-mean ratio of the gaps below {V}/1000, the machine-like
+    clockwork signature (human traffic is overdispersed, VMR >> 1;
+    schedulers and scrapers are sub-Poisson).  The per-user row keeps
+    the raw statistics so thresholds can be re-derived offline; bot
+    traffic removal is a standard pre-filter before any engagement or
+    dedup statistic.
+
+    Exactness: gaps are whole minutes (epoch-second difference, one
+    truncating div), the VMR comparison is fraction-cleared —
+    1000·(ng·Σg² − (Σg)²) < thr·(ng·Σg) — so no division ever happens
+    for the flag, and the emitted mean is one integer micro-div.  The
+    magnitudes stay under 2^63 because gaps are minutes, not seconds
+    (docstring bound: ng·Σg² <= ng²·max_gap² ≈ 10⁶·(4·10⁴)² ≈ 1.6·10¹⁵).
+
+    Scale: one per-user LAG window (partitioned, parallel across users),
+    one map-combinable per-user aggregate — output is |users|-sized, the
+    same tier as `events_user_stickiness`."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    g = ev.select(
+        "user_id",
+        (epoch(F.col("ts")) - epoch(F.lag("ts").over(w))).alias("gap_s"),
+    ).select("user_id", F.expr("gap_s div 60").alias("gap_min"))
+    st = (
+        g.filter(F.col("gap_min").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("gap_min").alias("sg"),
+            F.sum(F.col("gap_min") * F.col("gap_min")).alias("sg2"),
+        )
+        .filter(F.col("sg") > 0)
+    )
+    return st.select(
+        "user_id",
+        "n_events",
+        F.expr("(1000000 * sg) div ng").alias("mean_gap_min_micro"),
+        (F.col("ng") * F.col("sg2") - F.col("sg") * F.col("sg")).alias(
+            "vmr_num"
+        ),
+        (F.col("ng") * F.col("sg")).alias("vmr_den"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (
+                F.expr("(1000000 * sg) div ng")
+                < BOT_MAX_MEAN_GAP_MIN * 1_000_000
+            )
+            & (
+                1000 * (F.col("ng") * F.col("sg2") - F.col("sg") * F.col("sg"))
+                < BOT_VMR_THR_MILLI * F.col("ng") * F.col("sg")
+            )
+        ).alias("bot_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience overlap between event types (pairwise user-set Jaccard)
+# --------------------------------------------------------------------------
+_AUDIENCE_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+sz AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both, sa.n_users AS n_a, sb.n_users AS n_b,
+       (10000 * p.n_both) // (sa.n_users + sb.n_users - p.n_both)
+         AS jaccard_bp
+FROM pairs p
+JOIN sz sa ON sa.event_type = p.type_a
+JOIN sz sb ON sb.event_type = p.type_b
+"""
+
+
+@query("events_audience_overlap", oracle=_AUDIENCE_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: Jaccard of the
+    user sets, in basis points — "do the people who click also purchase?"
+    — the segmentation/cannibalization read, and the same inverted-index
+    pair pattern as the dedup tier applied to BEHAVIOR instead of
+    content.
+
+    Scale: the distinct (user, type) relation is the posting list; pair
+    generation joins it against itself ON THE USER — each user
+    contributes at most |types|² pairs (|types| is a small fixed domain),
+    so the join fans out boundedly and aggregates straight down to the
+    |types|² output.  All integers, one truncating div for the ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().transform(persist_tracked)
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    # No broadcast hint: sz's |event_type| domain is small in practice but
+    # not provable by construction (the invariant suite's bar) — all join
+    # sides are <= |types|² rows, so AQE upgrades from observed sizes.
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(10000 * n_both) div (n_a + n_b - n_both)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )

@@ -326,3 +326,75 @@ def test_cooccurrence_strength_formula(spark, sf_small):
         assert r.strength_micro == (1_000_000 * r.c_pair * n_tokens) // (
             r.c_w1 * r.c_w2
         )
+
+
+def test_bot_score_replay_one_user(spark, sf_small):
+    """Recompute one user's gap statistics in Python and match the row,
+    including the fraction-cleared VMR flag."""
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.operators.sequences import (
+        BOT_MAX_MEAN_GAP_MIN,
+        BOT_MIN_EVENTS,
+        BOT_VMR_THR_MILLI,
+        events_bot_score,
+    )
+
+    rows = {r.user_id: r for r in events_bot_score(spark, sf_small).collect()}
+    uid = sorted(rows)[0]
+    ev = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    gaps = [
+        (int(b.ts.timestamp()) - int(a.ts.timestamp())) // 60
+        for a, b in zip(ev, ev[1:])
+    ]
+    ng, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    r = rows[uid]
+    assert r.n_events == ng + 1
+    assert r.mean_gap_min_micro == (1_000_000 * sg) // ng
+    assert r.vmr_num == ng * sg2 - sg * sg
+    assert r.vmr_den == ng * sg
+    assert r.bot_flag == (
+        r.n_events >= BOT_MIN_EVENTS
+        and r.mean_gap_min_micro < BOT_MAX_MEAN_GAP_MIN * 1_000_000
+        and 1000 * r.vmr_num < BOT_VMR_THR_MILLI * r.vmr_den
+    )
+
+
+def test_audience_overlap_bounds(spark, sf_small):
+    """All type pairs present, intersection bounded by each side, ratio
+    in basis points."""
+    from iceberg_table_generator_spark.operators.sequences import (
+        events_audience_overlap,
+    )
+
+    rows = events_audience_overlap(spark, sf_small).collect()
+    types = {r.type_a for r in rows} | {r.type_b for r in rows}
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_bp <= 10000
+
+
+def test_mase_consistent_with_per_month_backtest(spark, sf_small):
+    """The scorecard's EWMA error total equals the sum of the per-month
+    backtest errors (identical windows by construction)."""
+    from iceberg_table_generator_spark.operators.mining import (
+        orders_ewma_forecast,
+        orders_forecast_mase,
+    )
+
+    per_month = orders_ewma_forecast(spark, sf_small).collect()
+    card = orders_forecast_mase(spark, sf_small).collect()[0]
+    assert card.n_months == len(per_month)
+    assert card.ewma_abs_err_micro == sum(r.abs_err_micro for r in per_month)
+    assert card.ewma_wins == (
+        card.ewma_abs_err_micro < card.naive_abs_err_micro
+    )
+    assert card.mase_micro == (1_000_000 * card.ewma_abs_err_micro) // (
+        card.naive_abs_err_micro
+    )
