@@ -1002,3 +1002,114 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Robust point-anomaly detection: median/MAD on the hourly series
+# --------------------------------------------------------------------------
+MAD_K = 3  # flag hours with |count - median| > 3 * MAD
+
+_MAD_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+dist AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS f
+  FROM hourly GROUP BY event_type, c),
+med AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 2 * cf >= n THEN c END) AS BIGINT) AS median_cnt
+  FROM (
+    SELECT event_type, c,
+           CAST(sum(f) OVER (PARTITION BY event_type ORDER BY c)
+                AS BIGINT) AS cf,
+           CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM dist)
+  GROUP BY event_type),
+devd AS (
+  SELECT h.event_type, abs(h.c - m.median_cnt) AS d,
+         CAST(count(*) AS BIGINT) AS f
+  FROM hourly h JOIN med m USING (event_type)
+  GROUP BY 1, 2),
+mad AS (
+  SELECT event_type,
+         CAST(min(CASE WHEN 2 * cf >= n THEN d END) AS BIGINT) AS mad_cnt
+  FROM (
+    SELECT event_type, d,
+           CAST(sum(f) OVER (PARTITION BY event_type ORDER BY d)
+                AS BIGINT) AS cf,
+           CAST(sum(f) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM devd)
+  GROUP BY event_type)
+SELECT h.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(m.median_cnt) AS BIGINT) AS median_cnt,
+       CAST(max(a.mad_cnt) AS BIGINT) AS mad_cnt,
+       CAST(count(CASE WHEN abs(h.c - m.median_cnt) > {MAD_K} * a.mad_cnt
+                  THEN 1 END) AS BIGINT) AS n_anomalies,
+       CAST(max(abs(h.c - m.median_cnt)) AS BIGINT) AS max_abs_dev
+FROM hourly h
+JOIN med m USING (event_type)
+JOIN mad a USING (event_type)
+GROUP BY h.event_type
+"""
+
+
+@query("events_mad_anomaly", oracle=_MAD_ORACLE)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust point-anomaly summary per event type: hours whose count
+    deviates from the MEDIAN by more than {K}× the median absolute
+    deviation — the outlier rule that, unlike the stddev z-score
+    (`events_rate_anomaly`), is itself immune to the outliers it hunts
+    (50% breakdown point vs 0%), and the POINT-anomaly complement to
+    `events_cusum_changepoint`'s sustained-shift detector.
+
+    Both medians come from the COUNT-DISTRIBUTION crossing rule (lower
+    median: smallest value where 2·cumfreq >= n) — windows run over the
+    per-type |distinct count values| aggregated relation, never the raw
+    events, and every comparison is integer.
+
+    Scale: one hourly rollup, two tiny distribution passes, one
+    re-join of the |types|-row medians back to the hourly relation —
+    all windows partitioned by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(persist_tracked)
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        dist = df.groupBy("event_type", val).agg(F.count(F.lit(1)).alias("f"))
+        wc = Window.partitionBy("event_type").orderBy(val)
+        wt = Window.partitionBy("event_type")
+        cum = dist.select(
+            "event_type",
+            F.col(val).alias("v"),
+            F.sum("f").over(wc).alias("cf"),
+            F.sum("f").over(wt).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(F.when(2 * F.col("cf") >= F.col("n"), F.col("v"))).alias(out)
+        )
+
+    med = lower_median(hourly, "c", "median_cnt")
+    devd = hourly.join(med, "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("median_cnt")).alias("d")
+    )
+    mad = lower_median(devd, "d", "mad_cnt")
+    j = hourly.join(med, "event_type").join(mad, "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max("median_cnt").alias("median_cnt"),
+        F.max("mad_cnt").alias("mad_cnt"),
+        F.count(
+            F.when(
+                F.abs(F.col("c") - F.col("median_cnt"))
+                > MAD_K * F.col("mad_cnt"),
+                1,
+            )
+        ).alias("n_anomalies"),
+        F.max(F.abs(F.col("c") - F.col("median_cnt"))).alias("max_abs_dev"),
+    )

@@ -1005,3 +1005,91 @@ def text_cooccurrence_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("strength_micro"), "w1", "w2")
         .limit(COOC_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law check, first-seen-shard closed form)
+# --------------------------------------------------------------------------
+VOCAB_SHARDS = 10
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id % {VOCAB_SHARDS} AS shard,
+         unnest(string_split(lower(text), ' ')) AS t
+  FROM documents),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens FROM tok
+  GROUP BY shard),
+first_seen AS (
+  SELECT t, CAST(min(shard) AS BIGINT) AS first_shard,
+         CAST(count(*) AS BIGINT) AS total_cnt
+  FROM tok GROUP BY t),
+new_vocab AS (
+  SELECT first_shard AS shard,
+         CAST(count(*) AS BIGINT) AS vocab_new,
+         CAST(count(CASE WHEN total_cnt = 1 THEN 1 END) AS BIGINT)
+           AS hapax_new
+  FROM first_seen GROUP BY first_shard)
+SELECT p.shard,
+       CAST(sum(p2.n_tokens) AS BIGINT) AS tokens_cum,
+       CAST(COALESCE(sum(v.vocab_new), 0) AS BIGINT) AS vocab_cum,
+       CAST(COALESCE(sum(v.hapax_new), 0) AS BIGINT) AS hapax_cum
+FROM per_shard p
+JOIN per_shard p2 ON p2.shard <= p.shard
+LEFT JOIN new_vocab v ON v.shard = p2.shard
+GROUP BY p.shard
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve over {S} deterministic corpus shards — the
+    Heaps'-law diagnostic (vocab ~ tokens^beta): cumulative distinct
+    vocabulary and cumulative hapax legomena after each shard, against
+    cumulative token volume.  A flattening curve says new data stops
+    contributing new language; a linear one says the corpus is still
+    under-sampled — the "is more crawl worth it" read.
+
+    Cumulative DISTINCT is the classically hard distributed statistic (a
+    running set union across an ordered scan); the FIRST-SEEN closed form
+    makes it one pass: vocab_cum(s) = #(tokens whose min shard <= s),
+    so the whole curve falls out of a per-token min/count aggregate and a
+    {S}-row triangular rollup — no ordered scan, no set state, exact.
+
+    Scale: one token explode + one groupBy on the token (uniform,
+    hashed content), then everything is {S}-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.expr(f"doc_id % {VOCAB_SHARDS}").alias("shard"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    ).transform(persist_tracked)
+    per_shard = tok.groupBy("shard").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = tok.groupBy("t").agg(
+        F.min("shard").alias("first_shard"),
+        F.count(F.lit(1)).alias("total_cnt"),
+    )
+    new_vocab = first_seen.groupBy(
+        F.col("first_shard").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("vocab_new"),
+        F.count(F.when(F.col("total_cnt") == 1, 1)).alias("hapax_new"),
+    )
+    p2 = (
+        per_shard.join(new_vocab, "shard", "left")
+        .select(
+            F.col("shard").alias("s2"),
+            "n_tokens",
+            F.coalesce("vocab_new", F.lit(0)).alias("vocab_new"),
+            F.coalesce("hapax_new", F.lit(0)).alias("hapax_new"),
+        )
+    )
+    return (
+        per_shard.select("shard")
+        .join(p2, F.col("s2") <= F.col("shard"))
+        .groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("tokens_cum"),
+            F.sum("vocab_new").alias("vocab_cum"),
+            F.sum("hapax_new").alias("hapax_cum"),
+        )
+    )

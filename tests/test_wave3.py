@@ -398,3 +398,61 @@ def test_mase_consistent_with_per_month_backtest(spark, sf_small):
     assert card.mase_micro == (1_000_000 * card.ewma_abs_err_micro) // (
         card.naive_abs_err_micro
     )
+
+
+def test_vocab_growth_monotone_and_exact_tail(spark, sf_small):
+    """Cumulative curves are nondecreasing, and the final point equals the
+    global token/vocab/hapax totals."""
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.operators.text import text_vocab_growth
+
+    rows = sorted(
+        text_vocab_growth(spark, sf_small).collect(), key=lambda r: r.shard
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.tokens_cum <= b.tokens_cum
+        assert a.vocab_cum <= b.vocab_cum
+        assert a.hapax_cum <= b.hapax_cum
+        assert a.vocab_cum <= a.tokens_cum
+    tok = (
+        load_table(spark, sf_small, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    last = rows[-1]
+    assert last.vocab_cum == len(tok)
+    assert last.tokens_cum == sum(r["count"] for r in tok)
+    assert last.hapax_cum == sum(1 for r in tok if r["count"] == 1)
+
+
+def test_mad_anomaly_median_properties(spark, sf_small):
+    """The reported median is the lower median of the hourly counts and
+    the anomaly count matches a Python replay."""
+    import pyspark.sql.functions as F
+    from iceberg_table_generator_spark.operators.sequences import (
+        MAD_K,
+        events_mad_anomaly,
+    )
+
+    got = {r.event_type: r for r in events_mad_anomaly(spark, sf_small).collect()}
+    hourly = (
+        load_table(spark, sf_small, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append(r.c)
+    for et, cs in series.items():
+        cs.sort()
+        med = cs[(len(cs) - 1) // 2]
+        devs = sorted(abs(c - med) for c in cs)
+        mad = devs[(len(devs) - 1) // 2]
+        r = got[et]
+        assert (r.n_hours, r.median_cnt, r.mad_cnt) == (len(cs), med, mad)
+        assert r.n_anomalies == sum(
+            1 for c in cs if abs(c - med) > MAD_K * mad
+        )
