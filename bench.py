@@ -160,6 +160,26 @@ HEADLINE = [
     "events_trigram_patterns",
     "stats_benford_audit",
     "orders_whatif_discount_cap",
+    # round-7 wave-3 additions
+    "dedup_prefix_filter_join",
+    "events_hits_scores",
+    "events_decay_engagement",
+    "events_cusum_changepoint",
+    "text_phrase_search",
+    "stats_mann_whitney_u",
+    "orders_survival_hazard",
+    "incremental_topk_maintenance",
+    "stats_ks_test",
+    "events_reciprocity",
+    "heavyhitters_cms_audit",
+    "lineitem_weighted_median",
+    "orders_ewma_forecast",
+    "text_cooccurrence_strength",
+    "events_bot_score",
+    "events_audience_overlap",
+    "orders_forecast_mase",
+    "text_vocab_growth",
+    "events_mad_anomaly",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
