@@ -635,3 +635,328 @@ def events_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes bigint, n_dir_edges bigint, n_self_loops bigint,"
         " n_reciprocal bigint, recip_bp bigint, density_bp bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (per node, degree-ordered triangle counts)
+# --------------------------------------------------------------------------
+_CLUSTERING_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+dir AS (
+  SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.degree, e.u) < (dv.degree, e.v) THEN e.v ELSE e.u END AS b
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM dir e1
+  JOIN dir e2 ON e2.a = e1.b
+  JOIN dir e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT d.node, d.degree,
+       COALESCE(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+         round(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+               / (d.degree * (d.degree - 1)), 6)
+       END AS local_cc
+FROM deg d
+LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
+@query("events_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def events_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — 2·T(v) / (deg(v)·(deg(v)−1)),
+    the per-vertex community-density metric (how close a page's neighborhood
+    is to a clique) that turns `events_triangle_count`'s raw motif counts
+    into the comparable [0,1] ratio every graph-shape analysis reports.
+    No reference counterpart (`Main.java` is a generator); mandated by the
+    SURVEY.md §2.8 extension surface.
+
+    Scale: identical posture to `events_triangle_count` — the triangle join
+    is degree-ordered (out-degree O(sqrt|E|), no hot-vertex fan-out) over
+    one persisted |V|²-bounded edge relation; the coefficient is a single
+    integer-input division rounded once (both engines correctly round an
+    exact-integer quotient, so the doubles agree bit-for-bit)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .transform(persist_tracked)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .transform(persist_tracked)
+    )
+    e1 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = dir_e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).alias("local_cc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Landmark BFS: hop distance from the hub page (truncated breadth-first)
+# --------------------------------------------------------------------------
+BFS_MAX_HOPS = 8
+
+
+def _bfs_oracle() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+bi AS (SELECT u AS src, v AS dst FROM und
+       UNION ALL SELECT v AS src, u AS dst FROM und),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+root AS (SELECT node FROM deg ORDER BY degree DESC, node ASC LIMIT 1),
+walk(node, hop) AS (
+  SELECT node, 0 FROM root
+  UNION
+  SELECT b.dst, w.hop + 1
+  FROM walk w JOIN bi b ON b.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS}),
+hops AS (SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node)
+SELECT n.node, h.hop
+FROM (SELECT DISTINCT k AS node FROM ev) n
+LEFT JOIN hops h ON h.node = n.node
+"""
+
+
+@query("events_bfs_hops", oracle=_bfs_oracle())
+def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS: shortest-path hop distance from the hub page (highest
+    degree, min-id tiebreak) to every page of the undirected transition
+    graph, truncated at {BFS_MAX_HOPS} hops — the reachability/eccentricity
+    probe (how far is everything from the home page?) behind site-structure
+    audits.  Unreached pages keep a NULL hop.
+
+    Scale + exactness: the transition graph is MODEL-BOUNDED (|V|² distinct
+    edges, visit-count-independent — the PageRank/k-core premise,
+    `graph.py:35-68`), so per repo policy for bounded iterative relations
+    the frontier loop runs DRIVER-side over one collect() of the edge set;
+    the corpus-sized work (events scan → distinct edges) stays distributed.
+    Hops are pure integers; the oracle replays BFS as a DuckDB recursive
+    CTE (iterative working-table execution — no CTE re-inlining blowup)
+    whose UNION dedups (node, hop) pairs, then takes min(hop)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    edge_rows = und.collect()  # |V|²-bounded (model parameter, not corpus)
+    nodes = sorted(r["k"] for r in ev.select("k").distinct().collect())
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    degree: dict[int, int] = {n: 0 for n in nodes}
+    for r in edge_rows:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+        degree[r["u"]] += 1
+        degree[r["v"]] += 1
+    root = min(nodes, key=lambda n: (-degree[n], n))
+    hop: dict[int, int] = {root: 0}
+    frontier = [root]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = [
+            m
+            for f in frontier
+            for m in adj[f]
+            if m not in hop
+        ]
+        frontier = sorted(set(nxt))
+        for m in frontier:
+            hop[m] = h
+        if not frontier:
+            break
+    rows = [(n, hop.get(n)) for n in nodes]
+    return spark.createDataFrame(rows, "node int, hop bigint")
+
+
+# --------------------------------------------------------------------------
+# Modularity of the site-section partition (pages grouped by k div 10)
+# --------------------------------------------------------------------------
+_SECTION_DIV = 10
+
+_MODULARITY_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+sect_nodes AS (
+  SELECT node // {_SECTION_DIV} AS section,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(degree) AS BIGINT) AS d_total
+  FROM deg GROUP BY 1),
+sect_edges AS (
+  SELECT u // {_SECTION_DIV} AS section, CAST(count(*) AS BIGINT) AS e_within
+  FROM und WHERE u // {_SECTION_DIV} = v // {_SECTION_DIV} GROUP BY 1)
+SELECT s.section, s.n_nodes, s.d_total,
+       COALESCE(e.e_within, CAST(0 AS BIGINT)) AS e_within,
+       CAST(4 * m.m * COALESCE(e.e_within, 0) - s.d_total * s.d_total
+            AS BIGINT) AS q_scaled,
+       round(CAST(4 * m.m * COALESCE(e.e_within, 0)
+                  - s.d_total * s.d_total AS DOUBLE)
+             / CAST(4 * m.m * m.m AS BIGINT), 6) AS q_contrib
+FROM sect_nodes s
+LEFT JOIN sect_edges e ON e.section = s.section
+CROSS JOIN m
+"""
+
+
+@query("events_modularity", oracle=_MODULARITY_ORACLE)
+def events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the site-section partition (pages grouped into
+    sections of {_SECTION_DIV} consecutive ids) on the undirected transition
+    graph: per-section contribution Q_c = e_c/m − (d_c/2m)², answering "do
+    site sections form natural navigation communities?".  Complements the
+    motif (`events_triangle_count`) and centrality (`events_pagerank`)
+    views with the partition-quality view.
+
+    Exactness: the contribution is emitted BOTH as the exact integer
+    q_scaled = 4m·e_c − d_c² (Q_c times the constant 4m², bit-identical
+    across engines) and as one integer-input division rounded once.
+    Scale: everything after the distinct-edge projection is |V|²-bounded;
+    the graph total m attaches as a provably-one-row scalar broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    sect_nodes = deg.groupBy(
+        F.expr(f"node div {_SECTION_DIV}").alias("section")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").cast("long").alias("d_total"),
+    )
+    sect_edges = (
+        und.filter(
+            F.expr(f"u div {_SECTION_DIV}") == F.expr(f"v div {_SECTION_DIV}")
+        )
+        .groupBy(F.expr(f"u div {_SECTION_DIV}").alias("section"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    q_scaled = (
+        4 * F.col("m") * F.coalesce("e_within", F.lit(0))
+        - F.col("d_total") * F.col("d_total")
+    ).cast("long")
+    return (
+        sect_nodes.join(sect_edges, "section", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "section",
+            "n_nodes",
+            "d_total",
+            F.coalesce("e_within", F.lit(0).cast("long")).alias("e_within"),
+            q_scaled.alias("q_scaled"),
+            F.round(
+                q_scaled.cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("long"),
+                6,
+            ).alias("q_contrib"),
+        )
+    )
