@@ -2355,3 +2355,340 @@ def orders_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_wins"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test (unequal-variance location test, moment closed form)
+# --------------------------------------------------------------------------
+_WELCH_ORACLE = f"""
+WITH {_TOP2_LANGS_CTES},
+mom AS (
+  SELECT lang_a, lang_b,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(v * ca) AS BIGINT) AS s_a,
+         CAST(sum(v * cb) AS BIGINT) AS s_b,
+         CAST(sum(v * v * ca) AS BIGINT) AS sxx_a,
+         CAST(sum(v * v * cb) AS BIGINT) AS sxx_b
+  FROM dist CROSS JOIN ab GROUP BY lang_a, lang_b),
+se AS (
+  SELECT *,
+         CAST(CAST(n_a AS HUGEINT) * sxx_a - CAST(s_a AS HUGEINT) * s_a
+              AS DOUBLE) / n_a / (n_a - 1) / n_a AS se2_a,
+         CAST(CAST(n_b AS HUGEINT) * sxx_b - CAST(s_b AS HUGEINT) * s_b
+              AS DOUBLE) / n_b / (n_b - 1) / n_b AS se2_b
+  FROM mom)
+SELECT lang_a, lang_b, n_a, n_b,
+       round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+       round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+       round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt(se2_a + se2_b), 6) AS t_welch,
+       round((se2_a + se2_b) * (se2_a + se2_b)
+             / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
+             4) AS df_welch
+FROM se
+"""
+
+
+@query("stats_welch_ttest", oracle=_WELCH_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the document-length (n_chars)
+    distributions of the two largest languages — the parametric companion
+    to `stats_mann_whitney_u` (location) and `stats_ks_test` (shape) on
+    the same two-sample fixture, with the Welch-Satterthwaite degrees of
+    freedom every report quotes alongside t.
+
+    Exactness: sample moments are EXACT integers folded from the shared
+    count-distribution relation (Σx = Σ v·c, Σx² = Σ v²·c); the variance
+    numerator n·Σx² − (Σx)² is cross-multiplied in 128-bit integer space
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT — both exact) before ONE cast
+    to double, and t/df are a fixed left-associated chain of correctly-
+    rounded IEEE ops (divide, multiply, sqrt — sqrt is required correctly
+    rounded by IEEE 754), identical on both engines, rounded once.
+
+    Scale: the moment fold is one map-combinable aggregate over the
+    |distinct n_chars| relation — the corpus is touched once by the
+    shared `_top2_lang_dist` groupBy."""
+    dist = _top2_lang_dist(spark, sf_dir)
+    D38 = "decimal(38,0)"
+    mom = dist.groupBy("lang_a", "lang_b").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("n_chars") * F.col("ca")).cast("long").alias("s_a"),
+        F.sum(F.col("n_chars") * F.col("cb")).cast("long").alias("s_b"),
+        F.sum(F.col("n_chars") * F.col("n_chars") * F.col("ca"))
+        .cast("long")
+        .alias("sxx_a"),
+        F.sum(F.col("n_chars") * F.col("n_chars") * F.col("cb"))
+        .cast("long")
+        .alias("sxx_b"),
+    )
+    se = mom.withColumns(
+        {
+            "se2_a": (
+                F.col("n_a").cast(D38) * F.col("sxx_a").cast(D38)
+                - F.col("s_a").cast(D38) * F.col("s_a").cast(D38)
+            ).cast("double")
+            / F.col("n_a")
+            / (F.col("n_a") - 1)
+            / F.col("n_a"),
+            "se2_b": (
+                F.col("n_b").cast(D38) * F.col("sxx_b").cast(D38)
+                - F.col("s_b").cast(D38) * F.col("s_b").cast(D38)
+            ).cast("double")
+            / F.col("n_b")
+            / (F.col("n_b") - 1)
+            / F.col("n_b"),
+        }
+    )
+    return se.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("s_a").cast("double") / F.col("n_a"), 6).alias("mean_a"),
+        F.round(F.col("s_b").cast("double") / F.col("n_b"), 6).alias("mean_b"),
+        F.round(
+            (
+                F.col("s_a").cast("double") / F.col("n_a")
+                - F.col("s_b").cast("double") / F.col("n_b")
+            )
+            / F.sqrt(F.col("se2_a") + F.col("se2_b")),
+            6,
+        ).alias("t_welch"),
+        F.round(
+            (F.col("se2_a") + F.col("se2_b"))
+            * (F.col("se2_a") + F.col("se2_b"))
+            / (
+                F.col("se2_a") * F.col("se2_a") / (F.col("n_a") - 1)
+                + F.col("se2_b") * F.col("se2_b") / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test: weekend vs weekday purchase conversion
+# --------------------------------------------------------------------------
+_PROP_Z_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 IN (5, 6)
+              THEN 'weekend' ELSE 'weekday' END AS segment,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+  FROM events),
+g AS (
+  SELECT CAST(sum(CASE WHEN segment = 'weekend' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_1,
+         CAST(sum(CASE WHEN segment = 'weekend' THEN is_purchase ELSE 0 END)
+              AS BIGINT) AS k_1,
+         CAST(sum(CASE WHEN segment = 'weekday' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_2,
+         CAST(sum(CASE WHEN segment = 'weekday' THEN is_purchase ELSE 0 END)
+              AS BIGINT) AS k_2
+  FROM e),
+z AS (
+  SELECT *,
+         (CAST(k_1 AS DOUBLE) / n_1 - CAST(k_2 AS DOUBLE) / n_2)
+           / sqrt(CAST(k_1 + k_2 AS DOUBLE) / (n_1 + n_2)
+                  * (1 - CAST(k_1 + k_2 AS DOUBLE) / (n_1 + n_2))
+                  * (CAST(n_1 + n_2 AS DOUBLE) / CAST(n_1 AS DOUBLE) / n_2))
+           AS z_val
+  FROM g)
+SELECT n_1, k_1, n_2, k_2,
+       (1000000 * k_1) // n_1 AS p1_micro,
+       (1000000 * k_2) // n_2 AS p2_micro,
+       round(z_val, 6) AS z_score,
+       abs(z_val) > 1.96 AS reject_95
+FROM z
+"""
+
+
+@query("stats_two_proportion_z", oracle=_PROP_Z_ORACLE)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled): is the purchase-conversion rate of
+    weekend traffic different from weekday traffic? — the A/B-test
+    primitive behind every experimentation readout, run here on the
+    calendar split the heatmap (`events_hour_of_week_heatmap`) visualizes.
+
+    Exactness: the four cell counts are pure integers (epoch-day
+    (d+4)%7 weekend rule — no engine dayofweek convention); proportions
+    are emitted as truncating-div micro-units, and z is ONE fixed
+    left-associated chain of correctly-rounded IEEE double ops over
+    those exact integers (sqrt included), rounded once; the 5% decision
+    compares the identical unrounded double on both engines.
+
+    Scale: a single map-combinable conditional-count aggregate over the
+    events scan — one row out, no shuffle beyond the 4-counter fold."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(
+            ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7).isin(
+                5, 6
+            ),
+            F.lit("weekend"),
+        )
+        .otherwise(F.lit("weekday"))
+        .alias("segment"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_purchase"
+        ),
+    )
+    g = e.agg(
+        F.sum(F.when(F.col("segment") == "weekend", 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        F.sum(
+            F.when(F.col("segment") == "weekend", F.col("is_purchase")).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_1"),
+        F.sum(F.when(F.col("segment") == "weekday", 1).otherwise(0))
+        .cast("long")
+        .alias("n_2"),
+        F.sum(
+            F.when(F.col("segment") == "weekday", F.col("is_purchase")).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_2"),
+    )
+    z = g.withColumn(
+        "z_val",
+        (
+            F.col("k_1").cast("double") / F.col("n_1")
+            - F.col("k_2").cast("double") / F.col("n_2")
+        )
+        / F.sqrt(
+            (F.col("k_1") + F.col("k_2")).cast("double")
+            / (F.col("n_1") + F.col("n_2"))
+            * (
+                F.lit(1)
+                - (F.col("k_1") + F.col("k_2")).cast("double")
+                / (F.col("n_1") + F.col("n_2"))
+            )
+            * (
+                (F.col("n_1") + F.col("n_2")).cast("double")
+                / F.col("n_1").cast("double")
+                / F.col("n_2")
+            )
+        ),
+    )
+    return z.select(
+        "n_1",
+        "k_1",
+        "n_2",
+        "k_2",
+        F.expr("(1000000 * k_1) div n_1").alias("p1_micro"),
+        F.expr("(1000000 * k_2) div n_2").alias("p2_micro"),
+        F.round("z_val", 6).alias("z_score"),
+        (F.abs(F.col("z_val")) > 1.96).alias("reject_95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend: median of pairwise monthly-revenue slopes
+# --------------------------------------------------------------------------
+_THEIL_SEN_ORACLE = f"""
+WITH monthly AS (
+  SELECT p.p_type,
+         CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT) AS mo,
+         CAST(sum({SQL_REV_DEC}) * 1000000 AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, 2),
+months AS (
+  SELECT p_type, CAST(count(*) AS BIGINT) AS n_months FROM monthly GROUP BY p_type),
+pairs AS (
+  SELECT a.p_type,
+         CAST(b.rev_micro - a.rev_micro AS DOUBLE) / (b.mo - a.mo) / 1000000
+           AS slope,
+         a.mo AS mo1, b.mo AS mo2
+  FROM monthly a JOIN monthly b
+    ON a.p_type = b.p_type AND b.mo > a.mo),
+ranked AS (
+  SELECT p_type, slope,
+         row_number() OVER (PARTITION BY p_type ORDER BY slope, mo1, mo2)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY p_type) AS BIGINT) AS n_pairs
+  FROM pairs)
+SELECT r.p_type, m.n_months, r.n_pairs,
+       round(r.slope, 6) AS ts_slope
+FROM ranked r JOIN months m ON m.p_type = r.p_type
+WHERE r.rn = (r.n_pairs + 1) // 2
+"""
+
+
+@query("stats_theil_sen_trend", oracle=_THEIL_SEN_ORACLE)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per part type: the LOWER MEDIAN of all
+    pairwise monthly-revenue slopes — the outlier-resistant twin of
+    `part_type_trend`'s least-squares slope (a single promo-spike month
+    drags OLS but moves the median of C(n,2) pairwise slopes almost
+    nothing; Sen 1968).
+
+    Exactness: monthly revenue folds through the exact DECIMAL path into
+    integer micro-units; each pairwise slope is ONE division of exact
+    integers (then /1e6), deterministic to the bit, and the lower median
+    is selected by the count-crossing rank rule ((n+1)//2) — the selected
+    VALUE is order-independent even under slope ties — then rounded once.
+
+    Scale: the pair join is per-p_type over the MONTHLY aggregate —
+    |months|² ≈ 80² pairs per type, never corpus-sized; the rank window
+    partitions by p_type over that bounded pair relation.  The only
+    corpus-wide work is the one monthly groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    monthly = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_type",
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate")
+            ).cast("long").alias("mo"),
+        )
+        .agg((F.sum(rev_dec()) * 1000000).cast("long").alias("rev_micro"))
+        .transform(persist_tracked)
+    )
+    months = monthly.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_months")
+    )
+    a = monthly.select(
+        "p_type",
+        F.col("mo").alias("mo1"),
+        F.col("rev_micro").alias("r1"),
+    )
+    b = monthly.select(
+        "p_type",
+        F.col("mo").alias("mo2"),
+        F.col("rev_micro").alias("r2"),
+    )
+    pairs = (
+        a.join(b, "p_type")
+        .filter(F.col("mo2") > F.col("mo1"))
+        .select(
+            "p_type",
+            "mo1",
+            "mo2",
+            (
+                (F.col("r2") - F.col("r1")).cast("double")
+                / (F.col("mo2") - F.col("mo1"))
+                / 1000000
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("p_type").orderBy("slope", "mo1", "mo2")
+    wc = Window.partitionBy("p_type")
+    ranked = pairs.select(
+        "p_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_pairs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(months, "p_type")
+        .select(
+            "p_type",
+            "n_months",
+            "n_pairs",
+            F.round("slope", 6).alias("ts_slope"),
+        )
+    )
