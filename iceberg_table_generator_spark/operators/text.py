@@ -1093,3 +1093,104 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hapax_new").alias("hapax_cum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Typo-candidate pairs: FastSS deletion-neighborhood blocking + exact verify
+# --------------------------------------------------------------------------
+TYPO_MAX_EDITS = 2
+
+_TYPO_ORACLE = f"""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)
+SELECT a.w AS word_a, b.w AS word_b,
+       CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist,
+       a.freq AS freq_a, b.freq AS freq_b
+FROM vocab a JOIN vocab b
+  ON a.w < b.w AND levenshtein(a.w, b.w) <= {TYPO_MAX_EDITS}
+"""
+
+
+@query("text_typo_pairs", oracle=_TYPO_ORACLE)
+def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/near-spelling candidate pairs over the corpus vocabulary:
+    every word pair within Levenshtein distance 2, with corpus
+    frequencies — the spelling-normalization / OCR-noise audit a text
+    curation pipeline runs before token statistics (SURVEY.md §2.8 text
+    family; the character-level cousin of the token-level dedup tiers).
+
+    Algorithm (the scale story): FastSS / SymSpell deletion-neighborhood
+    blocking — ed(a,b) ≤ k implies a and b share a string reachable by
+    ≤ k character DELETIONS from each (align the pair: matched positions
+    form the common subsequence), so the candidate join is an EQUI-join
+    on the ≤ L + C(L,2) deletion variants per word, never an all-pairs
+    cross join; `levenshtein ≤ 2` then verifies candidates exactly
+    (deletion sharing over-approximates: it admits up to ed 2k).  The
+    oracle brute-forces the |vocab|² join — the engine must find exactly
+    the same pairs from the blocked plan.  At 100 TB the variant
+    generation is a narrow per-row transform (no shuffle) and the join
+    shuffles |vocab|·O(L²) short signatures; very short words collapse
+    into alphabet-bounded signature buckets (the '' and 1-char
+    signatures), the natural df-cap candidates if a real corpus makes
+    them hot.
+
+    Exactness: distances and frequencies are pure integers; Spark and
+    DuckDB agree on unit-cost Levenshtein."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .transform(persist_tracked)
+    )
+    # Deletion neighborhood: the word, all 1-deletions, all 2-deletions.
+    sigs = vocab.select(
+        "w",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array("w"),
+                    F.expr(
+                        "transform(sequence(0, length(w) - 1), i ->"
+                        " concat(substring(w, 1, i), substring(w, i + 2)))"
+                    ),
+                    F.expr(
+                        "CASE WHEN length(w) >= 2 THEN flatten("
+                        " transform(sequence(0, length(w) - 2), i ->"
+                        "  transform(sequence(i + 1, length(w) - 1), j ->"
+                        "   concat(substring(w, 1, i),"
+                        "          substring(w, i + 2, j - i - 1),"
+                        "          substring(w, j + 2)))))"
+                        " ELSE array() END"
+                    ),
+                )
+            )
+        ).alias("sig"),
+    )
+    sa = sigs.select(F.col("w").alias("word_a"), "sig")
+    sb = sigs.select(F.col("w").alias("word_b"), "sig")
+    cand = (
+        sa.join(sb, "sig")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    verified = cand.filter(
+        F.levenshtein("word_a", "word_b") <= TYPO_MAX_EDITS
+    )
+    fa = vocab.select(F.col("w").alias("word_a"), F.col("freq").alias("freq_a"))
+    fb = vocab.select(F.col("w").alias("word_b"), F.col("freq").alias("freq_b"))
+    return (
+        verified.join(fa, "word_a")
+        .join(fb, "word_b")
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+            "freq_a",
+            "freq_b",
+        )
+    )
