@@ -2692,3 +2692,207 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("slope", 6).alias("ts_slope"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation
+# --------------------------------------------------------------------------
+_HHI_ORACLE = f"""
+WITH sup_rev AS (
+  SELECT s.s_nationkey,
+         CAST(sum({SQL_REV_DEC}) * 1000000 AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+nat AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rev_micro) AS BIGINT) AS total_micro,
+         CAST(sum(CAST(rev_micro AS HUGEINT) * rev_micro) AS HUGEINT)
+           AS sumsq
+  FROM sup_rev GROUP BY s_nationkey)
+SELECT n.n_name, t.n_suppliers, t.total_micro,
+       round(10000 * CAST(t.sumsq AS DOUBLE)
+             / CAST(t.total_micro AS DOUBLE)
+             / CAST(t.total_micro AS DOUBLE), 4) AS hhi
+FROM nat t JOIN nation n ON n.n_nationkey = t.s_nationkey
+"""
+
+
+@query("supplier_herfindahl", oracle=_HHI_ORACLE)
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — HHI = 10000·Σᵢ shareᵢ², the antitrust/sourcing-risk measure
+    (10000 = one supplier takes everything; 10000/n = perfect equality).
+    Complements `pareto_revenue_concentration`'s cumulative view with the
+    single-number concentration index.
+
+    Exactness: per-supplier revenue folds through the exact DECIMAL path
+    into integer micro-units; Σrᵢ² is cross-multiplied in 128-bit integer
+    space (Spark DECIMAL(38,0) / DuckDB HUGEINT — both exact), and the
+    index is ONE fixed left-associated double chain rounded once.
+
+    Scale: one corpus groupBy on (nation, supplier) with map-side
+    combine, then a nation-sized rollup; the nation-name attach is a
+    fixed-dim broadcast (bounded: 25 nations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup_rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg((F.sum(rev_dec()) * 1000000).cast("long").alias("rev_micro"))
+    )
+    D38 = "decimal(38,0)"
+    nat = sup_rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_micro").cast("long").alias("total_micro"),
+        F.sum(F.col("rev_micro").cast(D38) * F.col("rev_micro").cast(D38))
+        .cast(D38)
+        .alias("sumsq"),
+    )
+    return nat.join(
+        F.broadcast(n), nat.s_nationkey == n.n_nationkey
+    ).select(
+        "n_name",
+        "n_suppliers",
+        "total_micro",
+        F.round(
+            F.lit(10000)
+            * F.col("sumsq").cast("double")
+            / F.col("total_micro").cast("double")
+            / F.col("total_micro").cast("double"),
+            4,
+        ).alias("hhi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Order fan-out profile: items-per-order histogram
+# --------------------------------------------------------------------------
+_FANOUT_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+  FROM lineitem GROUP BY l_orderkey),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM per_order)
+SELECT p.n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(p.n_parts) AS BIGINT) AS total_parts,
+       (10000 * CAST(count(*) AS BIGINT)) // t.n_orders AS share_bp
+FROM per_order p CROSS JOIN tot t
+GROUP BY p.n_lines, t.n_orders
+"""
+
+
+@query("orders_fanout_hist", oracle=_FANOUT_ORACLE)
+def orders_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Items-per-order fan-out histogram: how many orders carry 1, 2, …
+    line items, with the distinct-part volume per bucket — the join
+    fan-out profile that sizes every orderkey-shuffle in the repo (the
+    basket self-join's quadratic bound, skew-salting thresholds).
+
+    Scale: one groupBy on the order key (co-partitioned with every
+    orderkey join, map-combinable), a second fold onto the
+    |max basket size| bucket domain, and a provably-one-row scalar
+    broadcast for the share.  Pure integers (truncating-div basis
+    points)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    tot = per_order.agg(F.count(F.lit(1)).cast("long").alias("n_orders_t"))
+    return (
+        per_order.crossJoin(F.broadcast(tot))
+        .groupBy("n_lines", "n_orders_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_parts").cast("long").alias("total_parts"),
+        )
+        .select(
+            "n_lines",
+            "n_orders",
+            "total_parts",
+            F.expr("(10000 * n_orders) div n_orders_t").alias("share_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery audit
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = [
+    # (table, lhs, rhs)
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_name", "p_type"),
+]
+
+
+def _fd_oracle() -> str:
+    branches = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        branches.append(
+            f"""
+  SELECT '{lhs} -> {rhs}' AS fd, '{tbl}' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_lhs,
+         CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_lhs,
+         CAST(sum(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+           AS violating_rows,
+         CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+           AS holds
+  FROM (SELECT {lhs}, CAST(count(DISTINCT {rhs}) AS BIGINT) AS n_rhs,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM {tbl} WHERE {lhs} IS NOT NULL GROUP BY {lhs}) g"""
+        )
+    return "SELECT * FROM (" + "\n  UNION ALL".join(branches) + ") t"
+
+
+@query("dq_fd_audit", oracle=_fd_oracle())
+def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate FD
+    lhs → rhs, how many LHS values map to MORE than one distinct RHS
+    (violating groups and the row mass inside them) — approximate-FD
+    profiling (the Tane/Metanome workload) that complements
+    `dq_constraint_audit`'s declared constraints with DISCOVERED
+    structure: keys that almost hold are normalization and
+    dedup-canonicalization candidates.
+
+    Scale: each candidate is one (lhs → count distinct rhs) groupBy with
+    map-side partials, folded to a single report row — candidates over
+    different tables are independent union branches that run
+    concurrently on a cluster.  Pure integer counts."""
+    frames = []
+    for tbl, lhs, rhs in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        g = (
+            t.filter(F.col(lhs).isNotNull())
+            .groupBy(lhs)
+            .agg(
+                F.countDistinct(rhs).alias("n_rhs"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        frames.append(
+            g.agg(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0))
+                .cast("long")
+                .alias("violating_rows"),
+            ).withColumn(
+                "holds", F.col("violating_lhs") == 0
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out

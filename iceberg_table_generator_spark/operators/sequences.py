@@ -1113,3 +1113,102 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_anomalies"),
         F.max(F.abs(F.col("c") - F.col("median_cnt"))).alias("max_abs_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Peak session concurrency (sweep-line over sessionized intervals)
+# --------------------------------------------------------------------------
+CONCURRENCY_TOP_K = 10
+
+_PEAK_CONCURRENCY_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) > {SESSION_GAP_SECONDS}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq,
+         ts
+  FROM flagged),
+iv AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01', min(ts)) // 60 AS sm,
+         date_diff('second', TIMESTAMP '1970-01-01', max(ts)) // 60 AS em
+  FROM sessions GROUP BY user_id, session_seq),
+deltas AS (
+  SELECT sm AS m, 1 AS delta FROM iv
+  UNION ALL
+  SELECT em + 1 AS m, -1 AS delta FROM iv),
+agg AS (SELECT m, CAST(sum(delta) AS BIGINT) AS d FROM deltas GROUP BY m),
+lev AS (
+  SELECT m, CAST(sum(d) OVER (ORDER BY m) AS BIGINT) AS concurrent_sessions
+  FROM agg)
+SELECT m AS minute_idx, concurrent_sessions
+FROM lev ORDER BY concurrent_sessions DESC, m ASC LIMIT {CONCURRENCY_TOP_K}
+"""
+
+
+@query("events_peak_concurrency", oracle=_PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CONCURRENCY_TOP_K} peak-concurrency minutes: how many user
+    sessions were simultaneously open, computed by the classic sweep-line
+    (+1 at session start minute, −1 after the end minute, running sum) —
+    the capacity-planning number (max simultaneous connections) the
+    hourly count approximates badly because a session spans many hours'
+    worth of events.
+
+    Session intervals use the repo's gaps-and-islands rule (the
+    `events_sessionize` contract, gap > {SESSION_GAP_SECONDS}s on
+    second-boundary crossings — `functions/sessions.py`).  Minutes are
+    epoch-second integer division; deltas aggregate per minute BEFORE the
+    running sum, so ties (sessions starting and ending the same minute)
+    fold deterministically.  The only unpartitioned window runs over the
+    |distinct active minutes| delta relation — calendar-horizon-bounded
+    (the hourly-window tier), never corpus-sized; at cluster scale this
+    is the textbook two-pass prefix-sum shape.  Pure integers end to end;
+    the peak report is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev_ts = F.lag("ts").over(w)
+    gap_s = epoch(F.col("ts")) - epoch(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("is_new").over(wrun).cast("long").alias("session_seq"),
+        "ts",
+    )
+    iv = sessions.groupBy("user_id", "session_seq").agg(
+        F.expr("cast(cast(min(ts) as timestamp) as long) div 60").alias("sm"),
+        F.expr("cast(cast(max(ts) as timestamp) as long) div 60").alias("em"),
+    )
+    deltas = iv.select(F.col("sm").alias("m"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("em") + 1).alias("m"), F.lit(-1).alias("delta"))
+    )
+    agg = deltas.groupBy("m").agg(F.sum("delta").cast("long").alias("d"))
+    wl = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lev = agg.select(
+        F.col("m").alias("minute_idx"),
+        F.sum("d").over(wl).cast("long").alias("concurrent_sessions"),
+    )
+    return lev.orderBy(
+        F.desc("concurrent_sessions"), F.asc("minute_idx")
+    ).limit(CONCURRENCY_TOP_K)
