@@ -333,3 +333,49 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "entered_from_delta",
     )
+
+
+@query(
+    "incremental_minmax_maintenance",
+    oracle="""
+    SELECT lang,
+           min(source) AS min_source,
+           max(source) AS max_source,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents
+    WHERE doc_id < 400 AND doc_id % 10 NOT IN (3, 7)
+    GROUP BY lang
+    """,
+)
+def incremental_minmax_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain MIN/MAX(source) per lang under churn — THE textbook
+    non-delta-maintainable aggregate (this module's header calls it out):
+    a delete may remove the current extremum, and no signed-sum algebra
+    can resurrect the runner-up.  The standard fix, demonstrated here:
+    keep the per-group VALUE-SUPPORT multiset as auxiliary state — the
+    (lang, source) multiplicity table is itself a plain signed-count
+    view that `apply_agg_delta` maintains in O(Δ) — and MIN/MAX fold over
+    surviving support rows, so deleting the last witness of the extremum
+    exactly reinstates the runner-up (the same multiset trick
+    `incremental_distinct_maintenance` uses for COUNT DISTINCT).
+
+    Seeded at fixture version 1 and maintained through the v1→v6
+    changelog (appends, equality deletes, compaction, rollback); the
+    oracle recomputes from scratch.  Scale: state is |lang × distinct
+    source| rows — value-domain-bounded, NOT corpus-bounded (a heavy-
+    tailed raw-value domain would cap state by bucketing values, trading
+    exact MIN/MAX for bucket-resolution bounds); each refresh shuffles
+    only changed groups."""
+    t = _value_fixture_table(spark, sf_dir)
+    base = (
+        t.read(version=1)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    changes = t.read_changes(1, 6)
+    support = apply_agg_delta(base, changes, ["lang", "source"], {})
+    return support.groupBy("lang").agg(
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
+        F.sum("cnt").cast("long").alias("cnt"),
+    )
