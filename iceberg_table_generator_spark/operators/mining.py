@@ -2896,3 +2896,186 @@ def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionAll(f)
     return out
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation of daily revenue at standard seasonal lags
+# --------------------------------------------------------------------------
+_ACF_LAGS = (1, 7, 28)
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+           AS rev_micro
+  FROM orders GROUP BY 1),
+lags AS (SELECT unnest([{", ".join(str(l) for l in _ACF_LAGS)}]) AS lag),
+pairs AS (
+  SELECT l.lag,
+         a.rev_micro AS x, b.rev_micro AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag),
+mom AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag)
+SELECT lag, n,
+       round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+             6) AS acf
+FROM mom ORDER BY lag
+"""
+
+
+@query("orders_autocorrelation", oracle=_ACF_ORACLE)
+def orders_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at the standard
+    seasonal lags {_ACF_LAGS} — the ACF read that decides whether the
+    forecasting family (`orders_ewma_forecast`, `orders_seasonality_index`)
+    should model weekly/monthly structure.  Pearson r between the series
+    and its lag-shifted self, pairing only days whose lag partner exists
+    (the standard irregular-series convention, identical on both engines).
+
+    Exactness: daily revenue folds through the DECIMAL path into integer
+    micro-units; all five moments are exact integers with the cross
+    products in 128-bit space (Spark DECIMAL(38,0) / DuckDB HUGEINT), and
+    r is ONE fixed chain — two correctly-rounded sqrts, one multiply, one
+    divide — rounded once.
+
+    Scale: the series is calendar-bounded (one row per day), so the
+    lag join is a bounded broadcast-sized relation joined to itself on
+    day+lag (equi-join); the corpus is touched once by the daily
+    groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 1000000)
+            .cast("long")
+            .alias("rev_micro")
+        )
+        .transform(persist_tracked)
+    )
+    lags = spark.createDataFrame([(l,) for l in _ACF_LAGS], "lag int")
+    a = daily.select("day", F.col("rev_micro").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev_micro").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
+    )
+    D38 = "decimal(38,0)"
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).cast(D38).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("syy"),
+    )
+    num = (
+        F.col("n").cast(D38) * F.col("sxy")
+        - F.col("sx").cast(D38) * F.col("sy").cast(D38)
+    ).cast("double")
+    den_x = (
+        F.col("n").cast(D38) * F.col("sxx")
+        - F.col("sx").cast(D38) * F.col("sx").cast(D38)
+    ).cast("double")
+    den_y = (
+        F.col("n").cast(D38) * F.col("syy")
+        - F.col("sy").cast(D38) * F.col("sy").cast(D38)
+    ).cast("double")
+    return mom.select(
+        "lag",
+        "n",
+        F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Discount-quantity elasticity per brand (Pearson r + OLS slope)
+# --------------------------------------------------------------------------
+_ELASTICITY_ORACLE = """
+WITH pts AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+mom AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(CAST(d AS HUGEINT) * q) AS HUGEINT) AS sdq,
+         CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+  FROM pts GROUP BY p_brand)
+SELECT p_brand, n,
+       round(CAST(n * sdq - CAST(sd AS HUGEINT) * sq AS DOUBLE)
+             / (sqrt(CAST(n * sdd - CAST(sd AS HUGEINT) * sd AS DOUBLE))
+                * sqrt(CAST(n * sqq - CAST(sq AS HUGEINT) * sq AS DOUBLE))),
+             6) AS pearson_r,
+       round(CAST(n * sdq - CAST(sd AS HUGEINT) * sq AS DOUBLE)
+             / CAST(n * sdd - CAST(sd AS HUGEINT) * sd AS DOUBLE),
+             6) AS slope_qty_per_pt
+FROM mom
+"""
+
+
+@query("lineitem_discount_elasticity", oracle=_ELASTICITY_ORACLE)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a deeper discount move more units?  Per-brand Pearson
+    correlation AND least-squares slope of quantity on discount points —
+    the pricing-elasticity read behind promo planning, and the
+    per-category companion to `part_type_trend`'s time trend.
+
+    Exactness: discount becomes integer points (×100 of an
+    exactly-representable 2-decimal double — one multiply + round,
+    identical both engines), quantity is already integral; the five
+    moments are exact integers with cross products in 128-bit space, and
+    r/slope are fixed correctly-rounded chains rounded once.
+
+    Scale: one fact-scan groupBy on p_brand (bounded domain) after a
+    partkey equi-join — map-side combinable moments, no window, no
+    second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    D38 = "decimal(38,0)"
+    mom = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("d").cast(D38) * F.col("q").cast(D38)).cast(D38).alias("sdq"),
+        F.sum(F.col("d").cast(D38) * F.col("d").cast(D38)).cast(D38).alias("sdd"),
+        F.sum(F.col("q").cast(D38) * F.col("q").cast(D38)).cast(D38).alias("sqq"),
+    )
+    num = (
+        F.col("n").cast(D38) * F.col("sdq")
+        - F.col("sd").cast(D38) * F.col("sq").cast(D38)
+    ).cast("double")
+    den_d = (
+        F.col("n").cast(D38) * F.col("sdd")
+        - F.col("sd").cast(D38) * F.col("sd").cast(D38)
+    ).cast("double")
+    den_q = (
+        F.col("n").cast(D38) * F.col("sqq")
+        - F.col("sq").cast(D38) * F.col("sq").cast(D38)
+    ).cast("double")
+    return mom.select(
+        "p_brand",
+        "n",
+        F.round(num / (F.sqrt(den_d) * F.sqrt(den_q)), 6).alias("pearson_r"),
+        F.round(num / den_d, 6).alias("slope_qty_per_pt"),
+    )

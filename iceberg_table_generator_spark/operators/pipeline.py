@@ -1287,3 +1287,86 @@ def pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens_kept"),
         F.round(1.0 - F.sum(kept) * 1.0 / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean of document length per source (count-distribution closed form)
+# --------------------------------------------------------------------------
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+_TRIMMED_MEAN_ORACLE = f"""
+WITH dist AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars),
+cum AS (
+  SELECT source, v, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM dist),
+take AS (
+  SELECT source, v, n,
+         greatest(CAST(0 AS BIGINT),
+                  least(cum, n - (n * {TRIM_PCT}) // 100)
+                  - greatest(cum - c, (n * {TRIM_PCT}) // 100)) AS taken
+  FROM cum)
+SELECT source, n,
+       CAST(n - 2 * ((n * {TRIM_PCT}) // 100) AS BIGINT) AS n_kept,
+       CAST(sum(v * taken) AS BIGINT) AS trimmed_sum,
+       round(CAST(sum(v * taken) AS DOUBLE)
+             / (n - 2 * ((n * {TRIM_PCT}) // 100)), 6) AS trimmed_mean
+FROM take GROUP BY source, n
+"""
+
+
+@query("pipeline_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE)
+def pipeline_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{TRIM_PCT}%-trimmed mean of document length per source — the robust
+    location estimate a curation dashboard quotes instead of the raw mean
+    (one crawler dump of megabyte pages drags the mean; the trimmed mean
+    drops the top and bottom {TRIM_PCT}% by COUNT before averaging).
+    Completes the robust-stats family: `lineitem_weighted_median`
+    (median), `events_mad_anomaly` (spread), this (location).
+
+    Count-distribution closed form (the Gini/MWU tier): lengths are
+    grouped to (value, count) per source, a running sum ranks each value
+    bucket, and the kept mass per bucket is the interval overlap
+    max(0, min(cum, n−t) − max(cum−c, t)) with t = ⌊n·{TRIM_PCT}/100⌋ —
+    pure integer arithmetic; per-row ranks are never materialized and the
+    only windows run over the |distinct lengths| aggregated relation,
+    partitioned by source.  One integer division, rounded once, at the
+    very end."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    dist = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = W.partitionBy("source").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("source")
+    cum = dist.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    t = F.expr(f"(n * {TRIM_PCT}) div 100")
+    taken = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - t)
+        - F.greatest(F.col("cum") - F.col("c"), t),
+    )
+    take = cum.select("source", "v", "n", taken.alias("taken"))
+    return take.groupBy("source", "n").agg(
+        (F.col("n") - 2 * F.expr(f"(n * {TRIM_PCT}) div 100"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.col("v") * F.col("taken")).cast("long").alias("trimmed_sum"),
+        F.round(
+            F.sum(F.col("v") * F.col("taken")).cast("double")
+            / (F.col("n") - 2 * F.expr(f"(n * {TRIM_PCT}) div 100")),
+            6,
+        ).alias("trimmed_mean"),
+    ).select("source", "n", "n_kept", "trimmed_sum", "trimmed_mean")
