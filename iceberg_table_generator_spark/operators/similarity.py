@@ -1877,3 +1877,146 @@ def similarity_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             "(min_inter_centroid_d2 * 1000000) div greatest(avg_intra_d2, 1)"
         ).alias("separation_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triplet mining: hardest positive / hardest negative per anchor
+# --------------------------------------------------------------------------
+_TRIPLET_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(generate_series(1, len(vec)),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+pairs AS (
+  SELECT q.vec_id AS anchor_id, q.label AS label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         list_sum(list_transform(generate_series(1, len(q.vec)),
+                                 i -> q.vec[i] * c.vec[i]))
+           / (q.norm * c.norm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+pos AS (
+  SELECT anchor_id, label, cand_id AS pos_id, sim AS pos_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim ASC, cand_id) AS rn
+        FROM pairs WHERE cand_label = label) t
+  WHERE rn = 1),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, cand_id) AS rn
+        FROM pairs WHERE cand_label <> label) t
+  WHERE rn = 1),
+semihard AS (
+  SELECT p.anchor_id,
+         CAST(sum(CASE WHEN pr.sim > p.pos_sim THEN 1 ELSE 0 END)
+              AS BIGINT) AS semi_hard_negs
+  FROM pos p JOIN pairs pr
+    ON pr.anchor_id = p.anchor_id AND pr.cand_label <> p.label
+  GROUP BY p.anchor_id)
+SELECT p.anchor_id, p.label,
+       p.pos_id, round(p.pos_sim, 6) AS pos_sim,
+       g.neg_id, round(g.neg_sim, 6) AS neg_sim,
+       round(g.neg_sim - p.pos_sim, 6) AS margin,
+       s.semi_hard_negs
+FROM pos p
+JOIN neg g ON g.anchor_id = p.anchor_id
+JOIN semihard s ON s.anchor_id = p.anchor_id
+"""
+
+
+@query("similarity_triplet_mining", oracle=_TRIPLET_ORACLE)
+def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric learning: for each anchor (the
+    bounded vec_id < {N_QUERIES} set), the HARDEST POSITIVE (same label,
+    lowest cosine — the pair the embedding currently gets most wrong),
+    the HARDEST NEGATIVE (different label, highest cosine — the most
+    confusable impostor), the triplet margin neg − pos (> 0 means the
+    anchor violates the metric), and the count of "semi-hard" negatives
+    scoring above the hardest positive (the FaceNet mining statistic
+    that sizes the useful training signal).  The training-data twin of
+    `similarity_knn_label` (which evaluates; this one MINES).
+
+    Plan: identical scale posture to `similarity_cosine_topk` — the
+    bounded anchor set broadcasts against the corpus stream (premise:
+    anchors are a model-parameter-sized probe set), per-anchor selection
+    is a window over the anchor-partitioned score stream with
+    deterministic (sim, id) tie-breaks, and the semi-hard count is one
+    conditional aggregate against the broadcast 20-row hardest-positive
+    relation.  Sims fold sequentially over the same double arrays on
+    both engines → bit-identical before the single rounding."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = with_norm(emb)
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("a_label").alias("label"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            (_dot("qvec", "vec") / (F.col("qnorm") * F.col("norm"))).alias("sim"),
+        )
+        .transform(persist_tracked)
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(F.asc("sim"), F.asc("cand_id"))
+    pos = (
+        pairs.filter(F.col("cand_label") == F.col("label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("sim").alias("pos_sim"),
+        )
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    neg = (
+        pairs.filter(F.col("cand_label") != F.col("label"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("sim").alias("neg_sim"),
+        )
+    )
+    semi = (
+        pairs.filter(F.col("cand_label") != F.col("label"))
+        .join(
+            F.broadcast(pos.select("anchor_id", "pos_sim")),
+            "anchor_id",
+        )
+        .groupBy("anchor_id")
+        .agg(
+            F.sum(F.when(F.col("sim") > F.col("pos_sim"), 1).otherwise(0))
+            .cast("long")
+            .alias("semi_hard_negs")
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .join(semi, "anchor_id")
+        .select(
+            "anchor_id",
+            "label",
+            "pos_id",
+            F.round("pos_sim", 6).alias("pos_sim"),
+            "neg_id",
+            F.round("neg_sim", 6).alias("neg_sim"),
+            F.round(F.col("neg_sim") - F.col("pos_sim"), 6).alias("margin"),
+            "semi_hard_negs",
+        )
+    )
