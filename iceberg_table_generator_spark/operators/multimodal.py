@@ -420,3 +420,143 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("byte_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Payload fingerprint near-dup: chunk-level SimHash over the binary column
+# --------------------------------------------------------------------------
+FP_TOP_K = 20
+
+_FINGERPRINT_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS bl FROM documents
+  WHERE length(text) > 0),
+ck AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(0, CAST(ceil(bl / {CHUNK_BYTES}.0) AS INT) - 1),
+             i -> substring(text, i * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))))
+           AS c
+  FROM p),
+hh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(c), 1, 15)) AS BIGINT) AS h
+       FROM ck),
+bits AS (
+  SELECT doc_id, i.i AS i, sum(((h >> i.i) & 1) * 2 - 1) AS s
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
+  GROUP BY doc_id, i.i),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+           AS fp
+  FROM bits GROUP BY doc_id),
+ch AS (
+  SELECT doc_id, fp, c.c AS chunk_id,
+         (fp >> (15 * c.c)) & 32767 AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) c),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM ch a JOIN ch b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand ORDER BY hamming, doc_a, doc_b LIMIT {FP_TOP_K}
+"""
+
+
+@query("multimodal_fingerprint_dedup", oracle=_FINGERPRINT_ORACLE)
+def multimodal_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style near-dup over OPAQUE BINARY payloads: each
+    payload's fixed-width chunks vote a 60-bit fingerprint (per-bit
+    majority over chunk digests — SimHash at the storage-block level),
+    banded into 4×15-bit chunks for candidate generation, and the
+    {FP_TOP_K} closest candidate pairs reported by Hamming distance (the
+    banding makes sub-4-Hamming recall exact by pigeonhole; the top-k
+    report stays informative on corpora — like this fixture — whose
+    nearest payload pairs sit above that bound).  This is the byte-level
+    stand-in for a
+    true perceptual hash: with media libs a pHash/chromaprint would
+    replace the chunk digests, and EVERYTHING downstream — the banding,
+    the bucket join, the Hamming verify, the 8-bytes-per-item shuffle —
+    is exactly this plan.  Complements `multimodal_chunk_dedup`
+    (containment on shared chunks) with a CONSTANT-SIZE sketch: the
+    fingerprint survives where a chunk posting list is too big to index.
+
+    Scale: fingerprints are 8 bytes/payload; candidates are bounded by
+    band-bucket sizes (pigeonhole guarantees recall at Hamming ≤ 3);
+    payload bytes never leave the scan stage.  Oracle exactness: chunk
+    digests are the engine-independent md5-prefix 60-bit hash over
+    byte-identical chunks (ASCII corpus — see `multimodal_chunk_dedup`'s
+    oracle note), so fingerprints match bit for bit."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        SIMHASH_CHUNK_BITS,
+        SIMHASH_CHUNK_MASK,
+        SIMHASH_CHUNKS,
+        simhash,
+    )
+    from iceberg_table_generator_spark.sources.tables import spread
+
+    p = attach_payload(spread(load_table(spark, sf_dir, "documents"))).filter(
+        F.col("byte_len") > 0
+    )
+    n_chunks = F.ceil(F.col("byte_len") / F.lit(float(CHUNK_BYTES))).cast("int")
+    d = p.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.substring("payload", i * CHUNK_BYTES + 1, CHUNK_BYTES),
+            )
+        ).alias("tokens"),
+    )
+    # persist(DISK_ONLY): both band-join sides read the fingerprint relation
+    # under differing aliases (ReuseExchange defeat — the dedup_simhash
+    # rationale verbatim).
+    fp = (
+        simhash(d)
+        .withColumnRenamed("simhash", "fp")
+        .transform(persist_tracked)
+    )
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        *[
+            F.shiftrightunsigned("fp", SIMHASH_CHUNK_BITS * c)
+            .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK))
+            .alias(f"c_{c}")
+            for c in range(SIMHASH_CHUNKS)
+        ],
+    )
+    stacked = chunks.selectExpr(
+        "doc_id",
+        "fp",
+        "stack({}, {}) AS (chunk_id, chunk_val)".format(
+            SIMHASH_CHUNKS, ", ".join(f"{c}, c_{c}" for c in range(SIMHASH_CHUNKS))
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(FP_TOP_K)
+    )
