@@ -245,3 +245,46 @@ def test_trimmed_mean_within_range_and_kept_count(spark, sf_small):
         assert r.n_kept == r.n - 2 * t
         mn, mx = rng[r.source]
         assert mn <= r.trimmed_mean <= mx
+
+
+def test_hilbert_codes_match_reference_and_are_adjacent(spark, sf_small):
+    """The emitted codes must equal the classic xy2d reference, the map
+    (a,b) → h must be injective, and consecutive h values must be
+    grid-adjacent (the Hilbert locality property Morton lacks)."""
+    from iceberg_table_generator_spark.operators.zorder import (
+        _HILBERT_BITS,
+        _HILBERT_N,
+    )
+    from iceberg_table_generator_spark.registry import all_queries
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = all_queries()["zorder_hilbert_codes"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.h == xy2d(_HILBERT_N, r.a, r.b)
+    # full-curve properties at a smaller order (n=16), via the same
+    # reference: bijection + unit-step adjacency
+    n = 16
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            seen[xy2d(n, x, y)] = (x, y)
+    assert sorted(seen) == list(range(n * n))
+    for d in range(1, n * n):
+        x0, y0 = seen[d - 1]
+        x1, y1 = seen[d]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
