@@ -960,3 +960,120 @@ def events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (degree-degree Pearson over edge endpoints)
+# --------------------------------------------------------------------------
+_ASSORTATIVITY_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+ends AS (
+  -- both orientations: the standard symmetrized endpoint-pair sample
+  SELECT du.degree AS x, dv.degree AS y
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.degree AS x, du.degree AS y
+  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM ends)
+SELECT n // 2 AS n_edges,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0
+              OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+            ELSE round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))),
+                 6)
+       END AS assortativity
+FROM mom
+"""
+
+
+@query("events_degree_assortativity", oracle=_ASSORTATIVITY_ORACLE)
+def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected transition graph: the
+    Pearson correlation between the degrees at the two ends of every edge
+    (both orientations — Newman 2002's symmetrized form).  Positive ⇒
+    hubs link to hubs (social-network shape); negative ⇒ hub-and-spoke
+    (typical web/navigation shape).  One scalar that, with the clustering
+    coefficient and degree distribution, completes the standard
+    graph-shape triptych.
+
+    Exactness: degrees are integers, the five moments are exact with
+    cross products in 128-bit space (DECIMAL(38,0) / HUGEINT), r is one
+    fixed correctly-rounded chain rounded once.  Scale: everything after
+    the distinct-edge projection is |V|²-bounded; the degree attach is
+    two equi-joins on the bounded edge relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("xd"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("yd"))
+    joined = und.join(du, "u").join(dv, "v").transform(persist_tracked)
+    ends = joined.select(
+        F.col("xd").alias("x"), F.col("yd").alias("y")
+    ).unionAll(joined.select(F.col("yd").alias("x"), F.col("xd").alias("y")))
+    D38 = "decimal(38,0)"
+    mom = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).cast(D38).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("syy"),
+    )
+    num = (
+        F.col("n").cast(D38) * F.col("sxy")
+        - F.col("sx").cast(D38) * F.col("sy").cast(D38)
+    ).cast("double")
+    den_x = (
+        F.col("n").cast(D38) * F.col("sxx")
+        - F.col("sx").cast(D38) * F.col("sx").cast(D38)
+    ).cast("double")
+    den_y = (
+        F.col("n").cast(D38) * F.col("syy")
+        - F.col("sy").cast(D38) * F.col("sy").cast(D38)
+    ).cast("double")
+    # Zero-variance guard (a regular/complete graph has constant degree —
+    # observed live at sf0.1): both engines emit NULL instead of 0/0.
+    return mom.select(
+        F.expr("n div 2").alias("n_edges"),
+        F.when(
+            (den_x != 0) & (den_y != 0),
+            F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6),
+        ).alias("assortativity"),
+    )

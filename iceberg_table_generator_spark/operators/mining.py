@@ -2964,7 +2964,11 @@ def orders_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(persist_tracked)
     )
-    lags = spark.createDataFrame([(l,) for l in _ACF_LAGS], "lag int")
+    # Literal-plan lag relation (Range + explode, not createDataFrame):
+    # the broadcast-invariant suite classifies it as provably bounded.
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS])).alias("lag")
+    )
     a = daily.select("day", F.col("rev_micro").alias("x"))
     b = daily.select(F.col("day").alias("day_b"), F.col("rev_micro").alias("y"))
     pairs = (
