@@ -281,3 +281,136 @@ def wide_metrics_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(FEATURE_HASH_DIM)
     ]
     return df.select("id", *feats)
+
+
+# --------------------------------------------------------------------------
+# PCA top component via unrolled power iteration (engine-exact)
+# --------------------------------------------------------------------------
+PCA_ITERS = 12
+_PCA_D = len(_PICKED)
+
+
+def _pca_moment_aliases() -> list[tuple[str, str]]:
+    """(alias, source-expression) pairs for the single moments pass —
+    n, per-column sums, and the upper-triangle product sums."""
+    out = [("n", "CAST(count(*) AS DOUBLE)")]
+    for i, m in enumerate(_PICKED, 1):
+        out.append((f"s{i}", f"CAST(sum(CAST({m} AS DECIMAL(38,12))) AS DOUBLE)"))
+    for i in range(1, _PCA_D + 1):
+        for j in range(i, _PCA_D + 1):
+            a, b = _PICKED[i - 1], _PICKED[j - 1]
+            out.append(
+                (
+                    f"p{i}{j}",
+                    f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,12))) AS DOUBLE)",
+                )
+            )
+    return out
+
+
+def _pca_cov(i: int, j: int) -> str:
+    """Unnormalized covariance entry n·Σxy − Σx·Σy (the eigenvector is
+    scale-invariant, so the 1/n² normalization is never materialized)."""
+    lo, hi = min(i, j), max(i, j)
+    return f"(n * p{lo}{hi} - s{i} * s{j})"
+
+
+def _pca_matvec(i: int) -> str:
+    return " + ".join(f"{_pca_cov(i, j)} * v{j}" for j in range(1, _PCA_D + 1))
+
+
+def _pca_norm() -> str:
+    return "sqrt(" + " + ".join(f"w{i} * w{i}" for i in range(1, _PCA_D + 1)) + ")"
+
+
+def _pca_oracle() -> str:
+    moments = ", ".join(f"{expr} AS {al}" for al, expr in _pca_moment_aliases())
+    seed = ", ".join(f"CAST(0.5 AS DOUBLE) AS v{i}" for i in range(1, _PCA_D + 1))
+    steps = []
+    prev = "seed"
+    carry = ", ".join(al for al, _ in _pca_moment_aliases())
+    for k in range(PCA_ITERS):
+        mv = ", ".join(
+            f"({_pca_matvec(i)}) AS w{i}" for i in range(1, _PCA_D + 1)
+        )
+        steps.append(f"mv{k} AS (SELECT {carry}, {mv} FROM {prev})")
+        nm = ", ".join(
+            f"w{i} / {_pca_norm()} AS v{i}" for i in range(1, _PCA_D + 1)
+        )
+        steps.append(f"it{k} AS (SELECT {carry}, {nm} FROM mv{k})")
+        prev = f"it{k}"
+    rayleigh = " + ".join(
+        f"v{i} * ({_pca_matvec(i)})" for i in range(1, _PCA_D + 1)
+    )
+    trace = " + ".join(f"{_pca_cov(i, i)}" for i in range(1, _PCA_D + 1))
+    loads = ", ".join(
+        f"round(v{i}, 6) AS loading_{m}" for i, m in enumerate(_PICKED, 1)
+    )
+    return (
+        f"WITH m AS (SELECT {moments}"
+        f" FROM read_parquet('{_DATA_DIR}/*.parquet')),\n"
+        f"seed AS (SELECT *, {seed} FROM m),\n"
+        + ",\n".join(steps)
+        + f"\nSELECT {loads},"
+        f" round(({rayleigh}) / ({trace}), 6) AS explained_ratio"
+        f" FROM {prev}"
+    )
+
+
+@query("wide_metrics_pca_power", oracle=_pca_oracle())
+def wide_metrics_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the picked wide columns by UNROLLED
+    POWER ITERATION ({PCA_ITERS} matvec+normalize steps over the 4×4
+    covariance), plus the Rayleigh-quotient explained-variance ratio —
+    the dimensionality screen (is this metric block effectively
+    one-dimensional?) that extends `wide_metrics_correlation`'s pairwise
+    view to the full spectral read.
+
+    Engine-exactness, the module's strongest case: ONE moments pass
+    accumulates n/Σx/Σxy in DECIMAL(38,12); the covariance is kept
+    UNNORMALIZED (n·Σxy − Σx·Σy — the eigenvector is scale-invariant, so
+    no 1/n² ever divides), and every iteration is generated from the
+    SAME expression text (`_pca_matvec`/`_pca_norm`) executed by Spark's
+    and DuckDB's IEEE doubles — multiply, add, divide, sqrt are all
+    correctly rounded, so 12 iterations stay bit-identical and round
+    once at the end.
+
+    Scale: the data pass is the single map-combinable moments aggregate
+    over exactly the picked columns (column pruning at width — the
+    module contract); the iteration runs on ONE row of moments, O(d²·K)
+    scalar expressions, data-size-independent — the same
+    model-parameter-sized tail as the IVF k-means fit."""
+    data = spark.read.parquet(_wide_fixture(spark))
+    mom = data.agg(
+        *[F.expr(expr).alias(al) for al, expr in _pca_moment_aliases()]
+    )
+    cur = mom.select(
+        "*", *[F.expr("CAST(0.5 AS DOUBLE)").alias(f"v{i}") for i in range(1, _PCA_D + 1)]
+    )
+    carry = [al for al, _ in _pca_moment_aliases()]
+    for _ in range(PCA_ITERS):
+        cur = cur.select(
+            *carry,
+            *[
+                F.expr(f"({_pca_matvec(i)})").alias(f"w{i}")
+                for i in range(1, _PCA_D + 1)
+            ],
+        )
+        cur = cur.select(
+            *carry,
+            *[
+                F.expr(f"w{i} / {_pca_norm()}").alias(f"v{i}")
+                for i in range(1, _PCA_D + 1)
+            ],
+        )
+    rayleigh = " + ".join(
+        f"v{i} * ({_pca_matvec(i)})" for i in range(1, _PCA_D + 1)
+    )
+    trace = " + ".join(f"{_pca_cov(i, i)}" for i in range(1, _PCA_D + 1))
+    return cur.select(
+        *[
+            F.expr(f"round(v{i}, 6)").alias(f"loading_{m}")
+            for i, m in enumerate(_PICKED, 1)
+        ],
+        F.expr(f"round(({rayleigh}) / ({trace}), 6)").alias("explained_ratio"),
+    )

@@ -288,3 +288,32 @@ def test_hilbert_codes_match_reference_and_are_adjacent(spark, sf_small):
         x0, y0 = seen[d - 1]
         x1, y1 = seen[d]
         assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+
+def test_pca_power_unit_norm_and_eigen_residual(spark, sf_small):
+    """The reported loadings must be a unit vector whose Rayleigh quotient
+    dominates the trace share of any single metric, with a small eigen
+    residual ‖Cv − λv‖ relative to λ (power iteration converged)."""
+    import numpy as np
+
+    from iceberg_table_generator_spark.operators.wide import (
+        _PICKED,
+        _wide_fixture,
+        wide_metrics_pca_power,
+    )
+
+    r = wide_metrics_pca_power(spark, sf_small).collect()[0]
+    v = np.array([r[f"loading_{m}"] for m in _PICKED])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    assert 0.0 < r.explained_ratio <= 1.0 + 1e-9
+    X = np.array(
+        spark.read.parquet(_wide_fixture(spark)).select(*_PICKED).collect(),
+        dtype=float,
+    )
+    n = X.shape[0]
+    C = n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))  # unnormalized cov
+    lam = v @ C @ v
+    resid = np.linalg.norm(C @ v - lam * v)
+    assert resid < 0.05 * abs(lam)
+    # top eigenvalue share matches the reported explained ratio
+    assert abs(lam / np.trace(C) - r.explained_ratio) < 1e-4
