@@ -1212,3 +1212,204 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lev.orderBy(
         F.desc("concurrent_sessions"), F.asc("minute_idx")
     ).limit(CONCURRENCY_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# OHLC hourly candles over the event value stream
+# --------------------------------------------------------------------------
+_OHLC_ORACLE = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS hour, ts, event_id, value FROM events),
+w AS (
+  SELECT hour, value,
+         first_value(value) OVER
+           (PARTITION BY hour ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS open,
+         last_value(value) OVER
+           (PARTITION BY hour ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS close
+  FROM e)
+SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+       max(open) AS open, max(value) AS high,
+       min(value) AS low, max(close) AS close
+FROM w GROUP BY hour
+"""
+
+
+@query("events_ohlc_hourly", oracle=_OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over the event value stream: open/close are the
+    first/last values by the deterministic (ts, event_id) order, high/low
+    are extrema — the financial-style resample that complements
+    `events_twap_hourly` (time-weighted mean) with the range view.
+
+    Exactness: every output is a SELECTED raw double (no accumulation at
+    all — first/last/min/max are order-statistics), so both engines agree
+    bit for bit; ties at the same timestamp break on event_id.  Scale:
+    one window pass partitioned by hour (calendar-bounded groups, full
+    frame so first/last are frame-stable), then a map-combinable fold per
+    hour."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"), "ts", "event_id", "value"
+    )
+    wf = (
+        Window.partitionBy("hour")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = e.select(
+        "hour",
+        "value",
+        F.first("value").over(wf).alias("open"),
+        F.last("value").over(wf).alias("close"),
+    )
+    return w.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("open").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("close").alias("close"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stationary distribution of the event-type Markov chain (unrolled πP)
+# --------------------------------------------------------------------------
+# The event_type domain is a fixed model constant of the generator (the
+# same premise as the 0..99 page-id domain the graph family bounds on);
+# the Spark side asserts it loudly before trusting the hardcoded order.
+MARKOV_STATES = ("click", "error", "purchase", "signup", "view")
+MARKOV_PI_ITERS = 16
+
+
+def _pi_step(j: int, n: int) -> str:
+    """π'_j = Σ_i π_i · p_ij, p_ij = c_ij / rt_i — fixed i order."""
+    return " + ".join(f"pi{i} * (c{i}{j} / rt{i})" for i in range(1, n + 1))
+
+
+def _stationary_oracle() -> str:
+    n = len(MARKOV_STATES)
+    cells = []
+    for i, a in enumerate(MARKOV_STATES, 1):
+        for j, b in enumerate(MARKOV_STATES, 1):
+            cells.append(
+                f"CAST(sum(CASE WHEN event_type = '{a}' AND next_type = '{b}'"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}{j}"
+            )
+    rts = [
+        "(" + " + ".join(f"c{i}{j}" for j in range(1, n + 1)) + f") AS rt{i}"
+        for i in range(1, n + 1)
+    ]
+    carry_m = ", ".join(
+        [f"c{i}{j}" for i in range(1, n + 1) for j in range(1, n + 1)]
+        + [f"rt{i}" for i in range(1, n + 1)]
+    )
+    seed = ", ".join(f"CAST({1.0 / n!r} AS DOUBLE) AS pi{i}" for i in range(1, n + 1))
+    steps = []
+    prev = "seed"
+    for k in range(MARKOV_PI_ITERS):
+        upd = ", ".join(
+            f"({_pi_step(j, n)}) AS pi{j}" for j in range(1, n + 1)
+        )
+        steps.append(f"it{k} AS (SELECT {carry_m}, {upd} FROM {prev})")
+        prev = f"it{k}"
+    outs = ", ".join(
+        f"round(pi{i}, 6) AS pi_{s}" for i, s in enumerate(MARKOV_STATES, 1)
+    )
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events),
+cellcounts AS (
+  SELECT {', '.join(cells)} FROM seq WHERE next_type IS NOT NULL),
+m AS (SELECT *, {', '.join(rts)} FROM cellcounts),
+seed AS (SELECT {carry_m}, {seed} FROM m),
+{','.join(steps)}
+SELECT {outs} FROM {prev}
+"""
+
+
+@query("events_markov_stationary", oracle=_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where does
+    a user's behavior settle in the long run?  π is computed by
+    {MARKOV_PI_ITERS} unrolled π←πP steps from the uniform start, over
+    the row-normalized transition matrix `events_markov_transitions`
+    estimates — the long-run companion to that per-step view (and, like
+    `events_pagerank`, an iterative fixed point; here the state space is
+    the |event_type| = 5 model domain, so the whole iteration is scalar
+    expressions on ONE row of cell counts).
+
+    Engine-exactness: cell counts are exact integers cast once; each πP
+    step is generated from the SAME expression text (`_pi_step`) on both
+    engines — double multiply/divide/add in fixed order stays
+    bit-identical across {MARKOV_PI_ITERS} steps (the
+    `wide_metrics_pca_power` argument), rounded once at the end.
+    Scale: ONE conditional-count aggregate over the LEAD pairs (25
+    counters, map-combinable); the iteration is data-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    observed = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    if tuple(observed) != MARKOV_STATES:
+        raise AssertionError(
+            f"event_type domain drifted: {observed} != {MARKOV_STATES};"
+            " regenerate MARKOV_STATES (model constant, not corpus data)"
+        )
+    n = len(MARKOV_STATES)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cells = seq.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("event_type") == a) & (F.col("next_type") == b), 1
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"c{i}{j}")
+            for i, a in enumerate(MARKOV_STATES, 1)
+            for j, b in enumerate(MARKOV_STATES, 1)
+        ]
+    )
+    m = cells.select(
+        "*",
+        *[
+            F.expr(" + ".join(f"c{i}{j}" for j in range(1, n + 1))).alias(f"rt{i}")
+            for i in range(1, n + 1)
+        ],
+    )
+    carry = [f"c{i}{j}" for i in range(1, n + 1) for j in range(1, n + 1)] + [
+        f"rt{i}" for i in range(1, n + 1)
+    ]
+    cur = m.select(
+        *carry,
+        *[
+            F.expr(f"CAST({1.0 / n!r} AS DOUBLE)").alias(f"pi{i}")
+            for i in range(1, n + 1)
+        ],
+    )
+    for _ in range(MARKOV_PI_ITERS):
+        cur = cur.select(
+            *carry,
+            *[
+                F.expr(f"({_pi_step(j, n)})").alias(f"__pi{j}")
+                for j in range(1, n + 1)
+            ],
+        ).select(
+            *carry,
+            *[F.col(f"__pi{j}").alias(f"pi{j}") for j in range(1, n + 1)],
+        )
+    return cur.select(
+        *[
+            F.expr(f"round(pi{i}, 6)").alias(f"pi_{s}")
+            for i, s in enumerate(MARKOV_STATES, 1)
+        ]
+    )

@@ -317,3 +317,41 @@ def test_pca_power_unit_norm_and_eigen_residual(spark, sf_small):
     assert resid < 0.05 * abs(lam)
     # top eigenvalue share matches the reported explained ratio
     assert abs(lam / np.trace(C) - r.explained_ratio) < 1e-4
+
+
+def test_ohlc_candle_ordering(spark, sf_small):
+    """low ≤ {open, close} ≤ high in every candle."""
+    from iceberg_table_generator_spark.operators.sequences import (
+        events_ohlc_hourly,
+    )
+
+    rows = events_ohlc_hourly(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_small):
+    """π sums to 1 and satisfies π ≈ πP for the empirical transition
+    matrix (checked against a numpy recompute)."""
+    import numpy as np
+
+    from iceberg_table_generator_spark.operators.sequences import (
+        MARKOV_STATES,
+        events_markov_stationary,
+        events_markov_transitions,
+    )
+
+    r = events_markov_stationary(spark, sf_small).collect()[0]
+    pi = np.array([r[f"pi_{s}"] for s in MARKOV_STATES])
+    assert abs(pi.sum() - 1.0) < 1e-4
+    assert (pi >= 0).all()
+    t = events_markov_transitions(spark, sf_small).collect()
+    n = len(MARKOV_STATES)
+    idx = {s: i for i, s in enumerate(MARKOV_STATES)}
+    C = np.zeros((n, n))
+    for row in t:
+        C[idx[row.from_type], idx[row.to_type]] = row.n_transitions
+    P = C / C.sum(1, keepdims=True)
+    assert np.abs(pi @ P - pi).max() < 1e-4
