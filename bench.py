@@ -180,6 +180,30 @@ HEADLINE = [
     "orders_forecast_mase",
     "text_vocab_growth",
     "events_mad_anomaly",
+    # round-7 wave-4 additions (this session's 22 new operators; old-set
+    # comparability unchanged — first 28 entries are frozen)
+    "events_clustering_coefficient",
+    "events_bfs_hops",
+    "events_modularity",
+    "events_degree_assortativity",
+    "stats_welch_ttest",
+    "stats_two_proportion_z",
+    "stats_theil_sen_trend",
+    "text_typo_pairs",
+    "events_peak_concurrency",
+    "supplier_herfindahl",
+    "orders_fanout_hist",
+    "dq_fd_audit",
+    "incremental_minmax_maintenance",
+    "orders_autocorrelation",
+    "lineitem_discount_elasticity",
+    "pipeline_trimmed_mean",
+    "similarity_triplet_mining",
+    "multimodal_fingerprint_dedup",
+    "zorder_hilbert_codes",
+    "wide_metrics_pca_power",
+    "events_ohlc_hourly",
+    "events_markov_stationary",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
