@@ -3083,3 +3083,257 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / (F.sqrt(den_d) * F.sqrt(den_q)), 6).alias("pearson_r"),
         F.round(num / den_d, 6).alias("slope_qty_per_pt"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation WITHOUT per-row ranks (count-distribution form)
+# --------------------------------------------------------------------------
+_SPEARMAN_ORACLE = """
+WITH pts AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem),
+joint AS (SELECT d, q, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY d, q),
+md AS (
+  SELECT d, CAST(2 * (sum(c) OVER (ORDER BY d) - c) + c + 1 AS BIGINT) AS rd2
+  FROM (SELECT d, CAST(sum(c) AS BIGINT) AS c FROM joint GROUP BY d) t),
+mq AS (
+  SELECT q, CAST(2 * (sum(c) OVER (ORDER BY q) - c) + c + 1 AS BIGINT) AS rq2
+  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS c FROM joint GROUP BY q) t),
+mom AS (
+  SELECT CAST(sum(j.c) AS BIGINT) AS n,
+         CAST(sum(CAST(j.c AS HUGEINT) * md.rd2) AS HUGEINT) AS sx,
+         CAST(sum(CAST(j.c AS HUGEINT) * mq.rq2) AS HUGEINT) AS sy,
+         CAST(sum(CAST(j.c AS HUGEINT) * md.rd2 * mq.rq2) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(j.c AS HUGEINT) * md.rd2 * md.rd2) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(j.c AS HUGEINT) * mq.rq2 * mq.rq2) AS HUGEINT) AS syy
+  FROM joint j JOIN md ON md.d = j.d JOIN mq ON mq.q = j.q)
+SELECT n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+FROM mom
+"""
+
+
+@query("stats_spearman_rho", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between discount and quantity — the
+    monotone-association reading that is robust where
+    `lineitem_discount_elasticity`'s Pearson assumes linearity — computed
+    WITHOUT ever ranking the fact table: tie-averaged ranks come from the
+    cumulative MARGINAL count distributions (average rank of value v =
+    cum_below + (c+1)/2; doubling clears the half → integer 2r), and the
+    Pearson-on-ranks moments fold over the bounded JOINT (d, q) cell
+    relation weighted by cell counts.  The |discounts|×|quantities| ≈ 550
+    cells replace millions of per-row ranks — at 100 TB the global sort a
+    naive Spearman needs simply never happens.
+
+    Exactness: 2r values are integers; all weighted moments accumulate in
+    128-bit integer space (Spark DECIMAL(38,0) / DuckDB HUGEINT); ρ is
+    one fixed correctly-rounded chain, rounded once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    joint = pts.groupBy("d", "q").agg(F.count(F.lit(1)).alias("c")).transform(
+        persist_tracked
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    md = (
+        joint.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .select(
+            "d",
+            (2 * (F.sum("cd").over(wd) - F.col("cd")) + F.col("cd") + 1)
+            .cast("long")
+            .alias("rd2"),
+        )
+    )
+    wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mq = (
+        joint.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .select(
+            "q",
+            (2 * (F.sum("cq").over(wq) - F.col("cq")) + F.col("cq") + 1)
+            .cast("long")
+            .alias("rq2"),
+        )
+    )
+    D38 = "decimal(38,0)"
+    mom = (
+        joint.join(md, "d")
+        .join(mq, "q")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c").cast(D38) * F.col("rd2").cast(D38)).cast(D38).alias("sx"),
+            F.sum(F.col("c").cast(D38) * F.col("rq2").cast(D38)).cast(D38).alias("sy"),
+            F.sum(
+                F.col("c").cast(D38) * F.col("rd2").cast(D38) * F.col("rq2").cast(D38)
+            )
+            .cast(D38)
+            .alias("sxy"),
+            F.sum(
+                F.col("c").cast(D38) * F.col("rd2").cast(D38) * F.col("rd2").cast(D38)
+            )
+            .cast(D38)
+            .alias("sxx"),
+            F.sum(
+                F.col("c").cast(D38) * F.col("rq2").cast(D38) * F.col("rq2").cast(D38)
+            )
+            .cast(D38)
+            .alias("syy"),
+        )
+    )
+    num = (F.col("n").cast(D38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n").cast(D38) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n").cast(D38) * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return mom.select(
+        "n",
+        F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b over the bounded joint-cell relation
+# --------------------------------------------------------------------------
+_KENDALL_ORACLE = """
+WITH pts AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem),
+joint AS (SELECT d, q, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY d, q),
+cellpairs AS (
+  SELECT CAST(sum(CASE WHEN b.q > a.q THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE 0 END) AS HUGEINT) AS nc,
+         CAST(sum(CASE WHEN b.q < a.q THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE 0 END) AS HUGEINT) AS nd
+  FROM joint a JOIN joint b ON b.d > a.d),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS t_cell
+  FROM joint),
+tied AS (
+  SELECT (SELECT CAST(sum(CAST(cd AS HUGEINT) * (cd - 1)) AS HUGEINT)
+          FROM (SELECT sum(c) AS cd FROM joint GROUP BY d) t) AS t_d2,
+         (SELECT CAST(sum(CAST(cq AS HUGEINT) * (cq - 1)) AS HUGEINT)
+          FROM (SELECT sum(c) AS cq FROM joint GROUP BY q) t) AS t_q2)
+SELECT t.n, CAST(cp.nc AS BIGINT) AS n_concordant,
+       CAST(cp.nd AS BIGINT) AS n_discordant,
+       round(CAST(cp.nc - cp.nd AS DOUBLE)
+             / (sqrt(CAST(CAST(t.n AS HUGEINT) * (t.n - 1) - ti.t_d2
+                          AS DOUBLE) / 2)
+                * sqrt(CAST(CAST(t.n AS HUGEINT) * (t.n - 1) - ti.t_q2
+                            AS DOUBLE) / 2)), 6) AS kendall_tau_b
+FROM cellpairs cp CROSS JOIN tot t CROSS JOIN tied ti
+"""
+
+
+@query("stats_kendall_tau", oracle=_KENDALL_ORACLE)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between discount and quantity — the concordance view of
+    the same monotone association `stats_spearman_rho` measures, with the
+    tie correction retail data needs (both columns are heavily tied).
+    Naive Kendall is O(n²) over ROWS; here concordant/discordant mass
+    folds over PAIRS OF JOINT CELLS (c_a·c_b per ordered cell pair) — the
+    ~550-cell relation makes the quadratic term ~300k products, constant
+    in corpus size, and the tie terms n_1/n_2 come from the marginals in
+    closed form (Σc(c−1), halves cleared by keeping everything doubled
+    until the final single chain).
+
+    Exactness: all pair masses live in 128-bit integer space; τ-b is one
+    fixed chain (two sqrts of exact-integer-derived doubles), rounded
+    once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    joint = pts.groupBy("d", "q").agg(F.count(F.lit(1)).alias("c")).transform(
+        persist_tracked
+    )
+    D38 = "decimal(38,0)"
+    a = joint.select(
+        F.col("d").alias("da"), F.col("q").alias("qa"), F.col("c").alias("ca")
+    )
+    b = joint.select(
+        F.col("d").alias("db"), F.col("q").alias("qb"), F.col("c").alias("cb")
+    )
+    cellpairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("qb") > F.col("qa"),
+                    F.col("ca").cast(D38) * F.col("cb").cast(D38),
+                ).otherwise(F.lit(0).cast(D38))
+            )
+            .cast(D38)
+            .alias("nc"),
+            F.sum(
+                F.when(
+                    F.col("qb") < F.col("qa"),
+                    F.col("ca").cast(D38) * F.col("cb").cast(D38),
+                ).otherwise(F.lit(0).cast(D38))
+            )
+            .cast(D38)
+            .alias("nd"),
+        )
+    )
+    tot = joint.agg(F.sum("c").cast("long").alias("n"))
+    t_d2 = (
+        joint.groupBy("d")
+        .agg(F.sum("c").alias("cd"))
+        .agg(
+            F.sum(F.col("cd").cast(D38) * (F.col("cd") - 1).cast(D38))
+            .cast(D38)
+            .alias("t_d2")
+        )
+    )
+    t_q2 = (
+        joint.groupBy("q")
+        .agg(F.sum("c").alias("cq"))
+        .agg(
+            F.sum(F.col("cq").cast(D38) * (F.col("cq") - 1).cast(D38))
+            .cast(D38)
+            .alias("t_q2")
+        )
+    )
+    return (
+        cellpairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(t_d2))
+        .crossJoin(F.broadcast(t_q2))
+        .select(
+            "n",
+            F.col("nc").cast("long").alias("n_concordant"),
+            F.col("nd").cast("long").alias("n_discordant"),
+            F.round(
+                (F.col("nc") - F.col("nd")).cast("double")
+                / (
+                    F.sqrt(
+                        (
+                            F.col("n").cast(D38) * (F.col("n") - 1).cast(D38)
+                            - F.col("t_d2")
+                        ).cast("double")
+                        / 2
+                    )
+                    * F.sqrt(
+                        (
+                            F.col("n").cast(D38) * (F.col("n") - 1).cast(D38)
+                            - F.col("t_q2")
+                        ).cast("double")
+                        / 2
+                    )
+                ),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )

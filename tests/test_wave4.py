@@ -355,3 +355,62 @@ def test_markov_stationary_is_fixed_point(spark, sf_small):
         C[idx[row.from_type], idx[row.to_type]] = row.n_transitions
     P = C / C.sum(1, keepdims=True)
     assert np.abs(pi @ P - pi).max() < 1e-4
+
+
+def test_rank_correlations_match_python_replay(spark, sf_small):
+    """Spearman (average ranks) and Kendall τ-b recomputed in plain Python
+    from the raw points must match the closed-form engine results."""
+    from collections import Counter
+
+    from iceberg_table_generator_spark.operators.mining import (
+        stats_kendall_tau,
+        stats_spearman_rho,
+    )
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    pts = [(r.d, r.q) for r in li.collect()]
+    n = len(pts)
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        r, cum = {}, 0
+        for v in sorted(cnt):
+            r[v] = cum + (cnt[v] + 1) / 2
+            cum += cnt[v]
+        return r
+
+    rd = avg_ranks([d for d, _ in pts])
+    rq = avg_ranks([q for _, q in pts])
+    xs = [rd[d] for d, _ in pts]
+    ys = [rq[q] for _, q in pts]
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = (
+        sum((x - mx) ** 2 for x in xs) * sum((y - my) ** 2 for y in ys)
+    ) ** 0.5
+    rho_ref = num / den
+    rho = stats_spearman_rho(spark, sf_small).collect()[0].spearman_rho
+    assert abs(rho - rho_ref) < 1e-6
+
+    cells = Counter(pts)
+    items = list(cells.items())
+    nc = nd = 0
+    for i, ((d1, q1), c1) in enumerate(items):
+        for (d2, q2), c2 in items[i + 1 :]:
+            s = (d2 - d1) * (q2 - q1)
+            if s > 0:
+                nc += c1 * c2
+            elif s < 0:
+                nd += c1 * c2
+    cd = Counter(d for d, _ in pts)
+    cq = Counter(q for _, q in pts)
+    n0 = n * (n - 1) / 2
+    n1 = sum(c * (c - 1) / 2 for c in cd.values())
+    n2 = sum(c * (c - 1) / 2 for c in cq.values())
+    tau_ref = (nc - nd) / (((n0 - n1) * (n0 - n2)) ** 0.5)
+    row = stats_kendall_tau(spark, sf_small).collect()[0]
+    assert row.n_concordant == nc and row.n_discordant == nd
+    assert abs(row.kendall_tau_b - tau_ref) < 1e-6
