@@ -3337,3 +3337,72 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-parent rollup (month share of quarter, quarter share of year)
+# --------------------------------------------------------------------------
+_RATIO_PARENT_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(month(o_orderdate) AS INT) AS mon,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2, 3)
+SELECT yr, qtr, mon, rev_cents,
+       (10000 * rev_cents) // CAST(sum(rev_cents) OVER
+         (PARTITION BY yr, qtr) AS BIGINT) AS pct_of_quarter_bp,
+       (10000 * rev_cents) // CAST(sum(rev_cents) OVER
+         (PARTITION BY yr) AS BIGINT) AS pct_of_year_bp,
+       (10000 * CAST(sum(rev_cents) OVER (PARTITION BY yr, qtr) AS BIGINT))
+         // CAST(sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT)
+         AS quarter_of_year_bp
+FROM monthly
+"""
+
+
+@query("orders_ratio_to_parent", oracle=_RATIO_PARENT_ORACLE)
+def orders_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent OLAP report: each month's revenue share of its
+    quarter and year, and each quarter's share of its year — the
+    hierarchy-percentage view (MDX's RatioToParent, Tableau's "percent of
+    total" pane) that `rollup_acctbal`'s subtotal rows don't express.
+
+    Plan: ONE monthly aggregate (calendar-bounded), then window sums over
+    that bounded relation at two hierarchy levels — the corpus is scanned
+    once and every window partitions by calendar keys (parallel groups,
+    never a global frame).  Exactness: revenue folds through the DECIMAL
+    path into integer micro-units; shares are truncating-div basis
+    points — pure integers end to end (CENTS, not micro-units: yearly
+    totals × the 10000 bp factor must clear int64 — micro-units overflow
+    at sf0.1, observed live)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wq = Window.partitionBy("yr", "qtr")
+    wy = Window.partitionBy("yr")
+    return monthly.select(
+        "yr",
+        "qtr",
+        "mon",
+        "rev_cents",
+        F.expr("10000 * rev_cents").alias("__num"),
+        F.sum("rev_cents").over(wq).cast("long").alias("__qt"),
+        F.sum("rev_cents").over(wy).cast("long").alias("__yt"),
+    ).select(
+        "yr",
+        "qtr",
+        "mon",
+        "rev_cents",
+        F.expr("__num div __qt").alias("pct_of_quarter_bp"),
+        F.expr("__num div __yt").alias("pct_of_year_bp"),
+        F.expr("(10000 * __qt) div __yt").alias("quarter_of_year_bp"),
+    )

@@ -1413,3 +1413,115 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(MARKOV_STATES, 1)
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# Session entry/exit page report
+# --------------------------------------------------------------------------
+_ENTRY_EXIT_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id, k,
+         CASE WHEN date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) > {SESSION_GAP_SECONDS}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev),
+sess AS (
+  SELECT user_id, ts, event_id, k,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+ranked AS (
+  SELECT k, session_seq, user_id,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS rn_f,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM sess),
+per_page AS (
+  SELECT k AS page,
+         CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_entries,
+         CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exits,
+         CAST(count(*) AS BIGINT) AS n_views
+  FROM ranked GROUP BY k)
+SELECT page, n_entries, n_exits, n_views,
+       (10000 * n_exits) // n_views AS exit_rate_bp
+FROM per_page
+"""
+
+
+@query("events_entry_exit_pages", oracle=_ENTRY_EXIT_ORACLE)
+def events_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit page report: for every page, how many sessions STARTED
+    there (landing page), ENDED there (exit page), total views, and the
+    exit rate — the classic web-analytics table that tells you which
+    pages open journeys and which ones lose them; the page-level
+    companion to `events_bounce_rate`.
+
+    Sessions use the repo's gaps-and-islands rule; entry/exit are row_number
+    order statistics with the deterministic (ts, event_id) tie rule — no
+    accumulation, pure integer counts, one truncating-div rate.  Scale:
+    all three windows partition by user (or user-session) — millions of
+    parallel groups — and the rollup folds onto the bounded page
+    domain."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev_ts = F.lag("ts").over(w)
+    gap_s = epoch(F.col("ts")) - epoch(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "k",
+        F.when(prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "k",
+        F.sum("is_new").over(wrun).cast("long").alias("session_seq"),
+    )
+    wf = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = sess.select(
+        "k",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+    )
+    per_page = ranked.groupBy(F.col("k").alias("page")).agg(
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_entries"),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exits"),
+        F.count(F.lit(1)).alias("n_views"),
+    )
+    return per_page.select(
+        "page",
+        "n_entries",
+        "n_exits",
+        "n_views",
+        F.expr("(10000 * n_exits) div n_views").alias("exit_rate_bp"),
+    )
