@@ -3406,3 +3406,72 @@ def orders_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("__num div __yt").alias("pct_of_year_bp"),
         F.expr("(10000 * __qt) div __yt").alias("quarter_of_year_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth with explicit calendar-gap handling
+# --------------------------------------------------------------------------
+_MOM_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev_cents,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT mo, rev_cents, n_orders,
+         lag(mo) OVER (ORDER BY mo) AS prev_mo,
+         lag(rev_cents) OVER (ORDER BY mo) AS prev_rev
+  FROM monthly)
+SELECT mo, n_orders, rev_cents,
+       CASE WHEN prev_mo = mo - 1
+            THEN (10000 * (rev_cents - prev_rev)) // prev_rev
+       END AS growth_bp,
+       CAST(prev_mo IS NOT NULL AND prev_mo <> mo - 1 AS BOOLEAN)
+         AS gap_before
+FROM lagged
+"""
+
+
+@query("orders_mom_growth", oracle=_MOM_GROWTH_ORACLE)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in basis points, with EXPLICIT
+    calendar-gap handling: a month following a missing month reports NULL
+    growth and a gap flag instead of silently comparing against the last
+    observed month — the correctness detail naive LAG dashboards get
+    wrong.  Complements `orders_seasonality_index` (level) and
+    `orders_autocorrelation` (structure) with the first-difference view.
+
+    One calendar-bounded monthly aggregate, one LAG window over that
+    bounded relation, pure integers (cents, truncating-div bp)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mo")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wm = Window.orderBy("mo")
+    lagged = monthly.select(
+        "mo",
+        "n_orders",
+        "rev_cents",
+        F.lag("mo").over(wm).alias("prev_mo"),
+        F.lag("rev_cents").over(wm).alias("prev_rev"),
+    )
+    return lagged.select(
+        "mo",
+        "n_orders",
+        "rev_cents",
+        F.when(
+            F.col("prev_mo") == F.col("mo") - 1,
+            F.expr("(10000 * (rev_cents - prev_rev)) div prev_rev"),
+        ).alias("growth_bp"),
+        (
+            F.col("prev_mo").isNotNull() & (F.col("prev_mo") != F.col("mo") - 1)
+        ).alias("gap_before"),
+    )

@@ -1194,3 +1194,81 @@ def text_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq_b",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Proximity search: two terms within a token window, per-doc min distance
+# --------------------------------------------------------------------------
+PROX_TERM_A = "hash"
+PROX_TERM_B = "join"
+PROX_WINDOW = 3  # report docs where the terms appear within 3 positions
+
+_PROXIMITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(list_transform(generate_series(1, len(ws)),
+                     i -> CASE WHEN ws[i] = '{PROX_TERM_A}' THEN i END),
+                     x -> x IS NOT NULL) AS pa,
+         list_filter(list_transform(generate_series(1, len(ws)),
+                     i -> CASE WHEN ws[i] = '{PROX_TERM_B}' THEN i END),
+                     x -> x IS NOT NULL) AS pb
+  FROM w),
+both_terms AS (
+  SELECT doc_id,
+         CAST(len(pa) AS BIGINT) AS n_a,
+         CAST(len(pb) AS BIGINT) AS n_b,
+         CAST(list_min(flatten(list_transform(pa,
+              a -> list_transform(pb, b -> abs(a - b))))) AS BIGINT)
+           AS min_distance
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+SELECT doc_id, n_a, n_b, min_distance
+FROM both_terms WHERE min_distance <= {PROX_WINDOW}
+"""
+
+
+@query("text_proximity_search", oracle=_PROXIMITY_ORACLE)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity query: documents where '{PROX_TERM_A}' and
+    '{PROX_TERM_B}' occur within {PROX_WINDOW} token positions, with both
+    term frequencies and the minimum pairwise distance — the NEAR/k
+    operator of search engines (phrase search is the distance-1 special
+    case; `text_phrase_search` covers that via posting lists).
+
+    Plan: the position lists and the min pairwise distance are computed
+    ENTIRELY IN-ROW (transform/filter/flatten over the token array — one
+    narrow projection inside whole-stage codegen, no explode, no shuffle
+    until the final filter), so the corpus is touched once and nothing
+    but (doc_id, 3 ints) survives the scan.  Per-doc cost is
+    O(occ_a · occ_b) — bounded by in-document term frequencies; a
+    pathological spam doc is the df-cap candidate, same guard family as
+    the chunk/contamination caps.  Pure integers."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    mk_pos = lambda term: F.filter(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda i: F.when(F.element_at(ws, i) == term, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pos = d.select(
+        "doc_id", mk_pos(PROX_TERM_A).alias("pa"), mk_pos(PROX_TERM_B).alias("pb")
+    )
+    both = pos.filter((F.size("pa") > 0) & (F.size("pb") > 0)).select(
+        "doc_id",
+        F.size("pa").cast("long").alias("n_a"),
+        F.size("pb").cast("long").alias("n_b"),
+        F.array_min(
+            F.flatten(
+                F.transform(
+                    "pa",
+                    lambda a: F.transform("pb", lambda b: F.abs(a - b)),
+                )
+            )
+        )
+        .cast("long")
+        .alias("min_distance"),
+    )
+    return both.filter(F.col("min_distance") <= PROX_WINDOW)
