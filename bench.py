@@ -204,6 +204,12 @@ HEADLINE = [
     "wide_metrics_pca_power",
     "events_ohlc_hourly",
     "events_markov_stationary",
+    "stats_spearman_rho",
+    "stats_kendall_tau",
+    "orders_ratio_to_parent",
+    "events_entry_exit_pages",
+    "text_proximity_search",
+    "orders_mom_growth",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

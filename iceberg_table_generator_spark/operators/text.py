@@ -1236,39 +1236,46 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator of search engines (phrase search is the distance-1 special
     case; `text_phrase_search` covers that via posting lists).
 
-    Plan: the position lists and the min pairwise distance are computed
-    ENTIRELY IN-ROW (transform/filter/flatten over the token array — one
-    narrow projection inside whole-stage codegen, no explode, no shuffle
-    until the final filter), so the corpus is touched once and nothing
-    but (doc_id, 3 ints) survives the scan.  Per-doc cost is
-    O(occ_a · occ_b) — bounded by in-document term frequencies; a
-    pathological spam doc is the df-cap candidate, same guard family as
-    the chunk/contamination caps.  Pure integers."""
+    Plan — the POSTING-LIST formulation: tokens are position-exploded and
+    immediately filtered to the two query terms (only matching positions
+    ever leave the scan — a tiny fraction of the corpus), then ONE
+    doc-partitioned LAG window computes adjacent gaps in the merged
+    position order.  The min pairwise distance min|a−b| is ALWAYS
+    achieved by a pair adjacent in merged order (any non-adjacent pair
+    has an intervening position giving a tighter gap with one of its
+    ends), so the O(occ_a·occ_b) cross product never materializes; the
+    oracle keeps the brute-force pairwise min — the hash match proves the
+    adjacency identity.  (First cut used in-row HOF arrays: 9.8 s at
+    sf0.1, and the let-hoisted variant still re-evaluated the merged
+    array across Project/Filter boundaries via CollapseProject — the
+    BENCH_NOTES_r6 §2 failure mode; the relational form is both the
+    faster and the cluster-honest shape.)  Pure integers."""
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
-    mk_pos = lambda term: F.filter(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws)),
-            lambda i: F.when(F.element_at(ws, i) == term, i),
-        ),
-        lambda x: x.isNotNull(),
+    tok = (
+        d.select("doc_id", F.posexplode(ws).alias("p", "w"))
+        .filter(F.col("w").isin(PROX_TERM_A, PROX_TERM_B))
     )
-    pos = d.select(
-        "doc_id", mk_pos(PROX_TERM_A).alias("pa"), mk_pos(PROX_TERM_B).alias("pb")
-    )
-    both = pos.filter((F.size("pa") > 0) & (F.size("pb") > 0)).select(
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    prev_w = F.lag("w").over(wd)
+    prev_p = F.lag("p").over(wd)
+    gapped = tok.select(
         "doc_id",
-        F.size("pa").cast("long").alias("n_a"),
-        F.size("pb").cast("long").alias("n_b"),
-        F.array_min(
-            F.flatten(
-                F.transform(
-                    "pa",
-                    lambda a: F.transform("pb", lambda b: F.abs(a - b)),
-                )
-            )
-        )
-        .cast("long")
-        .alias("min_distance"),
+        "w",
+        F.when(prev_w.isNotNull() & (prev_w != F.col("w")), F.col("p") - prev_p)
+        .alias("gap"),
     )
-    return both.filter(F.col("min_distance") <= PROX_WINDOW)
+    per_doc = gapped.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("w") == PROX_TERM_A, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("w") == PROX_TERM_B, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.min("gap").cast("long").alias("min_distance"),
+    )
+    return per_doc.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("min_distance") <= PROX_WINDOW)
+    )
