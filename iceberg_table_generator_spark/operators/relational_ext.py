@@ -1366,3 +1366,91 @@ def join_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("istrue"), F.col("pass"))), F.lit(True)
         ).alias("no_false_negatives"),
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder proration: allocate an order fee across line items
+# --------------------------------------------------------------------------
+PRORATE_FEE_CENTS = 1000  # the per-order fee to distribute
+
+_PRORATE_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+  FROM lineitem),
+w AS (
+  SELECT l_orderkey, l_linenumber, price_cents,
+         CAST(sum(price_cents) OVER (PARTITION BY l_orderkey) AS BIGINT) AS tot
+  FROM li),
+base AS (
+  SELECT *,
+         ({PRORATE_FEE_CENTS} * price_cents) // tot AS base_cents,
+         ({PRORATE_FEE_CENTS} * price_cents) % tot AS rem
+  FROM w),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+                                 ORDER BY rem DESC, l_linenumber) AS BIGINT)
+           AS rem_rank,
+         CAST({PRORATE_FEE_CENTS} - sum(base_cents) OVER
+              (PARTITION BY l_orderkey) AS BIGINT) AS leftover
+  FROM base)
+SELECT l_orderkey, l_linenumber, price_cents,
+       CAST(base_cents + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_cents
+FROM ranked
+"""
+
+
+@query("lineitem_prorate_fee", oracle=_PRORATE_ORACLE)
+def lineitem_prorate_fee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration (Hamilton apportionment): a fixed
+    {PRORATE_FEE_CENTS}-cent per-order fee is split across the order's
+    line items proportionally to price, in WHOLE CENTS that sum exactly
+    to the fee — every line gets floor(fee·wᵢ/W), and the leftover cents
+    go to the largest fractional remainders (l_linenumber tie-break).
+    The allocation op behind payment splitting, cost attribution, and
+    budget distribution, where naive rounding leaks or invents cents.
+
+    Exactness: pure integer division/modulo — no floats anywhere; the
+    per-order sum invariant is pinned in tests.  Scale: two windows and
+    one rank, ALL partitioned by the order key (parallel groups bounded
+    by basket size), co-partitioned with every other orderkey shuffle —
+    one corpus scan, no joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    w = li.withColumn("tot", F.sum("price_cents").over(wo).cast("long"))
+    base = w.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        "tot",
+        F.expr(f"({PRORATE_FEE_CENTS} * price_cents) div tot").alias("base_cents"),
+        F.expr(f"({PRORATE_FEE_CENTS} * price_cents) % tot").alias("rem"),
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), "l_linenumber")
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        "base_cents",
+        F.row_number().over(wr).cast("long").alias("rem_rank"),
+        (PRORATE_FEE_CENTS - F.sum("base_cents").over(wo)).cast("long").alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_cents",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )

@@ -414,3 +414,24 @@ def test_rank_correlations_match_python_replay(spark, sf_small):
     row = stats_kendall_tau(spark, sf_small).collect()[0]
     assert row.n_concordant == nc and row.n_discordant == nd
     assert abs(row.kendall_tau_b - tau_ref) < 1e-6
+
+
+def test_prorate_sums_exactly_per_order(spark, sf_small):
+    """Every order's allocations are whole cents summing exactly to the
+    fee, and each allocation differs from exact proportionality by < 1¢."""
+    from iceberg_table_generator_spark.operators.relational_ext import (
+        PRORATE_FEE_CENTS,
+        lineitem_prorate_fee,
+    )
+
+    rows = lineitem_prorate_fee(spark, sf_small).collect()
+    per_order: dict[int, list] = {}
+    for r in rows:
+        per_order.setdefault(r.l_orderkey, []).append(r)
+    assert per_order
+    for ok, lines in per_order.items():
+        assert sum(r.alloc_cents for r in lines) == PRORATE_FEE_CENTS
+        tot = sum(r.price_cents for r in lines)
+        for r in lines:
+            exact = PRORATE_FEE_CENTS * r.price_cents / tot
+            assert abs(r.alloc_cents - exact) < 1.0
