@@ -456,3 +456,61 @@ def meta_file_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(small).cast("int").alias("n_small_files"),
         (F.count(F.lit(1)) > 1).alias("needs_compaction"),
     )
+
+
+@query(
+    "meta_version_diff",
+    oracle="""
+    WITH before_v AS (
+      SELECT lang, doc_id FROM documents WHERE doc_id < 400),
+    after_v AS (
+      SELECT lang, doc_id FROM documents
+      WHERE doc_id < 400 AND doc_id % 10 NOT IN (3, 7))
+    SELECT b.lang,
+           b.n AS n_before,
+           COALESCE(a.n, 0) AS n_after,
+           b.n - COALESCE(a.n, 0) AS n_removed,
+           CAST(0 AS BIGINT) AS n_added
+    FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM before_v
+          GROUP BY lang) b
+    LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM after_v
+               GROUP BY lang) a ON a.lang = b.lang
+    """,
+)
+def meta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff report: per lang, how many rows the table had at
+    version 2 (both appends visible) vs HEAD (after the delete → compact →
+    rollback → delete history), split into removed and added — the "what
+    changed between these two snapshots" question every time-travel UI
+    answers, expressed as two version reads + key anti-joins (the same
+    row-id diff `read_changes` builds its changelog from, here exposed as
+    a query).  The oracle recomputes both visible sets from the live
+    documents table (v2 = all doc_id < 400; HEAD additionally drops
+    doc_id % 10 ∈ {3, 7}).
+
+    Scale: two snapshot scans + two anti-joins on the key, then a
+    lang-bounded rollup; at lakehouse scale the anti-joins prune to the
+    files the manifests mark as changed."""
+    t = _value_fixture_table(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    before_v = t.read(version=2, with_row_id=False).select("lang", "doc_id")
+    after_v = t.read(with_row_id=False).select("lang", "doc_id")
+    removed = before_v.join(after_v, "doc_id", "left_anti")
+    added = after_v.join(before_v, "doc_id", "left_anti")
+    nb = before_v.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    na = after_v.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    nr = removed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_removed"))
+    nd = added.groupBy("lang").agg(F.count(F.lit(1)).alias("n_added"))
+    return (
+        nb.join(na, "lang", "left")
+        .join(nr, "lang", "left")
+        .join(nd, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+        )
+    )
