@@ -1525,3 +1525,70 @@ def events_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_views",
         F.expr("(10000 * n_exits) div n_views").alias("exit_rate_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Run-length encoding of per-user event-type streams
+# --------------------------------------------------------------------------
+_RLE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_start
+  FROM events),
+runs AS (
+  SELECT user_id, event_type,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_id
+  FROM seq),
+sized AS (
+  SELECT user_id, event_type, run_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY user_id, event_type, run_id)
+SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+FROM sized GROUP BY event_type, run_len
+"""
+
+
+@query("events_run_length_encoding", oracle=_RLE_ORACLE)
+def events_run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of per-user event streams: for every event type,
+    how many maximal consecutive runs of each length occur — repetition
+    compressibility (a user clicking 9× in a row vs alternating), the
+    RLE view behind streak features and bot heuristics
+    (`events_bot_score` uses tempo; this is the SYMBOL-run view).
+
+    Gaps-and-islands: a run starts where the lagged type differs; the
+    island id is a running sum of starts per user; runs then fold to
+    their lengths and lengths to the (type, length) histogram — three
+    user-partitioned passes and one bounded rollup, pure integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("is_start").over(wrun).cast("long").alias("run_id"),
+    )
+    sized = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return sized.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
