@@ -1370,3 +1370,68 @@ def pipeline_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     ).select("source", "n", "n_kept", "trimmed_sum", "trimmed_mean")
+
+
+# --------------------------------------------------------------------------
+# Exact decile map per source (quantile-normalization table)
+# --------------------------------------------------------------------------
+def _decile_cases_sql() -> str:
+    return ", ".join(
+        f"CAST(min(CASE WHEN 10 * cum >= {k} * n THEN v END) AS BIGINT)"
+        f" AS d{k}"
+        for k in range(1, 10)
+    )
+
+
+_DECILE_ORACLE = f"""
+WITH dist AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars),
+cum AS (
+  SELECT source, v, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM dist)
+SELECT source, max(n) AS n, {_decile_cases_sql()}
+FROM cum GROUP BY source
+"""
+
+
+@query("pipeline_decile_map", oracle=_DECILE_ORACLE)
+def pipeline_decile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source decile boundaries of document length — the
+    quantile-normalization lookup table (map any source's length onto the
+    pooled scale by rank) and the per-source "is this distribution
+    shifted?" read that `stats_ks_test` answers pairwise.  Boundary k is
+    the exact lower order statistic: min value whose cumulative count
+    crosses k·n/10 (the count-crossing rule the weighted-median family
+    uses, fraction-cleared by comparing 10·cum ≥ k·n).
+
+    Scale: lengths fold to (value, count) per source; the only windows
+    run over that |distinct lengths| aggregated relation partitioned by
+    source; nine conditional mins share one pass.  Pure integers."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    dist = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = W.partitionBy("source").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("source")
+    cum = dist.select(
+        "source",
+        "v",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(F.when(10 * F.col("cum") >= k * F.col("n"), F.col("v")))
+            .cast("long")
+            .alias(f"d{k}")
+            for k in range(1, 10)
+        ],
+    )

@@ -1279,3 +1279,51 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_b") > 0)
         & (F.col("min_distance") <= PROX_WINDOW)
     )
+
+
+# --------------------------------------------------------------------------
+# Term position profile: where in documents does a term occur?
+# --------------------------------------------------------------------------
+PROFILE_TERM = "scan"
+
+_TERM_POSITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+hits AS (
+  SELECT doc_id,
+         (10 * (i - 1)) // len(ws) AS pos_decile
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+  WHERE ws[i] = '{PROFILE_TERM}')
+SELECT pos_decile,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hits GROUP BY pos_decile
+"""
+
+
+@query("text_term_position_profile", oracle=_TERM_POSITION_ORACLE)
+def text_term_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional profile of the term '{PROFILE_TERM}': occurrence counts
+    by WITHIN-DOCUMENT position decile (0 = opening tenth, 9 = closing
+    tenth) — boilerplate detection's positional signal (headers/footers
+    concentrate at the edges; organic usage spreads) and the relevance-
+    weighting input BM25F-style scoring uses.
+
+    Plan: posexplode + term filter — only matching positions leave the
+    scan (the `text_proximity_search` posting shape); the decile is pure
+    integer arithmetic on (position, doc length) and the rollup folds
+    onto a 10-cell domain.  Pure integers."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    hits = (
+        d.select("doc_id", F.size(ws).alias("n_toks"), F.posexplode(ws).alias("p", "w"))
+        .filter(F.col("w") == PROFILE_TERM)
+        .select(
+            "doc_id",
+            F.expr("(10 * p) div n_toks").alias("pos_decile"),
+        )
+    )
+    return hits.groupBy("pos_decile").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
