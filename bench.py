@@ -210,6 +210,13 @@ HEADLINE = [
     "events_entry_exit_pages",
     "text_proximity_search",
     "orders_mom_growth",
+    "lineitem_prorate_fee",
+    "meta_version_diff",
+    "events_run_length_encoding",
+    "pipeline_decile_map",
+    "text_term_position_profile",
+    "basket_part_triples",
+    "part_dual_sourcing",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
