@@ -1077,3 +1077,90 @@ def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6),
         ).alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-hop reach: friend-of-friend neighborhood sizes
+# --------------------------------------------------------------------------
+_TWO_HOP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+bi AS (SELECT u AS src, v AS dst FROM und
+       UNION ALL SELECT v AS src, u AS dst FROM und),
+two AS (
+  SELECT DISTINCT a.src AS node, b.dst AS reach
+  FROM bi a JOIN bi b ON b.src = a.dst
+  WHERE b.dst <> a.src),
+n1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS n_1hop
+       FROM bi GROUP BY src),
+n2 AS (
+  SELECT t.node, CAST(count(*) AS BIGINT) AS n_2hop_new
+  FROM two t
+  LEFT JOIN bi d ON d.src = t.node AND d.dst = t.reach
+  WHERE d.dst IS NULL
+  GROUP BY t.node)
+SELECT n1.node, n1.n_1hop, COALESCE(n2.n_2hop_new, 0) AS n_2hop_new
+FROM n1 LEFT JOIN n2 ON n2.node = n1.node
+"""
+
+
+@query("events_two_hop_reach", oracle=_TWO_HOP_ORACLE)
+def events_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per node: direct neighbors and the count of NEW
+    nodes first reachable at exactly two hops (friend-of-friend reach —
+    the growth-potential / influence-radius metric; `events_bfs_hops`
+    gives the single-landmark view, this gives it for every node).
+
+    Scale: one self-equi-join of the |V|²-bounded directed edge relation
+    (hop-2 candidates), deduped, then an anti-join against the direct
+    edges to keep only genuinely-new reach — every join is an equi-join
+    on node keys; nothing is corpus-sized after the distinct-edge
+    projection.  Pure integer counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    bi = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .transform(persist_tracked)
+    )
+    a = bi.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    b = bi.select(F.col("src").alias("mid"), F.col("dst").alias("reach"))
+    two = (
+        a.join(b, "mid")
+        .filter(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+        .distinct()
+    )
+    direct = bi.select(F.col("src").alias("node"), F.col("dst").alias("reach"))
+    n1 = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_1hop")
+    )
+    n2 = (
+        two.join(direct, ["node", "reach"], "left_anti")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_2hop_new"))
+    )
+    return n1.join(n2, "node", "left").select(
+        "node",
+        "n_1hop",
+        F.coalesce("n_2hop_new", F.lit(0)).cast("long").alias("n_2hop_new"),
+    )
