@@ -1592,3 +1592,137 @@ def events_run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("event_type", "run_len").agg(
         F.count(F.lit(1)).cast("long").alias("n_runs")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-page dwell time (gap to next event, attributed to the earlier page)
+# --------------------------------------------------------------------------
+_DWELL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+gaps AS (
+  SELECT k AS page,
+         date_diff('second', ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS dwell_s
+  FROM ev),
+valid AS (
+  SELECT page, CAST(dwell_s AS BIGINT) AS dwell_s FROM gaps
+  WHERE dwell_s IS NOT NULL AND dwell_s <= {SESSION_GAP_SECONDS})
+SELECT page,
+       CAST(count(*) AS BIGINT) AS n_dwells,
+       CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
+       CAST(sum(dwell_s) AS BIGINT) // count(*) AS mean_dwell_s,
+       CAST(max(dwell_s) AS BIGINT) AS max_dwell_s
+FROM valid GROUP BY page
+"""
+
+
+@query("events_page_dwell_time", oracle=_DWELL_ORACLE)
+def events_page_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page dwell time: the gap to the user's NEXT event, attributed
+    to the page being viewed, truncated at the session gap (a dwell
+    longer than {SESSION_GAP_SECONDS}s is a session boundary, not
+    engagement — the standard GA-style rule; the last event of a session
+    contributes no dwell, the known and accepted censoring).  Pairs with
+    `events_entry_exit_pages` for the full page-engagement read.
+
+    One user-partitioned LEAD window, integer epoch-second gaps, a
+    bounded page-domain rollup with one truncating-div mean."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gaps = ev.select(
+        F.col("k").alias("page"),
+        (epoch(F.lead("ts").over(w)) - epoch(F.col("ts"))).alias("dwell_s"),
+    )
+    valid = gaps.filter(
+        F.col("dwell_s").isNotNull() & (F.col("dwell_s") <= SESSION_GAP_SECONDS)
+    )
+    return valid.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.sum("dwell_s").cast("long").alias("total_dwell_s"),
+        F.expr("cast(sum(dwell_s) as bigint) div count(*)").alias("mean_dwell_s"),
+        F.max("dwell_s").cast("long").alias("max_dwell_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Navigation predictability: Gini impurity of the next-page distribution
+# --------------------------------------------------------------------------
+_NAV_PREDICT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+t AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+per_src AS (
+  SELECT src,
+         CAST(sum(c) AS BIGINT) AS n_out,
+         CAST(count(*) AS BIGINT) AS n_destinations,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sumsq,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM t GROUP BY src)
+SELECT src AS page, n_out, n_destinations,
+       round(1.0 - CAST(sumsq AS DOUBLE)
+             / CAST(n_out AS DOUBLE) / CAST(n_out AS DOUBLE), 6)
+         AS gini_impurity,
+       (10000 * top_c) // n_out AS top_dest_share_bp
+FROM per_src
+"""
+
+
+@query("events_nav_predictability", oracle=_NAV_PREDICT_ORACLE)
+def events_nav_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation predictability per page: the Gini impurity
+    1 − Σᵢ pᵢ² of the next-page distribution (0 = every visitor goes the
+    same place; →1 = navigation is a coin toss over many pages), plus the
+    top-destination share — the polynomial-exact stand-in for transition
+    entropy (no logarithms, so both engines stay bit-identical;
+    `stats_simpson_diversity` uses the same identity corpus-wide) and the
+    page-level read of `events_markov_transitions`.
+
+    One LEAD-pair groupBy onto the |pages|² transition domain, one
+    bounded rollup with Σc² in 128-bit space, one fixed double chain
+    rounded once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    D38 = "decimal(38,0)"
+    per_src = t.groupBy("src").agg(
+        F.sum("c").cast("long").alias("n_out"),
+        F.count(F.lit(1)).alias("n_destinations"),
+        F.sum(F.col("c").cast(D38) * F.col("c").cast(D38)).cast(D38).alias("sumsq"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    return per_src.select(
+        F.col("src").alias("page"),
+        "n_out",
+        "n_destinations",
+        F.round(
+            F.lit(1.0)
+            - F.col("sumsq").cast("double")
+            / F.col("n_out").cast("double")
+            / F.col("n_out").cast("double"),
+            6,
+        ).alias("gini_impurity"),
+        F.expr("(10000 * top_c) div n_out").alias("top_dest_share_bp"),
+    )

@@ -2020,3 +2020,100 @@ def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semi_hard_negs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid drift: per-label embedding distribution shift between halves
+# --------------------------------------------------------------------------
+_DRIFT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, vec_id % 2 AS half,
+         CAST(embedding AS DOUBLE[]) AS vec
+  FROM embeddings),
+dims AS (
+  SELECT label, half, t.i AS dim,
+         CAST(sum(CAST(round(vec[t.i] * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS s_micro
+  FROM v, unnest(generate_series(1, len(vec))) AS t(i)
+  GROUP BY label, half, t.i),
+counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM v GROUP BY label),
+paired AS (
+  SELECT a.label,
+         CAST(sum(CAST(a.s_micro AS HUGEINT) * b.s_micro) AS HUGEINT) AS dot,
+         CAST(sum(CAST(a.s_micro AS HUGEINT) * a.s_micro) AS HUGEINT) AS na2,
+         CAST(sum(CAST(b.s_micro AS HUGEINT) * b.s_micro) AS HUGEINT) AS nb2
+  FROM dims a JOIN dims b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+  GROUP BY a.label)
+SELECT p.label, c.n_a, c.n_b,
+       round(CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(p.na2 AS DOUBLE)) * sqrt(CAST(p.nb2 AS DOUBLE))),
+             6) AS centroid_cosine
+FROM paired p JOIN counts c ON c.label = p.label
+"""
+
+
+@query("similarity_centroid_drift", oracle=_DRIFT_ORACLE)
+def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the cosine between
+    the class centroid computed from the even-id half and the odd-id half
+    of the corpus — cosine ≈ 1 means the two halves agree on where the
+    class lives; a low value flags dataset shift / bad shards before a
+    model trains on them.  The embedding-space twin of
+    `pipeline_drift_monitor`.
+
+    Exactness: cosine is SCALE-INVARIANT, so centroids are never divided
+    by n — the per-dim decimal sums quantize once to integer micro-units
+    and all three inner products accumulate in 128-bit integer space
+    (integer addition commutes → order-free), with one double chain at
+    the end.  Scale: one posexplode pass folds (label, half, dim) partial
+    sums map-side (|labels|·2·64 groups); everything after is
+    model-dimension-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    dims = (
+        emb.select("label", "half", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.sum(F.round(F.col("val") * 1000000, 0).cast("long"))
+            .cast("long")
+            .alias("s_micro")
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    D38 = "decimal(38,0)"
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s_micro").alias("sa")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s_micro").alias("sb")
+    )
+    paired = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa").cast(D38) * F.col("sb").cast(D38)).cast(D38).alias("dot"),
+            F.sum(F.col("sa").cast(D38) * F.col("sa").cast(D38)).cast(D38).alias("na2"),
+            F.sum(F.col("sb").cast(D38) * F.col("sb").cast(D38)).cast(D38).alias("nb2"),
+        )
+    )
+    return paired.join(counts, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+            6,
+        ).alias("centroid_cosine"),
+    )
