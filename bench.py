@@ -217,6 +217,10 @@ HEADLINE = [
     "text_term_position_profile",
     "basket_part_triples",
     "part_dual_sourcing",
+    "events_two_hop_reach",
+    "events_page_dwell_time",
+    "events_nav_predictability",
+    "similarity_centroid_drift",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
