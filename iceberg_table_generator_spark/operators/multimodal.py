@@ -560,3 +560,60 @@ def multimodal_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(FP_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Decode-output statistics: the mapInPandas path, oracle-replayed in SQL
+# --------------------------------------------------------------------------
+_DECODE_STATS_ORACLE = """
+WITH p AS (
+  SELECT doc_id, hex(CAST(text AS BLOB)) AS hs,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+  FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, CAST(least(n, 64) AS INT)),
+                            i -> CAST(CAST('0x' || substring(hs, 2 * i - 1, 2)
+                                            AS INT) AS BIGINT))),
+           (acc, b) -> (acc * 131 + b) % 1000000007) AS hv
+  FROM p),
+wh AS (
+  SELECT ((hv % 640) + 1) // 64 AS w_bucket,
+         ((hv % 480) + 1) // 48 AS h_bucket
+  FROM h)
+SELECT CAST(w_bucket AS INT) AS w_bucket, CAST(h_bucket AS INT) AS h_bucket,
+       CAST(count(*) AS BIGINT) AS n_payloads
+FROM wh GROUP BY 1, 2
+"""
+
+
+@query("multimodal_decode_stats", oracle=_DECODE_STATS_ORACLE)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-bucket histogram of DECODED media dimensions — and the
+    one query whose Spark side actually RUNS the Arrow-batched
+    mapInPandas decode path (`extract_features`, deterministic fake
+    decoder) while the oracle replays the same byte fold in pure SQL
+    (`list_reduce` over the payload's first 64 bytes).  Every other
+    mapInPandas operator is pytest-only; this puts the Python-boundary
+    plumbing itself under the cross-engine hash gate: schema, batching,
+    byte handling, and the decode contract all have to agree for the
+    histogram to match.
+
+    Scale: decode is embarrassingly parallel over Arrow record batches
+    (the module's posture); the rollup folds onto a ≤ 11×11 bucket
+    domain.  With real media libs the fake fold is replaced by the
+    actual decoder and the oracle by golden outputs — the plan is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs).filter(F.col("byte_len") > 0)
+    feats = extract_features(media, fake_decode=True)
+    return (
+        feats.select(
+            F.expr("(width div 64)").cast("int").alias("w_bucket"),
+            F.expr("(height div 48)").cast("int").alias("h_bucket"),
+        )
+        .groupBy("w_bucket", "h_bucket")
+        .agg(F.count(F.lit(1)).alias("n_payloads"))
+    )

@@ -233,3 +233,101 @@ def _register_hilbert_query():
 
 
 _register_hilbert_query()
+
+
+# --------------------------------------------------------------------------
+# Locality audit: Morton vs Hilbert bounding boxes over code-range slices
+# --------------------------------------------------------------------------
+_LOCALITY_BUCKETS = 16
+_CODE_SPACE = _HILBERT_N * _HILBERT_N  # 16-bit codes for both schemes
+
+
+def _locality_oracle() -> str:
+    hilbert_chain = _hilbert_oracle()
+    # reuse the hilbert CTE text up to its final SELECT, then join morton
+    hilbert_body = hilbert_chain[hilbert_chain.index("WITH") : hilbert_chain.rindex("SELECT")]
+    return f"""
+{hilbert_body.rstrip()},
+codes AS (
+  SELECT o_orderkey, a, b, d AS hilbert,
+         CAST({_morton_sql_terms} AS BIGINT) AS morton
+  FROM s{_HILBERT_BITS - 1}),
+stacked AS (
+  SELECT 'hilbert' AS scheme, a, b,
+         hilbert // {_CODE_SPACE // _LOCALITY_BUCKETS} AS bucket FROM codes
+  UNION ALL
+  SELECT 'morton' AS scheme, a, b,
+         morton // {_CODE_SPACE // _LOCALITY_BUCKETS} AS bucket FROM codes),
+boxes AS (
+  SELECT scheme, CAST(bucket AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST((max(a) - min(a)) + (max(b) - min(b)) AS BIGINT)
+           AS bbox_halfperim
+  FROM stacked GROUP BY scheme, bucket)
+SELECT scheme, bucket, n_rows, bbox_halfperim FROM boxes
+"""
+
+
+def _register_locality_query():
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as FF
+
+    from iceberg_table_generator_spark.registry import query
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    @query("zorder_locality_audit", oracle=_locality_oracle())
+    def zorder_locality_audit(spark: SparkSession, sf_dir: str):
+        """Locality audit comparing the two clustering curves on the SAME
+        data: slice the 16-bit code space into {_LOCALITY_BUCKETS}
+        equal-width ranges (a file-slicing proxy that needs no global
+        rank) and report each slice's bounding-box half-perimeter in
+        (a, b) space, per scheme.  Hilbert slices stay square-ish while
+        Morton slices straddle power-of-two seams — the measured reason
+        to prefer Hilbert for multi-dimensional file skipping, pinned as
+        an invariant in tests (Hilbert's total half-perimeter ≤
+        Morton's).
+
+        Pure integer bit arithmetic end to end; the corpus is scanned
+        once and folded onto a 2×{_LOCALITY_BUCKETS}-row domain."""
+        o = load_table(spark, sf_dir, "orders")
+        df = o.selectExpr(
+            "o_orderkey",
+            f"o_orderkey % {_HILBERT_N} AS a",
+            f"o_custkey % {_HILBERT_N} AS b",
+            "CAST(0 AS BIGINT) AS d",
+            f"o_orderkey % {_HILBERT_N} AS x",
+            f"o_custkey % {_HILBERT_N} AS y",
+        )
+        for s in (1 << bb for bb in range(_HILBERT_BITS - 1, -1, -1)):
+            df = df.selectExpr(
+                "o_orderkey", "a", "b", *_hilbert_step_exprs(s, _HILBERT_N)
+            )
+        codes = df.selectExpr(
+            "a",
+            "b",
+            "d AS hilbert",
+            f"CAST({_morton_sql_terms.replace('a >>', 'a >>').replace('b >>', 'b >>')} AS BIGINT) AS morton",
+        )
+        w = _CODE_SPACE // _LOCALITY_BUCKETS
+        stacked = codes.selectExpr(
+            "a",
+            "b",
+            f"stack(2, 'hilbert', hilbert div {w}, 'morton', morton div {w})"
+            " AS (scheme, bucket)",
+        )
+        return (
+            stacked.groupBy("scheme", FF.col("bucket").cast("int").alias("bucket"))
+            .agg(
+                FF.count(FF.lit(1)).alias("n_rows"),
+                (
+                    (FF.max("a") - FF.min("a")) + (FF.max("b") - FF.min("b"))
+                )
+                .cast("long")
+                .alias("bbox_halfperim"),
+            )
+        )
+
+    return zorder_locality_audit
+
+
+_register_locality_query()

@@ -435,3 +435,16 @@ def test_prorate_sums_exactly_per_order(spark, sf_small):
         for r in lines:
             exact = PRORATE_FEE_CENTS * r.price_cents / tot
             assert abs(r.alloc_cents - exact) < 1.0
+
+
+def test_hilbert_locality_beats_morton(spark, sf_small):
+    """Summed slice bounding-box half-perimeters: Hilbert ≤ Morton on the
+    same data (the documented reason to prefer Hilbert clustering)."""
+    from iceberg_table_generator_spark.registry import all_queries
+
+    rows = all_queries()["zorder_locality_audit"](spark, sf_small).collect()
+    tot = {"hilbert": 0, "morton": 0}
+    for r in rows:
+        tot[r.scheme] += r.bbox_halfperim
+    assert tot["hilbert"] <= tot["morton"]
+    assert tot["hilbert"] > 0
