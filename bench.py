@@ -221,6 +221,8 @@ HEADLINE = [
     "events_page_dwell_time",
     "events_nav_predictability",
     "similarity_centroid_drift",
+    "multimodal_decode_stats",
+    "zorder_locality_audit",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
