@@ -3621,3 +3621,172 @@ def part_dual_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(10000 * (max_unit_micro - min_unit_micro)) div min_unit_micro"
         ).alias("spread_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth (lag-12 with calendar-gap handling)
+# --------------------------------------------------------------------------
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT a.mo, a.rev_cents,
+       b.rev_cents AS rev_cents_prev_year,
+       (10000 * (a.rev_cents - b.rev_cents)) // b.rev_cents AS yoy_bp
+FROM monthly a JOIN monthly b ON b.mo = a.mo - 12
+"""
+
+
+@query("orders_yoy_growth", oracle=_YOY_ORACLE)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per month in basis points — the
+    seasonality-free growth read (`orders_mom_growth`'s lag-1 is noisy
+    under weekly/monthly cycles; lag-12 compares like with like).
+    Months without a measured same-month-last-year simply don't appear —
+    the self-equi-join on mo−12 IS the calendar-gap handling (an OUTER
+    lag would silently compare against the wrong month).
+
+    One calendar-bounded monthly aggregate self-joined on the shifted
+    key; pure integers (cents, truncating-div bp)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mo")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    ).transform(persist_tracked)
+    a = monthly
+    b = monthly.select(
+        (F.col("mo") + 12).alias("mo"),
+        F.col("rev_cents").alias("rev_cents_prev_year"),
+    )
+    return a.join(b, "mo").select(
+        "mo",
+        "rev_cents",
+        "rev_cents_prev_year",
+        F.expr(
+            "(10000 * (rev_cents - rev_cents_prev_year))"
+            " div rev_cents_prev_year"
+        ).alias("yoy_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue vs its median
+# --------------------------------------------------------------------------
+_RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1),
+dist AS (SELECT rev, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY rev),
+med AS (
+  SELECT CAST(min(rev) AS BIGINT) AS median_rev FROM (
+    SELECT rev, sum(c) OVER (ORDER BY rev) AS cum,
+           sum(c) OVER () AS n
+    FROM dist) t
+  WHERE 2 * cum >= n),
+signs AS (
+  SELECT d.day, CAST(d.rev > m.median_rev AS INT) AS above
+  FROM daily d CROSS JOIN med m WHERE d.rev <> m.median_rev),
+flagged AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS DISTINCT FROM above
+              THEN 1 ELSE 0 END AS is_new
+  FROM signs),
+stats AS (
+  SELECT CAST(sum(is_new) AS BIGINT) AS r,
+         CAST(sum(above) AS BIGINT) AS n1,
+         CAST(sum(1 - above) AS BIGINT) AS n2
+  FROM flagged)
+SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+       round((r - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(CAST(2 AS DOUBLE) * n1 * n2
+                    * (2 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                       * (n1 + n2 - 1))), 6) AS z_runs
+FROM stats
+"""
+
+
+@query("stats_runs_test", oracle=_RUNS_TEST_ORACLE)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily-revenue series RANDOM around
+    its median, or does it trend/cycle?  Counts maximal runs of
+    above/below-median days (median-equal days dropped, the standard
+    rule; the exact lower median comes from the count-crossing rule) and
+    standardizes against the null mean 2n₁n₂/(n₁+n₂)+1 — too few runs ⇒
+    trending (the CUSUM/ACF finding, read nonparametrically), too many ⇒
+    oscillation.
+
+    Exactness: run counts and n₁/n₂ are pure integers; z is one fixed
+    left-associated chain of correctly-rounded double ops (one sqrt),
+    rounded once.  Scale: one calendar-bounded daily aggregate, one
+    bounded median fold, one LAG window over the day series."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev")
+    ).transform(persist_tracked)
+    dist = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        dist.select(
+            "rev",
+            F.sum("c").over(wv).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("rev").cast("long").alias("median_rev"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("median_rev"))
+        .select("day", (F.col("rev") > F.col("median_rev")).cast("int").alias("above"))
+    )
+    wd = Window.orderBy("day")
+    flagged = signs.select(
+        "above",
+        F.when(
+            F.lag("above").over(wd).isNull()
+            | (F.lag("above").over(wd) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    stats = flagged.agg(
+        F.sum("is_new").cast("long").alias("r"),
+        F.sum("above").cast("long").alias("n1"),
+        F.sum(1 - F.col("above")).cast("long").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mu = F.lit(2.0) * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1
+    var = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (2 * n1d * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2")).cast("double")
+            * (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return stats.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.round((F.col("r") - mu) / F.sqrt(var), 6).alias("z_runs"),
+    )

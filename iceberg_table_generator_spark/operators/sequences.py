@@ -1726,3 +1726,63 @@ def events_nav_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_impurity"),
         F.expr("(10000 * top_c) div n_out").alias("top_dest_share_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day DAU (range frame over the day index, gap-correct)
+# --------------------------------------------------------------------------
+_DAU_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+rolled AS (
+  SELECT day, dau, n_events,
+         CAST(sum(dau) OVER (ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS dau_7d_sum,
+         CAST(count(*) OVER (ORDER BY day
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_days_7d
+  FROM daily)
+SELECT day, dau, n_events, dau_7d_sum, n_days_7d,
+       (1000000 * dau_7d_sum) // n_days_7d AS dau_7d_avg_micro
+FROM rolled
+"""
+
+
+@query("events_dau_rolling", oracle=_DAU_ROLLING_ORACLE)
+def events_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DAU: daily distinct users with a RANGE-frame trailing
+    week sum/average — the dashboard smoothing line.  The frame ranges
+    over the EPOCH-DAY VALUE, not row positions, so calendar gaps shrink
+    the window honestly (a ROWS frame would silently reach 7 observed
+    days back across a dark week); the divisor is the actual day count
+    in frame.
+
+    One distinct-count daily aggregate, one value-range window over the
+    calendar-bounded day series, integer micro-unit average."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.orderBy("day").rangeBetween(-6, 0)
+    rolled = daily.select(
+        "day",
+        "dau",
+        "n_events",
+        F.sum("dau").over(wr).cast("long").alias("dau_7d_sum"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("n_days_7d"),
+    )
+    return rolled.select(
+        "day",
+        "dau",
+        "n_events",
+        "dau_7d_sum",
+        "n_days_7d",
+        F.expr("(1000000 * dau_7d_sum) div n_days_7d").alias("dau_7d_avg_micro"),
+    )
