@@ -223,6 +223,9 @@ HEADLINE = [
     "similarity_centroid_drift",
     "multimodal_decode_stats",
     "zorder_locality_audit",
+    "orders_yoy_growth",
+    "stats_runs_test",
+    "events_dau_rolling",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
