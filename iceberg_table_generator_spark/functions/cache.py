@@ -19,6 +19,9 @@ own executor-loss story for DISK_ONLY blocks.
 
 from __future__ import annotations
 
+import contextlib
+from collections.abc import Iterator
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
@@ -44,3 +47,34 @@ def release_tracked() -> int:
             pass
     _TRACKED.clear()
     return n
+
+
+@contextlib.contextmanager
+def tracked_scope() -> Iterator[None]:
+    """Deterministic-release scope for ad-hoc callers (r7 advice).
+
+    The module-global ``_TRACKED`` list otherwise retains DataFrame
+    references (and their DISK_ONLY blocks) until a harness calls
+    :func:`release_tracked` — harnesses (`bench.py`,
+    `scripts/check_oracle.py`, the driver sweep) do, but a user composing
+    operators directly in a long-lived session would accumulate blocks.
+    Wrap each query's terminal action instead::
+
+        with tracked_scope():
+            all_queries()["dedup_minhash_lsh"](spark, sf_dir).count()
+        # every intermediate persisted during the block is now released
+
+    Frames persisted BEFORE entering the scope are untouched: the scope
+    releases only what was tracked inside it.
+    """
+    start = len(_TRACKED)
+    try:
+        yield
+    finally:
+        tail = _TRACKED[start:]
+        del _TRACKED[start:]
+        for df in tail:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — same contract as release_tracked
+                pass

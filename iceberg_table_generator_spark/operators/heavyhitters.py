@@ -81,7 +81,11 @@ WITH it AS (
   SELECT CAST(props->>'$.k' AS BIGINT) AS item FROM events
   WHERE props->>'$.k' IS NOT NULL),
 b AS (
-  SELECT item % {N_BUCKETS} AS bucket, item, CAST(count(*) AS BIGINT) AS c
+  -- sign-normalized modulus == Spark's pmod (r7 advice: DuckDB's % is
+  -- sign-preserving, so a negative item would otherwise land in a
+  -- different bucket than the Spark side)
+  SELECT ((item % {N_BUCKETS}) + {N_BUCKETS}) % {N_BUCKETS} AS bucket,
+         item, CAST(count(*) AS BIGINT) AS c
   FROM it GROUP BY 1, 2),
 tot AS (
   SELECT bucket, CAST(sum(c) AS BIGINT) AS n_events FROM b GROUP BY bucket)

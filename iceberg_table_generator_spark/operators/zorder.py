@@ -306,7 +306,7 @@ def _register_locality_query():
             "a",
             "b",
             "d AS hilbert",
-            f"CAST({_morton_sql_terms.replace('a >>', 'a >>').replace('b >>', 'b >>')} AS BIGINT) AS morton",
+            f"CAST({_morton_sql_terms} AS BIGINT) AS morton",
         )
         w = _CODE_SPACE // _LOCALITY_BUCKETS
         stacked = codes.selectExpr(
