@@ -29,6 +29,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.order import (
+    ntile_expr,
+    with_global_order,
+)
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
@@ -429,25 +433,23 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decile product profile is engine-exact integers + one DECIMAL
     mean).
 
-    Same vocab aggregate as `text_ngram_coverage`; the rank window here
-    DOES sort the aggregated vocabulary (decile boundaries split
+    Same vocab aggregate as `text_ngram_coverage`; the rank here DOES
+    totally order the aggregated vocabulary (decile boundaries split
     tie-blocks, so the distribution shortcut coverage uses does not
-    apply verbatim) — the accepted global-cumsum tier, |vocab| rows.
-    The decile key is integer division so binning is exact, and the
-    output is ≤10 rows."""
+    apply verbatim) — since r8 it is the two-phase distributed global
+    order (`functions/order.py::with_global_order`), so the vocabulary
+    (Heaps-law sub-linear, but still huge at 100 TB) never lands on one
+    executor.  The decile key is integer division so binning is exact,
+    and the output is ≤10 rows."""
     w = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("word")
     )
     vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     # Persist the ranked vocab: the scalar n_vocab and the decile fold
-    # both consume it — one token explode + one rank sort, not two.
-    ranked = vocab.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
-        .cast("long")
-        .alias("rk"),
-    ).transform(persist_tracked)
+    # both consume it — one token explode + one rank pass, not two.
+    ranked = with_global_order(
+        vocab, [F.desc("cnt"), F.asc("word")], pos="rk"
+    ).select("cnt", "rk").transform(persist_tracked)
     n = ranked.agg(F.count(F.lit(1)).alias("n_vocab"))
     return (
         ranked.crossJoin(F.broadcast(n))

@@ -20,6 +20,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from iceberg_table_generator_spark.functions.order import (
+    ntile_expr,
+    with_global_order,
+)
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
 from iceberg_table_generator_spark.operators.tpch_ext import (
@@ -156,15 +160,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartiles (ntile over total, deterministic tiebreak on custkey), then
     segment sizes and value — the classic CRM cube.
 
-    Scale note — the honest cost: `ntile` over an un-partitioned ORDER BY
-    is a global sort with a single-partition window; at billions of
-    customers the exact-rank form is replaced by approx-quantile cut
-    points (computed once, applied as a narrow CASE — the repo's
-    `approx_sketches` machinery).  Here customer cardinality is
-    dimension-sized (30–6000× below the fact table), and the window input
-    is ALREADY one aggregated row per customer, so the sort is over the
-    dim, not the corpus.  Monetary sums are exact DECIMAL before the
-    single rounding."""
+    Scale: each quartile cut is the two-phase distributed global order
+    (`functions/order.py::with_global_order` — range shuffle, partitioned
+    running ranks, cluster-bounded offset broadcast) plus the integer
+    `ntile_expr` closed form, bit-equal to the single-partition `ntile`
+    window it replaced in r8 — exact quartiles at ANY customer
+    cardinality, no single-executor sort.  Monetary sums are exact
+    DECIMAL before the single rounding."""
     base = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("custkey"))
@@ -176,15 +178,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    r = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
-    f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    tiles = base.select(
+    n = base.agg(F.count(F.lit(1)).alias("n_cust"))
+    t = with_global_order(
+        base, [F.desc("last_order"), F.asc("custkey")], pos="rpos"
+    )
+    t = with_global_order(
+        t, [F.desc("frequency"), F.asc("custkey")], pos="fpos"
+    )
+    t = with_global_order(
+        t, [F.desc("monetary"), F.asc("custkey")], pos="mpos"
+    )
+    tiles = t.crossJoin(F.broadcast(n)).select(
         "custkey",
         "monetary",
-        F.ntile(RFM_TILES).over(r).alias("r_tile"),
-        F.ntile(RFM_TILES).over(f).alias("f_tile"),
-        F.ntile(RFM_TILES).over(m).alias("m_tile"),
+        ntile_expr("rpos", "n_cust", RFM_TILES).alias("r_tile"),
+        ntile_expr("fpos", "n_cust", RFM_TILES).alias("f_tile"),
+        ntile_expr("mpos", "n_cust", RFM_TILES).alias("m_tile"),
     )
     return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -233,24 +242,23 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     single double division per row, rounded nowhere before the
     comparison (both engines divide the same exact decimals).
 
-    Scale: the per-part aggregate shuffles once; the cumulative window
-    is a global ORDER BY over the aggregated part relation — dim-sized,
-    same caveat-and-remedy as `rfm_segments`; output is one row."""
+    Scale: the per-part aggregate shuffles once; the cumulative revenue
+    line is the two-phase distributed prefix scan
+    (`functions/order.py::with_global_order`), bit-equal to the
+    single-partition window it replaced in r8 — exact at ANY part
+    cardinality; output is one row."""
     pv = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.sum(rev_dec()).alias("rev"))
     )
     tot = pv.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = pv.crossJoin(F.broadcast(tot)).select(
-        "l_partkey",
-        "rev",
-        "total",
-        F.sum("rev").over(w).alias("cum_rev"),
-    )
+    ranked = with_global_order(
+        pv,
+        [F.desc("rev"), F.asc("l_partkey")],
+        cums=[(F.col("rev"), "cum_rev")],
+        pos=None,
+    ).crossJoin(F.broadcast(tot))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum(
@@ -1142,11 +1150,11 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate enters as the integer `returns·10⁶ div n_items` (no
     float rate, so rank ties are engine-exact), ranks tiebreak on
     suppkey, and the composite is a small integer sum.  One aggregation
-    over the fact table; the rank windows order the supplier DIM
-    (30-6000× below the fact table — same documented posture as RFM);
-    top-k is TakeOrderedAndProject."""
-    from pyspark.sql.window import Window
-
+    over the fact table; each rank is the two-phase distributed global
+    order (`functions/order.py::with_global_order` — under the unique
+    (metric, suppkey) total order, `rank` equals `row_number`), so no
+    supplier-cardinality relation ever lands on one executor; top-k is
+    TakeOrderedAndProject."""
     m = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_suppkey").alias("suppkey"))
@@ -1157,18 +1165,21 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .withColumn("rate", F.expr("returns * 1000000 div n_items"))
     )
-    wr = Window.orderBy(F.desc("revenue"), F.asc("suppkey"))
-    wq = Window.orderBy(
-        F.expr("returns * 1000000 div n_items").asc(), F.asc("suppkey")
+    ranked = with_global_order(
+        m, [F.desc("revenue"), F.asc("suppkey")], pos="rev_rank"
+    )
+    ranked = with_global_order(
+        ranked, [F.asc("rate"), F.asc("suppkey")], pos="return_rank"
     )
     return (
-        m.select(
+        ranked.select(
             "suppkey",
             F.round("revenue", 2).cast("double").alias("revenue"),
             "n_items",
-            F.rank().over(wr).alias("rev_rank"),
-            F.rank().over(wq).alias("return_rank"),
+            "rev_rank",
+            "return_rank",
         )
         .withColumn("composite", F.col("rev_rank") + 2 * F.col("return_rank"))
         .orderBy("composite", "suppkey")

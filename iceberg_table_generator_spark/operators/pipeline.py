@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
+from iceberg_table_generator_spark.functions.order import (
+    ntile_expr,
+    with_global_order,
+)
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
@@ -1057,13 +1061,11 @@ def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Efraimidis-Spirakis weighted sampling, whose u^(1/w) keys are
     transcendental and therefore un-orableable bit-exactly).
 
-    Scale note: stated honestly, the cumulative line here is ONE global
-    window (deliberate, like Pareto) — at corpus scale the same design
-    shards first (`pipeline_sequence_packing`'s md5 shards) and draws
-    k/shard per shard, which preserves the PPS property within shards;
-    the selection algebra is unchanged."""
-    from pyspark.sql.window import Window
-
+    Scale: the cumulative token line is the two-phase distributed prefix
+    scan (`functions/order.py::with_global_order` — range shuffle on the
+    md5 order, per-partition running sums, cluster-bounded offset
+    broadcast), bit-equal to the single-partition window it replaced in
+    r8, so the corpus never lands on one executor."""
     toks = F.split("text", " ")
     tok = (
         load_table(spark, sf_dir, "documents")
@@ -1075,10 +1077,12 @@ def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("doc_id").cast("string")).alias("rk"),
         )
     )
-    w = Window.orderBy("rk", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = with_global_order(
+        tok,
+        [F.asc("rk"), F.asc("doc_id")],
+        cums=[(F.col("tokens"), "c_hi")],
+        pos=None,
     )
-    cum = tok.withColumn("c_hi", F.sum("tokens").over(w))
     tot = tok.agg(F.sum("tokens").alias("w_total"))
     marked = cum.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -105,6 +105,62 @@ def broadcast_subtrees(df: DataFrame) -> list[str]:
     return out
 
 
+def _top_level_bracket_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups of one plan line (brackets may nest)."""
+    groups: list[str] = []
+    depth = 0
+    start = -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]" and depth:
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start + 1 : i])
+    return groups
+
+
+def global_window_subtrees(df: DataFrame) -> list[tuple[str, str]]:
+    """(window line, child subtree text) for every UNPARTITIONED Window.
+
+    A Window node prints ``Window [functions], [partition], [order]``; a
+    global (no partitionBy) window omits the partition group, which Spark
+    executes by moving ALL input rows to a single partition — fine over a
+    bounded post-aggregation relation, a scale-killer over a corpus.  The
+    two-group form is detected by the second group being an ORDER spec
+    (contains a sort direction); a partition-only window (no orderBy) has a
+    plain column list there and is partitioned, i.e. scale-safe.
+    """
+    text = plan_text(df, mode="simple")
+    lines = text.splitlines()
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+    out: list[tuple[str, str]] = []
+    for i, line in enumerate(lines):
+        stripped = re.sub(r"^[\s:+\-|*()\d]*", "", line)
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(line)
+        if len(groups) >= 3:
+            continue  # [functions], [partition], [order] — partitioned
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            continue  # [functions], [partition] — partitioned, no order
+        d = depth(line)
+        sub: list[str] = []
+        for nxt in lines[i + 1 :]:
+            if not nxt.strip() or depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append((line.strip(), "\n".join(sub)))
+    return out
+
+
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """Number of whole-stage codegen regions (wider regions = fewer ids).
     Simple mode marks each fused region's operators with `*(N)`; formatted
