@@ -39,6 +39,11 @@ Bounded categories (a subtree passes if it matches ANY):
                      harness's stand-in for it.
 - ``id_range``     — a ``<k`` predicate on an id/key column: the
                      similarity query sets (vec_id < n_queries).
+- ``partition_offsets`` — an aggregate keyed on ``SPARK_PARTITION_ID()``:
+                     at most one row per shuffle partition, so the
+                     relation is bounded by CLUSTER size, not data size
+                     (the two-phase global-order offset table,
+                     ``functions/order.py``).
 
 Driver-built relations that surface as ``Scan ExistingRDD`` are NOT
 granted a blanket pass — a corpus-sized ``localCheckpoint`` prints
@@ -68,6 +73,7 @@ LITERAL = re.compile(r"LocalTableScan|\bRange \(")
 HEAVY_HITTER = re.compile(r"Filter \(\w+#\d+L? > \d+\)")
 BENCH_FRACTION = re.compile(r"pmod\(doc_id#\d+L?, \d+\) = 0")
 ID_RANGE = re.compile(r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+")
+PARTITION_ID_AS = re.compile(r"SPARK_PARTITION_ID\(\) AS (\w+#\d+)")
 SCAN = re.compile(r"FileScan parquet \[[^\]]*\].*?\[file:([^\],]+)")
 
 FIXED_DIMS = {"region", "nation"}
@@ -103,6 +109,11 @@ def _bounded_reasons(subtree: str) -> list[str]:
         reasons.append("bench_fraction")
     if ID_RANGE.search(subtree):
         reasons.append("id_range")
+    pid = PARTITION_ID_AS.search(subtree)
+    if pid and re.search(
+        r"Aggregate\(keys=\[" + re.escape(pid.group(1)), subtree
+    ):
+        reasons.append("partition_offsets")
     tables = _scan_tables(subtree)
     if tables and all(t in FIXED_DIMS for t in tables):
         reasons.append("fixed_dim")
