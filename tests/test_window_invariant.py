@@ -1,0 +1,103 @@
+"""Repo-wide single-partition-window invariant.
+
+An unpartitioned `Window.orderBy(...)` moves EVERY input row to one
+partition (Spark's `WindowExec: No Partition Defined` warning) — fine over
+a bounded post-aggregation relation, the classic scale-killer over a
+corpus- or dimension-cardinality relation.  The corpus-scale windows were
+converted to the two-phase distributed order (`functions/order.py`); this
+suite is the standing guard that no registered query re-introduces one.
+
+Structural bounded categories (a window passes if ANY matches):
+
+- ``partition_offsets`` — the window orders on a ``_pid`` column (the
+  two-phase offset prefix over per-partition totals: ≤ n_partitions rows,
+  bounded by CLUSTER size, not data size).
+- ``limit``   — the window's child subtree contains GlobalLimit /
+  CollectLimit / TakeOrderedAndProject: k rows by construction.
+- ``scalar``  — the relation under the window is a keys=[] aggregate.
+
+Windows over relations whose boundedness is a MODEL fact rather than a
+plan-structural fact are acknowledged by name with an exact expected
+count and a written rationale (`ACKNOWLEDGED` below).  A new unpartitioned
+window anywhere else — or an acknowledged query growing MORE of them —
+fails this suite and must either restructure onto
+`functions/order.with_global_order` or argue its bound here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from iceberg_table_generator_spark import all_queries
+from iceberg_table_generator_spark.plans import explain
+
+QUERIES = all_queries()
+
+LIMIT = re.compile(r"TakeOrderedAndProject|GlobalLimit|CollectLimit")
+SCALAR_AGG = re.compile(r"(?:Hash|Sort|Object\w*)Aggregate\(keys=\[\]")
+PID_ORDER = re.compile(r"windowspecdefinition\(_pid#\d+")
+
+#: query name -> (max unpartitioned windows, why the relation is bounded).
+ACKNOWLEDGED: dict[str, tuple[int, str]] = {
+    "events_dau_rolling": (1, "one row per calendar day (time domain)"),
+    "events_gini_concentration": (
+        1,
+        "count-of-counts histogram: distinct per-user event counts, "
+        "O(sqrt(total events)) under any count distribution",
+    ),
+    "events_peak_concurrency": (
+        1,
+        "per-minute session boundary deltas: one row per minute of the "
+        "dataset's time span (time domain, not row count)",
+    ),
+    "events_rate_anomaly": (1, "one row per hour (time domain)"),
+    "orders_mom_growth": (1, "one row per month (time domain)"),
+    "orders_open_backlog": (1, "one row per month (time domain)"),
+    "orders_survival_hazard": (1, "fixed duration-bucket grid"),
+    "stats_runs_test": (
+        3,
+        "day-level revenue relation and its distinct-value histogram "
+        "(time domain)",
+    ),
+    "stats_spearman_rho": (
+        2,
+        "value-marginal histograms: one row per distinct quantity / "
+        "discount value (fixed model domains)",
+    ),
+    "text_ngram_coverage": (
+        1,
+        "count-of-counts histogram over word frequencies, "
+        "O(sqrt(corpus tokens)) under Zipf",
+    ),
+}
+
+
+def _structural_reasons(line: str, sub: str) -> list[str]:
+    reasons: list[str] = []
+    if PID_ORDER.search(line):
+        reasons.append("partition_offsets")
+    if LIMIT.search(sub):
+        reasons.append("limit")
+    if SCALAR_AGG.search(sub.splitlines()[0] if sub else ""):
+        reasons.append("scalar")
+    return reasons
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_single_partition_window(name, spark, sf_small):
+    df = QUERIES[name](spark, sf_small)
+    unexplained = []
+    for line, sub in explain.global_window_subtrees(df):
+        if not _structural_reasons(line, sub):
+            unexplained.append(line)
+    allowed, why = ACKNOWLEDGED.get(name, (0, ""))
+    assert len(unexplained) <= allowed, (
+        f"{name}: {len(unexplained)} unpartitioned window(s) with no "
+        f"structural bound (acknowledged budget {allowed}"
+        f"{': ' + why if why else ''}) — a corpus-scale relation here is "
+        f"the single-partition scale-killer class; restructure onto "
+        f"functions/order.with_global_order or acknowledge with a "
+        f"rationale.  Windows:\n" + "\n".join(unexplained)
+    )
