@@ -18,6 +18,7 @@ from iceberg_table_generator_spark.operators import (  # noqa: F401
     skew,
     text,
     tpch_ext,
+    wave8,
     wide,
     zorder,
 )
