@@ -389,3 +389,231 @@ def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") * float(N_SHARDS) / F.col("total_tokens"), 6
         ).alias("token_load"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing as ONE recursive SQL, run on both engines
+# --------------------------------------------------------------------------
+HOLT_TRAIL_MONTHS = 24  # fit the trailing two years (recursion depth cap)
+
+
+def _holt_sql(table: str) -> str:
+    """Holt's double exponential smoothing (α = β = 1/2) over the
+    trailing {HOLT_TRAIL_MONTHS} months of revenue, as a recursive CTE.
+    The SAME text runs on Spark 4 (UnionLoop execution) and DuckDB
+    (iterative recursion) — `table` is the only substitution.  All
+    recursion arithmetic is +, −, and multiplication by 0.5 (an exact
+    IEEE scaling) in a fixed parse order, so the two engines' doubles
+    are bit-identical at every step; the trend expression repeats the
+    level expression textually because a recursive leg cannot name its
+    own output.  The trailing-window cap is both the product choice
+    (forecast from recent history, not 1992) and the recursion-depth
+    bound: Spark pays ~0.5 s of job-scheduling overhead PER UnionLoop
+    step, so depth is the entire cost of this query."""
+    return f"""
+WITH RECURSIVE monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+         max(year(o_orderdate) * 100 + month(o_orderdate)) AS ym,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS cents
+  FROM {table} GROUP BY year(o_orderdate) * 12 + month(o_orderdate)),
+m AS (
+  SELECT CAST(row_number() OVER (ORDER BY mi) AS BIGINT) AS i, ym, cents,
+         CAST(cents AS DOUBLE) AS y
+  FROM monthly
+  WHERE mi > (SELECT max(mi) FROM monthly) - {HOLT_TRAIL_MONTHS}),
+h (i, lvl, trd) AS (
+  SELECT a.i, a.y, b.y - a.y
+  FROM m a JOIN m b ON a.i = 1 AND b.i = 2
+  UNION ALL
+  SELECT m.i,
+         0.5 * m.y + 0.5 * (h.lvl + h.trd),
+         0.5 * ((0.5 * m.y + 0.5 * (h.lvl + h.trd)) - h.lvl) + 0.5 * h.trd
+  FROM h JOIN m ON m.i = h.i + 1)
+SELECT m.ym, m.cents,
+       round(h.lvl, 6) AS level_cents,
+       round(h.trd, 6) AS trend_cents,
+       round(h.lvl + h.trd, 6) AS forecast_next_cents
+FROM h JOIN m ON m.i = h.i
+"""
+
+
+@query("orders_holt_forecast", oracle=_holt_sql("orders"))
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of monthly
+    revenue: per-month level, trend, and one-step-ahead forecast — the
+    trend-aware upgrade of `orders_ewma_forecast` (which has no trend
+    term and lags ramps by construction).
+
+    This is the repo's recursive-CTE showcase: the Spark side executes
+    the IDENTICAL `WITH RECURSIVE` text the oracle runs (Spark 4
+    recursive CTEs), rather than a driver-side loop — the recursion is
+    over the trailing-{HOLT_TRAIL_MONTHS}-month slice of the
+    calendar-bounded monthly relation (one row per month at ANY scale
+    factor), so the loop depth is a model constant, not a data
+    quantity.  α = β = 1/2 makes every iteration an exact IEEE
+    halving — bit-identical across engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "holt_orders_src"
+    )
+    return spark.sql(_holt_sql("holt_orders_src"))
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification of customers by revenue contribution
+# --------------------------------------------------------------------------
+_ABC_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, rev_cents,
+         CAST(sum(rev_cents) OVER
+              (ORDER BY rev_cents DESC, o_custkey) AS BIGINT) AS cum_cents,
+         CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+  FROM cust),
+classed AS (
+  SELECT CASE WHEN 10 * cum_cents <= 7 * total_cents THEN 'A'
+              WHEN 10 * cum_cents <= 9 * total_cents THEN 'B'
+              ELSE 'C' END AS abc_class,
+         rev_cents, total_cents
+  FROM ranked)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+       round(sum(rev_cents) * 100.0 / max(total_cents), 6) AS share_pct
+FROM classed GROUP BY abc_class
+"""
+
+
+@query("orders_abc_classification", oracle=_ABC_ORACLE)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of customers: class A holds the customers whose
+    cumulative revenue (ranked descending) stays within 70% of total, B
+    to 90%, C the tail — the inventory-management cut of the same Lorenz
+    machinery behind `pareto_revenue_concentration`, reported as class
+    sizes and revenue shares.
+
+    Scale: the descending cumulative sum uses the two-phase distributed
+    global order (`functions/order.py`) — a range shuffle plus bounded
+    offset broadcast, never a single-partition window over the customer
+    dimension; class boundaries are pure integer comparisons (10·cum vs
+    7·total), so no share ratio is ever materialized per row."""
+    from iceberg_table_generator_spark.functions.order import with_global_order
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    tot = cust.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    ranked = with_global_order(
+        cust,
+        [F.desc("rev_cents"), F.asc("o_custkey")],
+        cums=[(F.col("rev_cents"), "cum_cents")],
+        pos=None,
+    ).crossJoin(F.broadcast(tot))
+    classed = ranked.select(
+        "rev_cents",
+        "total_cents",
+        F.when(10 * F.col("cum_cents") <= 7 * F.col("total_cents"), "A")
+        .when(10 * F.col("cum_cents") <= 9 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.round(
+            F.sum("rev_cents") * 100.0 / F.max("total_cents"), 6
+        ).alias("share_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V effect size for the lang × source association
+# --------------------------------------------------------------------------
+_CRAMERS_ORACLE = """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+rows_ AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_row FROM obs GROUP BY lang),
+cols_ AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_col FROM obs GROUP BY source),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs),
+grid AS (
+  SELECT r.lang, c.source, r.n_row, c.n_col, t.n_tot, COALESCE(o.n, 0) AS n
+  FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source),
+stat AS (
+  SELECT CAST(sum(CAST(
+           (CAST(n AS DOUBLE) - (CAST(n_row AS DOUBLE) * n_col) / n_tot)
+           * (CAST(n AS DOUBLE) - (CAST(n_row AS DOUBLE) * n_col) / n_tot)
+           / ((CAST(n_row AS DOUBLE) * n_col) / n_tot)
+         AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+         CAST(max(n_tot) AS BIGINT) AS n_tot,
+         CAST(least(count(DISTINCT lang), count(DISTINCT source)) - 1
+              AS BIGINT) AS k
+  FROM grid)
+SELECT round(chi2, 4) AS chi2_stat, n_tot, k,
+       round(sqrt(chi2 / (n_tot * k)), 6) AS cramers_v
+FROM stat
+"""
+
+
+@query("stats_cramers_v", oracle=_CRAMERS_ORACLE)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang × source contingency table — the
+    normalized [0, 1] effect size `stats_chisq_lang_source`'s raw χ²
+    can't give (χ² grows with n; V answers "HOW associated", comparable
+    across corpora of different sizes).
+
+    Same exactness scheme as the χ² query: integer marginals, per-cell
+    fixed-order IEEE terms, DECIMAL(38,12) order-free accumulation, then
+    ONE final sqrt chain rounded once.  Scale: two vocabulary-sized
+    marginal aggregates and a |langs|×|sources| grid; one row out."""
+    obs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("n").alias("n_row"))
+    cols_ = obs.groupBy("source").agg(F.sum("n").alias("n_col"))
+    tot = obs.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_row",
+            "n_col",
+            "n_tot",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    e = (F.col("n_row").cast("double") * F.col("n_col")) / F.col("n_tot")
+    term = (
+        (F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e
+    ).cast("decimal(38,12)")
+    stat = grid.agg(
+        F.sum(term).cast("double").alias("chi2"),
+        F.max("n_tot").cast("long").alias("n_tot"),
+        (
+            F.least(F.countDistinct("lang"), F.countDistinct("source")) - 1
+        ).cast("long").alias("k"),
+    )
+    return stat.select(
+        F.round("chi2", 4).alias("chi2_stat"),
+        "n_tot",
+        "k",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_tot") * F.col("k"))), 6
+        ).alias("cramers_v"),
+    )

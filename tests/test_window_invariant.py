@@ -53,6 +53,12 @@ ACKNOWLEDGED: dict[str, tuple[int, str]] = {
         "dataset's time span (time domain, not row count)",
     ),
     "events_rate_anomaly": (1, "one row per hour (time domain)"),
+    "orders_holt_forecast": (
+        2,
+        "row_number over the monthly relation: one row per month "
+        "(time domain) — the recursive-CTE month index; the month CTE "
+        "is planned twice (anchor join + final join), hence two copies",
+    ),
     "orders_mom_growth": (1, "one row per month (time domain)"),
     "orders_open_backlog": (1, "one row per month (time domain)"),
     "orders_survival_hazard": (1, "fixed duration-bucket grid"),
