@@ -617,3 +617,324 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("chi2") / (F.col("n_tot") * F.col("k"))), 6
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster silhouette audit over the shared integer-exact k-means index
+# --------------------------------------------------------------------------
+def _silhouette_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_ITERS,
+        _VEC_DIM,
+        _sql_d2_int,
+        _sql_ivf_fit_ctes,
+        _sql_km_setup,
+    )
+
+    k, iters, dim = IVF_CLUSTERS, IVF_ITERS, _VEC_DIM
+    d2 = _sql_d2_int("q0.qv", "c.cv", dim)
+    return f"""{_sql_km_setup()}{_sql_ivf_fit_ctes(k, iters, dim)},
+ranked AS (
+  SELECT q0.vec_id, c.cid, {d2} AS d2,
+         row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {d2}, c.cid) AS rn
+  FROM q0 CROSS JOIN c{iters} c),
+ab AS (
+  SELECT vec_id, cid, rn, d2 AS a2,
+         lead(d2) OVER (PARTITION BY vec_id ORDER BY rn) AS b2
+  FROM ranked WHERE rn <= 2)
+SELECT cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN b2 >= 4 * a2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tight,
+       round(sum(CASE WHEN b2 >= 4 * a2 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS tight_ratio
+FROM ab WHERE rn = 1
+GROUP BY cid
+"""
+
+
+@query("similarity_silhouette_audit", oracle=_silhouette_oracle())
+def similarity_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-distance silhouette audit of the shared IVF k-means index:
+    per cluster, how many members sit at least TWICE as close to their
+    own centroid as to the nearest other centroid (b ≥ 2a, compared as
+    b² ≥ 4a² — no square roots) — the index-quality gate that tells you
+    whether `similarity_ivf_topk`'s nprobe=2 is safe (loose clusters ⇒
+    neighbors leak across list boundaries and recall drops;
+    `similarity_ann_recall_eval` measures that leak, this explains it).
+
+    Exactness: distances are scale-6 integer d² against the SAME
+    engine-exact centroids DuckDB refits from raw parquet (the
+    IVF/PQ oracle machinery); the tightness test is a pure integer
+    comparison.  Scale: one narrow pass — per-row argmin over k
+    broadcast centroid literals; the only shuffle is the k-row final
+    aggregate."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _d2_structs_int,
+        _qint,
+        ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = ivf_index(emb, cache_key=sf_dir)
+    top2 = F.slice(F.array_sort(_d2_structs_int(_qint("vec"), cents)), 1, 2)
+    d = emb.select(
+        F.element_at(top2, 1)["cluster_id"].alias("cluster_id"),
+        F.element_at(top2, 1)["d2"].alias("a2"),
+        F.element_at(top2, 2)["d2"].alias("b2"),
+    )
+    tight = F.sum(F.when(F.col("b2") >= 4 * F.col("a2"), 1).otherwise(0))
+    return d.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        tight.alias("n_tight"),
+        F.round(tight * 1.0 / F.count(F.lit(1)), 6).alias("tight_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) equality-of-variance test
+# --------------------------------------------------------------------------
+_BF_FINAL = (
+    "round((CAST(n_total - k_groups AS DOUBLE) * ssb)"
+    " / (CAST(k_groups - 1 AS DOUBLE) * ssw), 6)"
+)
+
+_LEVENE_ORACLE = f"""
+WITH hist AS (
+  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars),
+cum AS (
+  SELECT lang, v, c,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cumc,
+         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM hist),
+med AS (
+  SELECT lang, CAST(min(v) AS BIGINT) AS med
+  FROM cum WHERE 2 * cumc >= n GROUP BY lang),
+z AS (
+  SELECT d.lang, abs(d.n_chars - m.med) AS z
+  FROM documents d JOIN med m ON m.lang = d.lang),
+grp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(z) AS BIGINT) AS s_i,
+         CAST(sum(CAST(z AS HUGEINT) * z) AS BIGINT) AS q_i
+  FROM z GROUP BY lang),
+fold AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(n_i) AS BIGINT) AS n_total,
+         CAST(sum(s_i) AS BIGINT) AS s_all,
+         CAST(sum(CAST(CAST(q_i AS DOUBLE)
+                       - CAST(s_i AS DOUBLE) * s_i / n_i
+                  AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+         CAST(sum(CAST(CAST(s_i AS DOUBLE) * s_i / n_i
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sb
+  FROM grp),
+stat AS (
+  SELECT k_groups, n_total,
+         sb - CAST(s_all AS DOUBLE) * s_all / n_total AS ssb, ssw
+  FROM fold)
+SELECT k_groups, n_total,
+       CASE WHEN ssw <> 0 THEN {_BF_FINAL} END AS bf_stat
+FROM stat
+"""
+
+
+@query("stats_levene_bf", oracle=_LEVENE_ORACLE)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-based Levene) for equality of
+    document-length variance across languages — the scale-homogeneity
+    companion to `stats_welch_ttest` (which compares two locations and
+    assumes nothing about variances; this asks whether ALL languages
+    share a spread, the ANOVA precondition).
+
+    Exactness: group centers are LOWER MEDIANS via the count-distribution
+    crossing rule (min v with 2·cum ≥ n — integer, no interpolation), so
+    the deviations z = |x − med| are exact integers; per-group moments
+    are integer sums with 128-bit squares; the cross-group SSW/SSB folds
+    go through DECIMAL(38,12) (order-free), and the F-ratio is one final
+    fixed-order double chain.  Zero within-group variance ⇒ NULL on both
+    engines.
+
+    Scale: the median comes from a (lang, length)-histogram — the
+    crossing-rule scan is over distinct lengths, not documents; the
+    deviation join is corpus × a lang-domain-bounded median relation
+    (AQE upgrades it to broadcast at runtime); two aggregates end the
+    plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.partitionBy("lang").orderBy("v")
+    cum = hist.select(
+        "lang",
+        "v",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    med = (
+        cum.filter(2 * F.col("cumc") >= F.col("n"))
+        .groupBy("lang")
+        .agg(F.min("v").cast("long").alias("med"))
+    )
+    z = docs.join(med, "lang").select(
+        "lang", F.abs(F.col("n_chars") - F.col("med")).alias("z")
+    )
+    zc = F.col("z")
+    grp = z.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("z").cast("long").alias("s_i"),
+        F.sum(zc.cast(D38) * zc.cast(D38)).cast("long").alias("q_i"),
+    )
+    ssw_term = (
+        F.col("q_i").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+    ).cast("decimal(38,12)")
+    sb_term = (
+        F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+    ).cast("decimal(38,12)")
+    fold = grp.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_i").alias("n_total"),
+        F.sum("s_i").cast("long").alias("s_all"),
+        F.sum(ssw_term).cast("double").alias("ssw"),
+        F.sum(sb_term).cast("double").alias("sb"),
+    )
+    stat = fold.select(
+        "k_groups",
+        "n_total",
+        (
+            F.col("sb")
+            - F.col("s_all").cast("double") * F.col("s_all") / F.col("n_total")
+        ).alias("ssb"),
+        "ssw",
+    )
+    return stat.selectExpr(
+        "k_groups",
+        "n_total",
+        f"CASE WHEN ssw <> 0 THEN {_BF_FINAL} END AS bf_stat",
+    )
+
+
+# --------------------------------------------------------------------------
+# Fano factor (burstiness) of hourly traffic per page
+# --------------------------------------------------------------------------
+_FANO_ORACLE = """
+WITH hourly AS (
+  SELECT CAST(props->>'$.k' AS INT) AS page, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT page, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS q
+  FROM hourly GROUP BY page)
+SELECT page, n_hours, s AS n_events,
+       (1000000 * s) // n_hours AS mean_e6,
+       CASE WHEN n_hours > 1 THEN
+         round(CAST(n_hours * CAST(q AS HUGEINT) - CAST(s AS HUGEINT) * s
+                    AS DOUBLE)
+               / CAST((n_hours - 1) * CAST(s AS HUGEINT) AS DOUBLE), 6)
+       END AS fano
+FROM mom
+"""
+
+
+@query("events_fano_factor", oracle=_FANO_ORACLE)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of hourly hit counts) per
+    page over its ACTIVE hours: 1 ⇒ Poisson arrivals, ≫1 ⇒ bursty
+    (flash-crowd / bot bursts), ≪1 ⇒ metronomic (monitoring probes) —
+    the page-level twin of `text_burstiness_topk`'s document statistic
+    and the dispersion diagnostic behind `events_rate_anomaly`'s
+    Poisson-ish assumption.
+
+    Exactness: hourly counts are integers, the variance numerator
+    n·Σc² − (Σc)² is a 128-bit cross-multiplication, the mean is an
+    integer micro-unit division, and the ratio is ONE double division.
+    Single-active-hour pages have undefined variance ⇒ NULL both
+    engines.  Scale: one (page, hour) aggregate (partial map-side
+    combine), then a page-keyed moment fold — bounded by the page
+    domain."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("page"),
+            F.date_trunc("hour", "ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    mom = hourly.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(c.cast(D38) * c.cast(D38)).cast("long").alias("q"),
+    )
+    num = (
+        F.col("n_hours").cast(D38) * F.col("q").cast(D38)
+        - F.col("s").cast(D38) * F.col("s").cast(D38)
+    ).cast("double")
+    den = ((F.col("n_hours") - 1).cast(D38) * F.col("s").cast(D38)).cast(
+        "double"
+    )
+    return mom.select(
+        "page",
+        "n_hours",
+        F.col("s").alias("n_events"),
+        F.expr("(1000000 * s) div n_hours").alias("mean_e6"),
+        F.when(F.col("n_hours") > 1, F.round(num / den, 6)).alias("fano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL top-n per key: the SQL-standard form of top-k-per-group
+# --------------------------------------------------------------------------
+LATERAL_TOP_N = 2
+
+
+def _lateral_sql(orders: str, lineitem: str) -> str:
+    """Identical LATERAL text for Spark 4 and DuckDB — only the table
+    names substitute.  Spark decorrelates the LIMIT-ed lateral subquery
+    into a partitioned row_number window (DomainJoin rewrite), i.e. the
+    same physical plan `window_topk_per_group` writes by hand — the
+    point of this query is that the DECLARATIVE form survives."""
+    return f"""
+SELECT o.o_orderkey, t.l_linenumber, t.price_cents
+FROM {orders} o,
+LATERAL (
+  SELECT l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents
+  FROM {lineitem} l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT {LATERAL_TOP_N}) t
+"""
+
+
+@query("join_lateral_topn", oracle=_lateral_sql("orders", "lineitem"))
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} most expensive lineitems per order via a correlated
+    LATERAL subquery with ORDER BY + LIMIT — the SQL-standard spelling
+    of top-k-per-group (`window_topk_per_group` is the hand-written
+    window form; this one hands Catalyst the declarative form and the
+    DomainJoin decorrelation rewrites it INTO that window, verified in
+    `tests/` by plan assertion).
+
+    Scale: after decorrelation the plan is a row_number window
+    partitioned by l_orderkey plus an equi-join on the order key — both
+    co-partitioned fact-side operations; nothing quadratic survives the
+    rewrite.  Exact integer cents; (orderkey, linenumber) is a total
+    tie-break."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lateral_orders_src"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lateral_lineitem_src"
+    )
+    return spark.sql(
+        _lateral_sql("lateral_orders_src", "lateral_lineitem_src")
+    )
