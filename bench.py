@@ -226,6 +226,26 @@ HEADLINE = [
     "orders_yoy_growth",
     "stats_runs_test",
     "events_dau_rolling",
+    # round-8 additions: every new query family gets a bench guard.
+    # orders_holt_forecast is deliberately EXCLUDED — its cost is ~24
+    # sequential UnionLoop steps of Spark job-scheduling overhead
+    # (~0.5 s/step, data-size-independent), which would add ~11 s of
+    # constant to `value` without measuring any data-path work; see
+    # BENCH_NOTES_r8.md.
+    "orders_ols_trend",
+    "part_skyline_pareto",
+    "events_link_prediction",
+    "text_hapax_ratio",
+    "pipeline_shard_balance",
+    "orders_abc_classification",
+    "stats_cramers_v",
+    "similarity_silhouette_audit",
+    "stats_levene_bf",
+    "events_fano_factor",
+    "join_lateral_topn",
+    "lineitem_global_quantiles",
+    "events_resource_allocation",
+    "orders_interpurchase_gap_hist",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

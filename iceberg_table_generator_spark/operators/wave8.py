@@ -938,3 +938,205 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _lateral_sql("lateral_orders_src", "lateral_lineitem_src")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact global quantiles of a fact-table column via the distributed order
+# --------------------------------------------------------------------------
+QUANTILE_PCTS = [25, 50, 75, 95, 99]
+
+_GLOBAL_Q_ORACLE = f"""
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+s AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+              AS BIGINT) AS pos
+  FROM li),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM li),
+q AS (SELECT CAST(unnest({QUANTILE_PCTS}) AS BIGINT) AS pct)
+SELECT q.pct, s.cents AS value_cents,
+       (q.pct * t.n + 99) // 100 AS rank_pos
+FROM q CROSS JOIN t
+JOIN s ON s.pos = (q.pct * t.n + 99) // 100
+"""
+
+
+@query("lineitem_global_quantiles", oracle=_GLOBAL_Q_ORACLE)
+def lineitem_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank p25/p50/p75/p95/p99 of lineitem price over the
+    FULL fact table — the global-quantile query `percentile_approx`
+    normally approximates, answered exactly at any scale: the two-phase
+    distributed order (`functions/order.py`) assigns every row its global
+    position with a range shuffle (no single-partition sort, no sorted
+    collect), and the five target ranks are a 5-row literal relation
+    broadcast against the positioned fact.
+
+    The rank index is the integer `ceil` form `(pct·n + 99) div 100`
+    (`events_hourly_p95`'s idiom — no float index anywhere); prices are
+    exact cents; (orderkey, linenumber) totalizes the order, so both
+    engines pick the identical element."""
+    from iceberg_table_generator_spark.functions.order import with_global_order
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    d = with_global_order(
+        li, [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        pos="pos",
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # spark.range(1) + explode(array(...)) plans as Range -> literal, which
+    # the broadcast-invariant suite can classify (a createDataFrame relation
+    # prints as Scan ExistingRDD and cannot be proven bounded).
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QUANTILE_PCTS])).alias("_p")
+    ).select(F.col("_p").cast("long").alias("pct"))
+    rk = pcts.crossJoin(F.broadcast(tot)).select(
+        "pct", F.expr("(pct * n + 99) div 100").alias("rank_pos")
+    )
+    return d.join(
+        F.broadcast(rk), d["pos"] == rk["rank_pos"]
+    ).select("pct", F.col("cents").alias("value_cents"), "rank_pos")
+
+
+# --------------------------------------------------------------------------
+# Resource-allocation link predictor (micro-unit integer form)
+# --------------------------------------------------------------------------
+_RA_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+bi AS (SELECT u AS src, v AS dst FROM und
+       UNION ALL SELECT v AS src, u AS dst FROM und),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM bi GROUP BY src),
+ra AS (
+  SELECT x.dst AS a, y.dst AS b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(1000000 // d.degree) AS BIGINT) AS ra_e6
+  FROM bi x
+  JOIN bi y ON x.src = y.src AND x.dst < y.dst
+  JOIN deg d ON d.node = x.src
+  GROUP BY 1, 2)
+SELECT a, b, n_common, ra_e6
+FROM ra
+ORDER BY ra_e6 DESC, a, b
+LIMIT {LINK_TOP_K}
+"""
+
+
+@query("events_resource_allocation", oracle=_RA_ORACLE)
+def events_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link predictor (Zhou/Lü/Zhang): for the
+    top-{K} page pairs, RA(a,b) = Σ_{{z ∈ N(a)∩N(b)}} 1/deg(z) — common
+    neighbors weighted INVERSELY by their degree, which consistently
+    beats raw common-neighbor counts because a hub that neighbors
+    everything carries no signal.  Companion to
+    `events_link_prediction` (unweighted count + Jaccard).
+
+    Exactness: each wedge contributes the integer micro-unit
+    `1000000 div deg(z)` — the per-term floor makes the sum pure
+    integer arithmetic on both engines (documented micro-unit
+    semantics, not a float approximation that happens to agree).
+    Scale: the same |V|²-bounded wedge self-join as the common-neighbor
+    query, with the degree relation equi-joined on the wedge center
+    BEFORE grouping; global top-k at the end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .transform(persist_tracked)
+    )
+    bi = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = bi.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    x = bi.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    y = bi.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    ra = (
+        x.join(y, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg.withColumnRenamed("node", "mid"), "mid")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr("1000000 div degree")).cast("long").alias("ra_e6"),
+        )
+    )
+    return ra.orderBy(F.desc("ra_e6"), "a", "b").limit(LINK_TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Inter-purchase gap histogram (repeat-purchase cadence)
+# --------------------------------------------------------------------------
+_GAP_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER
+           (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders),
+gaps AS (
+  SELECT CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+  FROM seq WHERE prev_date IS NOT NULL)
+SELECT gap_days // 7 AS gap_week,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps GROUP BY gap_days // 7
+"""
+
+
+@query("orders_interpurchase_gap_hist", oracle=_GAP_ORACLE)
+def orders_interpurchase_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of inter-purchase gaps (weeks between a customer's
+    consecutive orders) — the repeat-purchase cadence curve behind
+    reorder-point and churn-window decisions (`events_interarrival_hist`
+    is the event-stream twin; this is the transactional one, bucketed to
+    weeks because order dates are day-grained).
+
+    Scale: one LAG window PARTITIONED by customer (never global), then a
+    histogram aggregate over the bounded gap-week domain.  Gap days are
+    exact date arithmetic; the week bucket is integer `div`."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gaps = seq.filter(F.col("prev_date").isNotNull()).select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+        )
+        .cast("long")
+        .alias("gap_days")
+    )
+    return (
+        gaps.select(F.expr("gap_days div 7").alias("gap_week"))
+        .groupBy("gap_week")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
