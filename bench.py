@@ -246,6 +246,7 @@ HEADLINE = [
     "lineitem_global_quantiles",
     "events_resource_allocation",
     "orders_interpurchase_gap_hist",
+    "lineitem_price_index",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

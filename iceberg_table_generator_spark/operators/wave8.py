@@ -1140,3 +1140,90 @@ def orders_interpurchase_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("gap_week")
         .agg(F.count(F.lit(1)).alias("n_gaps"))
     )
+
+
+# --------------------------------------------------------------------------
+# Laspeyres price index: monthly price level vs the base month
+# --------------------------------------------------------------------------
+_PRICE_INDEX_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey,
+         year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS rev_cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+base AS (
+  SELECT l_partkey, rev_cents AS rev0, qty AS qty0
+  FROM pm WHERE ym = (SELECT min(ym) FROM pm)),
+terms AS (
+  SELECT p.ym,
+         CAST(CAST(p.rev_cents AS DOUBLE) * b.qty0 / p.qty
+              AS DECIMAL(38,6)) AS num_term,
+         b.rev0
+  FROM pm p JOIN base b ON b.l_partkey = p.l_partkey)
+SELECT ym,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(num_term) AS DOUBLE)
+             / CAST(sum(rev0) AS BIGINT), 6) AS laspeyres_e0
+FROM terms GROUP BY ym
+"""
+
+
+@query("lineitem_price_index", oracle=_PRICE_INDEX_ORACLE)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index per ship-month against the first month as
+    base: Σ p_t·q₀ / Σ p₀·q₀ over the matched part basket, where the
+    part's monthly unit value p_t = rev_t/qty_t — "how much would the
+    base month's basket cost at month t's prices", the standard
+    fixed-basket inflation measure (index 1.0 = base price level).
+
+    Exactness: revenues are exact cents and quantities exact integers;
+    each part-month term p_t·q₀ = rev_t·q₀/qty_t is ONE fixed-order
+    double chain captured into DECIMAL(38,6) so the cross-part
+    accumulation is order-free (the χ² pattern); the denominator is a
+    pure integer sum; one final division rounded once.
+
+    Scale: one (part, month) aggregate off the fact table, then a
+    part-keyed equi-join against the base-month slice (dimension-tier)
+    and a months-bounded fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"),
+    ).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    base_ym = pm.agg(F.min("ym").alias("base_ym"))
+    base = (
+        pm.join(
+            F.broadcast(base_ym), F.col("ym") == F.col("base_ym")
+        )
+        .select(
+            "l_partkey",
+            F.col("rev_cents").alias("rev0"),
+            F.col("qty").alias("qty0"),
+        )
+    )
+    terms = pm.join(base, "l_partkey").select(
+        "ym",
+        (
+            F.col("rev_cents").cast("double")
+            * F.col("qty0")
+            / F.col("qty")
+        )
+        .cast("decimal(38,6)")
+        .alias("num_term"),
+        "rev0",
+    )
+    return terms.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum("num_term").cast("double")
+            / F.sum("rev0").cast("long"),
+            6,
+        ).alias("laspeyres_e0"),
+    )
