@@ -247,6 +247,8 @@ HEADLINE = [
     "events_resource_allocation",
     "orders_interpurchase_gap_hist",
     "lineitem_price_index",
+    "similarity_dim_variance_profile",
+    "stats_anova_f",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

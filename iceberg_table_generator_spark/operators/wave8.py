@@ -1227,3 +1227,166 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("laspeyres_e0"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding variance profile (feature-signal audit)
+# --------------------------------------------------------------------------
+_DIMVAR_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x ->
+             CAST(CAST(x AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS qv
+  FROM embeddings),
+ex AS (
+  SELECT g.i - 1 AS dim, qv[g.i] AS x
+  FROM q, generate_series(1, 64) g(i)),
+mom AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+  FROM ex GROUP BY dim)
+SELECT dim, n,
+       CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                 ELSE -((-2 * s + n) // (2 * n)) END AS BIGINT) AS mean_e6,
+       round(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) / 1000000000000,
+             6) AS variance
+FROM mom
+"""
+
+
+@query("similarity_dim_variance_profile", oracle=_DIMVAR_ORACLE)
+def similarity_dim_variance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension mean and sample variance of the embedding corpus —
+    the feature-signal audit run before any projection/quantization
+    decision (a near-zero-variance dimension is dead weight in every
+    distance computation; `similarity_random_projection` and
+    `similarity_quantize_int8` both silently assume dimensions carry
+    comparable signal — this measures it).
+
+    Exactness: coordinates are the repo's scale-6 integers (the shared
+    k-means quantization contract), so per-dimension moments are exact
+    integer sums with a 128-bit squared term; the mean is the integer
+    half-away-from-zero micro-unit mean (the `_SQL_MEAN` twin) and the
+    variance is one fixed-order double chain de-scaled by 1e12.
+
+    Scale: one posexplode pass (64 rows per vector) into a 64-key
+    aggregate — partial map-side combine makes the shuffle 64 rows per
+    task; nothing else moves."""
+    q = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: (x.cast("decimal(12,6)") * 1000000).cast("long"),
+            )
+        ).alias("dim", "x")
+    )
+    x = F.col("x")
+    mom = q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(x.cast(D38) * x.cast(D38)).cast(D38).alias("ss"),
+    )
+    mean_e6 = F.expr(
+        "CAST(CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) "
+        "ELSE -((-2 * s + n) div (2 * n)) END AS BIGINT)"
+    )
+    num = (
+        F.col("n").cast(D38) * F.col("ss")
+        - F.col("s").cast(D38) * F.col("s").cast(D38)
+    ).cast("double")
+    den = (F.col("n").cast(D38) * (F.col("n") - 1).cast(D38)).cast("double")
+    return mom.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        mean_e6.alias("mean_e6"),
+        F.round(num / den / 1000000000000, 6).alias("variance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F on document length across languages
+# --------------------------------------------------------------------------
+_ANOVA_FINAL = (
+    "round((CAST(n_total - k_groups AS DOUBLE) * ssb)"
+    " / (CAST(k_groups - 1 AS DOUBLE) * ssw), 6)"
+)
+
+_ANOVA_ORACLE = f"""
+WITH grp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(n_chars) AS BIGINT) AS s_i,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS q_i
+  FROM documents GROUP BY lang),
+fold AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+         CAST(sum(n_i) AS BIGINT) AS n_total,
+         CAST(sum(s_i) AS BIGINT) AS s_all,
+         CAST(sum(CAST(CAST(q_i AS DOUBLE)
+                       - CAST(s_i AS DOUBLE) * s_i / n_i
+                  AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+         CAST(sum(CAST(CAST(s_i AS DOUBLE) * s_i / n_i
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sb
+  FROM grp),
+stat AS (
+  SELECT k_groups, n_total,
+         sb - CAST(s_all AS DOUBLE) * s_all / n_total AS ssb, ssw
+  FROM fold)
+SELECT k_groups, n_total,
+       CASE WHEN ssw <> 0 THEN {_ANOVA_FINAL} END AS f_stat
+FROM stat
+"""
+
+
+@query("stats_anova_f", oracle=_ANOVA_ORACLE)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F for document length across languages — "do the
+    languages differ in MEAN length?", the location counterpart of
+    `stats_levene_bf` (which tests the spread and is ANOVA's
+    precondition check; `stats_welch_ttest` compares only the top two
+    languages, this tests all k at once).
+
+    Same exactness scheme as the BF fold, applied to raw lengths
+    instead of median deviations: exact per-group integer moments with
+    128-bit squares, DECIMAL(38,12) order-free SSW/SSB accumulation,
+    one fixed-order F chain shared textually with the oracle.  Scale:
+    ONE aggregate over the corpus (no median join needed here), then a
+    k-row fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    nc = F.col("n_chars")
+    grp = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_i"),
+        F.sum("n_chars").cast("long").alias("s_i"),
+        F.sum(nc.cast(D38) * nc.cast(D38)).cast("long").alias("q_i"),
+    )
+    ssw_term = (
+        F.col("q_i").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+    ).cast("decimal(38,12)")
+    sb_term = (
+        F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i")
+    ).cast("decimal(38,12)")
+    fold = grp.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_i").alias("n_total"),
+        F.sum("s_i").cast("long").alias("s_all"),
+        F.sum(ssw_term).cast("double").alias("ssw"),
+        F.sum(sb_term).cast("double").alias("sb"),
+    )
+    stat = fold.select(
+        "k_groups",
+        "n_total",
+        (
+            F.col("sb")
+            - F.col("s_all").cast("double") * F.col("s_all") / F.col("n_total")
+        ).alias("ssb"),
+        "ssw",
+    )
+    return stat.selectExpr(
+        "k_groups",
+        "n_total",
+        f"CASE WHEN ssw <> 0 THEN {_ANOVA_FINAL} END AS f_stat",
+    )
