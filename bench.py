@@ -249,6 +249,8 @@ HEADLINE = [
     "lineitem_price_index",
     "similarity_dim_variance_profile",
     "stats_anova_f",
+    "stats_cohens_d",
+    "pipeline_token_budget_split",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -1390,3 +1390,170 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         f"CASE WHEN ssw <> 0 THEN {_ANOVA_FINAL} END AS f_stat",
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's d effect size for the two largest languages
+# --------------------------------------------------------------------------
+def _cohens_d_oracle() -> str:
+    from iceberg_table_generator_spark.operators.mining import _TOP2_LANGS_CTES
+
+    return f"""
+WITH {_TOP2_LANGS_CTES},
+mom AS (
+  SELECT lang_a, lang_b,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(v * ca) AS BIGINT) AS s_a,
+         CAST(sum(v * cb) AS BIGINT) AS s_b,
+         CAST(sum(v * v * ca) AS BIGINT) AS sxx_a,
+         CAST(sum(v * v * cb) AS BIGINT) AS sxx_b
+  FROM dist CROSS JOIN ab GROUP BY lang_a, lang_b),
+va AS (
+  SELECT *,
+         CAST(CAST(n_a AS HUGEINT) * sxx_a - CAST(s_a AS HUGEINT) * s_a
+              AS DOUBLE) / n_a AS ssd_a,
+         CAST(CAST(n_b AS HUGEINT) * sxx_b - CAST(s_b AS HUGEINT) * s_b
+              AS DOUBLE) / n_b AS ssd_b
+  FROM mom)
+SELECT lang_a, lang_b, n_a, n_b,
+       round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+       round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+       round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+             / sqrt((ssd_a + ssd_b) / (n_a + n_b - 2)), 6) AS cohens_d
+FROM va
+"""
+
+
+@query("stats_cohens_d", oracle=_cohens_d_oracle())
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) between the
+    document-length distributions of the two largest languages — the
+    effect SIZE that `stats_welch_ttest`'s t-statistic can't give
+    (t grows with n; d answers "how big is the gap in SD units", the
+    number meta-analyses compare).  Completes the effect-size pair with
+    `stats_cramers_v` (categorical association).
+
+    Exactness: the same shared count-distribution moments as Welch
+    (exact integers, 128-bit variance numerators), then ONE fixed-order
+    double chain — each group's sum-of-squared-deviations is
+    (n·Σx²−(Σx)²)/n, pooled over n_a+n_b−2 — written identically in
+    both engines and rounded once.  Scale: one corpus pass into the
+    |distinct lengths| relation, then a single-row fold."""
+    from iceberg_table_generator_spark.operators.mining import _top2_lang_dist
+
+    dist = _top2_lang_dist(spark, sf_dir)
+    v = F.col("n_chars")
+    mom = dist.groupBy("lang_a", "lang_b").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(v * F.col("ca")).cast("long").alias("s_a"),
+        F.sum(v * F.col("cb")).cast("long").alias("s_b"),
+        F.sum(v * v * F.col("ca")).cast("long").alias("sxx_a"),
+        F.sum(v * v * F.col("cb")).cast("long").alias("sxx_b"),
+    )
+    va = mom.withColumns(
+        {
+            "ssd_a": (
+                F.col("n_a").cast(D38) * F.col("sxx_a").cast(D38)
+                - F.col("s_a").cast(D38) * F.col("s_a").cast(D38)
+            ).cast("double")
+            / F.col("n_a"),
+            "ssd_b": (
+                F.col("n_b").cast(D38) * F.col("sxx_b").cast(D38)
+                - F.col("s_b").cast(D38) * F.col("s_b").cast(D38)
+            ).cast("double")
+            / F.col("n_b"),
+        }
+    )
+    ma = F.col("s_a").cast("double") / F.col("n_a")
+    mb = F.col("s_b").cast("double") / F.col("n_b")
+    return va.select(
+        "lang_a",
+        "lang_b",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(
+            (ma - mb)
+            / F.sqrt(
+                (F.col("ssd_a") + F.col("ssd_b"))
+                / (F.col("n_a") + F.col("n_b") - 2)
+            ),
+            6,
+        ).alias("cohens_d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget apportionment across sources (largest remainder)
+# --------------------------------------------------------------------------
+TOKEN_BUDGET = 1_000_000
+
+_BUDGET_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+quota AS (
+  SELECT source, n_tokens,
+         ({TOKEN_BUDGET} * n_tokens) // t AS floor_alloc,
+         ({TOKEN_BUDGET} * n_tokens) % t AS rem,
+         t
+  FROM per CROSS JOIN tot),
+short AS (
+  SELECT CAST({TOKEN_BUDGET} - sum(floor_alloc) AS BIGINT) AS k FROM quota),
+ranked AS (
+  SELECT source, n_tokens, floor_alloc,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM quota)
+SELECT r.source, r.n_tokens,
+       CAST(r.floor_alloc + CASE WHEN r.rk <= s.k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_tokens
+FROM ranked r CROSS JOIN short s
+"""
+
+
+@query("pipeline_token_budget_split", oracle=_BUDGET_ORACLE)
+def pipeline_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a fixed training-token budget ({TOKEN_BUDGET}) across
+    sources proportionally to their token mass, by largest-remainder
+    (Hamilton) rounding — integer floor quotas plus one extra token to
+    the largest remainders, so the allocations are whole, sum EXACTLY to
+    the budget, and respect proportionality within one token (the
+    `lineitem_prorate_fee` apportionment applied to the data-mixture
+    problem `pipeline_mixture_sample` samples against).
+
+    Exactness: pure integer arithmetic (`div`/`%` on budget×mass, a
+    deterministic (remainder, source) rank).  Scale: one corpus
+    aggregate to the source-domain relation (bounded model domain); the
+    rank window runs over that bounded relation."""
+    per = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t"))
+    quota = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({TOKEN_BUDGET} * n_tokens) div t").alias("floor_alloc"),
+        F.expr(f"({TOKEN_BUDGET} * n_tokens) % t").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("floor_alloc")).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = quota.select(
+        "source", "n_tokens", "floor_alloc", F.row_number().over(w).alias("rk")
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

@@ -62,6 +62,11 @@ ACKNOWLEDGED: dict[str, tuple[int, str]] = {
     "orders_mom_growth": (1, "one row per month (time domain)"),
     "orders_open_backlog": (1, "one row per month (time domain)"),
     "orders_survival_hazard": (1, "fixed duration-bucket grid"),
+    "pipeline_token_budget_split": (
+        1,
+        "largest-remainder rank over the source-domain relation: one row "
+        "per source (fixed model domain)",
+    ),
     "stats_runs_test": (
         3,
         "day-level revenue relation and its distinct-value histogram "
