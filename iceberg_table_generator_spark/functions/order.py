@@ -96,12 +96,16 @@ def with_global_order(
     if pos is not None:
         d = d.withColumn(pos, F.col("_lpos") + F.col("_off_pos"))
     for _, name in cums:
+        # Null-symmetric combine, matching the window form exactly: SUM
+        # ignores nulls, so an all-null local prefix (_lc NULL) with a
+        # non-null cross-partition offset must yield the offset — and
+        # only both-NULL yields NULL.  `_lc + o` alone would poison the
+        # offset whenever the partition's leading values are all null.
         o = F.col(f"_off_{name}")
+        lc = F.col(f"_lc_{name}")
         d = d.withColumn(
             name,
-            F.when(o.isNull(), F.col(f"_lc_{name}")).otherwise(
-                F.col(f"_lc_{name}") + o
-            ),
+            F.when(o.isNull(), lc).when(lc.isNull(), o).otherwise(lc + o),
         )
     drop = ["_pid", "_lpos", "_off_pos"]
     drop += [f"_lc_{name}" for _, name in cums]

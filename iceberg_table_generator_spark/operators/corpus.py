@@ -29,10 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from iceberg_table_generator_spark.functions.order import (
-    ntile_expr,
-    with_global_order,
-)
+from iceberg_table_generator_spark.functions.order import with_global_order
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg

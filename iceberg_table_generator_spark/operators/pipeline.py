@@ -21,10 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.operators.text import STOPWORDS, _sql_list
-from iceberg_table_generator_spark.functions.order import (
-    ntile_expr,
-    with_global_order,
-)
+from iceberg_table_generator_spark.functions.order import with_global_order
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread

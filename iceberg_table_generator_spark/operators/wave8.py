@@ -1232,7 +1232,13 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Per-dimension embedding variance profile (feature-signal audit)
 # --------------------------------------------------------------------------
-_DIMVAR_ORACLE = """
+def _dimvar_oracle() -> str:
+    # _VEC_DIM interpolated from the similarity module (not hard-coded)
+    # so a vector-width change fails the oracle loudly instead of
+    # silently truncating the explode.
+    from iceberg_table_generator_spark.operators.similarity import _VEC_DIM
+
+    return f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x ->
@@ -1240,7 +1246,7 @@ WITH q AS (
   FROM embeddings),
 ex AS (
   SELECT g.i - 1 AS dim, qv[g.i] AS x
-  FROM q, generate_series(1, 64) g(i)),
+  FROM q, generate_series(1, {_VEC_DIM}) g(i)),
 mom AS (
   SELECT dim, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS s,
@@ -1256,7 +1262,7 @@ FROM mom
 """
 
 
-@query("similarity_dim_variance_profile", oracle=_DIMVAR_ORACLE)
+@query("similarity_dim_variance_profile", oracle=_dimvar_oracle())
 def similarity_dim_variance_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -77,3 +77,40 @@ def test_no_global_window_in_plan(spark):
     # per-partition totals — bounded by cluster size, keyed on _pid.
     for line, sub in explain.global_window_subtrees(got):
         assert "_pid" in line, f"unexpected global window: {line}\n{sub}"
+
+
+def test_nullable_cumsum_matches_window_null_semantics(spark):
+    """SUM ignores nulls: a partition whose leading values are all NULL
+    must inherit the cross-partition offset (not poison it to NULL), and
+    only an all-NULL global prefix stays NULL — exactly the window form."""
+    # Nulls concentrated at the FRONT of the global order so the first
+    # partition's local running sum is NULL while later offsets are not.
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") < 40, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 7)
+        .alias("val"),
+    )
+    order = [F.asc("id")]
+    got = with_global_order(
+        df.repartition(8), order, cums=[(F.col("val"), "cum_val")], pos="pos"
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select("id", F.sum("val").over(w).alias("wcum"))
+    joined = got.select("id", "cum_val").join(want, "id")
+    bad = joined.filter(
+        ~(
+            (F.col("cum_val") == F.col("wcum"))
+            | (F.col("cum_val").isNull() & F.col("wcum").isNull())
+        )
+    )
+    assert bad.count() == 0
+    # the all-null global prefix really is NULL in both forms
+    assert (
+        joined.filter(F.col("id") < 40)
+        .filter(F.col("cum_val").isNotNull())
+        .count()
+        == 0
+    )

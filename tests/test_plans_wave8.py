@@ -7,14 +7,12 @@ from __future__ import annotations
 from iceberg_table_generator_spark.operators import wave8
 from iceberg_table_generator_spark.plans import explain
 
-SF = "/root/testdata/sf0.001"
 
-
-def test_lateral_topn_decorrelates_to_partitioned_window(spark):
+def test_lateral_topn_decorrelates_to_partitioned_window(spark, sf_small):
     """The LIMIT-ed correlated LATERAL must rewrite to a partitioned
     row_number window + ONE equi hash join — never a nested-loop join,
     never an unpartitioned window."""
-    df = wave8.join_lateral_topn(spark, SF)
+    df = wave8.join_lateral_topn(spark, sf_small)
     kinds = explain.join_kinds(df)
     assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
     assert (
@@ -27,11 +25,11 @@ def test_lateral_topn_decorrelates_to_partitioned_window(spark):
     assert explain.global_window_subtrees(df) == []
 
 
-def test_skyline_is_one_shuffle_two_windows_no_join(spark):
+def test_skyline_is_one_shuffle_two_windows_no_join(spark, sf_small):
     """The 2D skyline must stay the two-window form: a single brand/price
     range shuffle feeding both window frames — the quadratic dominance
     self-join exists only in the DuckDB oracle."""
-    df = wave8.part_skyline_pareto(spark, SF)
+    df = wave8.part_skyline_pareto(spark, sf_small)
     nodes = explain.plan_nodes(df)
     assert nodes.count("Window") == 2, nodes
     assert nodes.count("Exchange") == 1, nodes
@@ -39,18 +37,18 @@ def test_skyline_is_one_shuffle_two_windows_no_join(spark):
     assert sum(kinds.values()) == 0, kinds
 
 
-def test_silhouette_assignment_is_joinless(spark):
+def test_silhouette_assignment_is_joinless(spark, sf_small):
     """Nearest/second-nearest centroid comes from an in-row fold over
     broadcast centroid literals — the corpus is never joined or
     crossJoined against the centroid relation."""
-    df = wave8.similarity_silhouette_audit(spark, SF)
+    df = wave8.similarity_silhouette_audit(spark, sf_small)
     kinds = explain.join_kinds(df)
     assert sum(kinds.values()) == 0, kinds
 
 
-def test_ols_scan_prunes_to_three_columns(spark):
+def test_ols_scan_prunes_to_three_columns(spark, sf_small):
     """The regression reads exactly the three columns it uses."""
-    df = wave8.orders_ols_trend(spark, SF)
+    df = wave8.orders_ols_trend(spark, sf_small)
     [cols] = explain.read_schemas(df)
     assert sorted(cols) == [
         "o_orderdate",
@@ -59,16 +57,16 @@ def test_ols_scan_prunes_to_three_columns(spark):
     ], cols
 
 
-def test_holt_runs_as_recursive_union_loop(spark):
+def test_holt_runs_as_recursive_union_loop(spark, sf_small):
     """The forecast executes Spark 4's recursive-CTE UnionLoop — not a
     driver-side collect loop."""
-    df = wave8.orders_holt_forecast(spark, SF)
+    df = wave8.orders_holt_forecast(spark, sf_small)
     assert explain.has_operator(df, "UnionLoop")
 
 
-def test_link_prediction_pairs_are_vertex_bounded(spark):
+def test_link_prediction_pairs_are_vertex_bounded(spark, sf_small):
     """The wedge join runs over the distinct-edge relation: every scan in
     the plan reads only the event columns that build edges, and the
     result is capped by the top-k limit."""
-    df = wave8.events_link_prediction(spark, SF)
+    df = wave8.events_link_prediction(spark, sf_small)
     assert explain.has_operator(df, "TakeOrderedAndProject")
