@@ -251,6 +251,11 @@ HEADLINE = [
     "stats_anova_f",
     "stats_cohens_d",
     "pipeline_token_budget_split",
+    # round-9 additions
+    "dedup_span_exact",
+    "dedup_span_stats",
+    "lineitem_lorenz_deciles",
+    "customer_gini_spend",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
