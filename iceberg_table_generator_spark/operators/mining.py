@@ -744,12 +744,10 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the interval build is one orderkey-keyed aggregation (shuffle
     on the fact join key); start/end diffs collapse map-side to
-    months-sized relations; the only window orders the month grid —
-    thousands of rows at any corpus scale, a deliberate dim-sized
-    global window like the Pareto curve.  All counts integer end to
-    end."""
-    from pyspark.sql.window import Window
-
+    months-sized relations; the running sum over the month grid is the
+    two-phase distributed prefix scan (`functions/order.py`) — no
+    single-partition window even over that bounded relation.  All
+    counts integer end to end."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     iv = (
@@ -773,8 +771,7 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = iv.groupBy(F.col("m_end").alias("month")).agg(
         F.count(F.lit(1)).alias("shipped")
     )
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    net = (
         grid.join(starts, "month", "left")
         .join(ends, "month", "left")
         .select(
@@ -782,10 +779,14 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("started", F.lit(0)).alias("started"),
             F.coalesce("shipped", F.lit(0)).alias("shipped"),
         )
-        .withColumn(
-            "open_backlog", F.sum(F.col("started") - F.col("shipped")).over(w)
-        )
+        .withColumn("_net", F.col("started") - F.col("shipped"))
     )
+    # Bounded month grid, read twice by the two-phase scan — persist so
+    # the fact-table interval join runs once (r9 ReuseExchange finding).
+    net = persist_tracked(net, StorageLevel.MEMORY_AND_DISK)
+    return with_global_order(
+        net, [F.asc("month")], cums=[(F.col("_net"), "open_backlog")], pos=None
+    ).drop("_net")
 
 
 # --------------------------------------------------------------------------
@@ -3759,8 +3760,10 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: run counts and n₁/n₂ are pure integers; z is one fixed
     left-associated chain of correctly-rounded double ops (one sqrt),
-    rounded once.  Scale: one calendar-bounded daily aggregate, one
-    bounded median fold, one LAG window over the day series."""
+    rounded once.  Scale: one calendar-bounded daily aggregate; the
+    median-crossing cumulative runs on the two-phase distributed prefix
+    scan; the only remaining unpartitioned window is the LAG over the
+    day series (time-domain-bounded)."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day")
@@ -3769,15 +3772,16 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev")
     ).transform(persist_tracked)
-    dist = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist = persist_tracked(
+        daily.groupBy("rev").agg(F.count(F.lit(1)).alias("c")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    tot = dist.agg(F.sum("c").alias("n"))
     med = (
-        dist.select(
-            "rev",
-            F.sum("c").over(wv).alias("cum"),
-            F.sum("c").over(wall).alias("n"),
+        with_global_order(
+            dist, [F.asc("rev")], cums=[(F.col("c"), "cum")], pos=None
         )
+        .crossJoin(F.broadcast(tot))
         .filter(2 * F.col("cum") >= F.col("n"))
         .agg(F.min("rev").cast("long").alias("median_rev"))
     )

@@ -1170,8 +1170,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum, so ties (sessions starting and ending the same minute)
     fold deterministically.  The only unpartitioned window runs over the
     |distinct active minutes| delta relation — calendar-horizon-bounded
-    (the hourly-window tier), never corpus-sized; at cluster scale this
-    is the textbook two-pass prefix-sum shape.  Pure integers end to end;
+    (the hourly-window tier), never corpus-sized (converting it to the
+    two-phase scan measured 2.4x local cost for zero scale benefit —
+    BENCH_NOTES_r9.md).  Pure integers end to end;
     the peak report is TakeOrderedAndProject."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -1535,7 +1535,9 @@ def pipeline_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: pure integer arithmetic (`div`/`%` on budget×mass, a
     deterministic (remainder, source) rank).  Scale: one corpus
     aggregate to the source-domain relation (bounded model domain); the
-    rank window runs over that bounded relation."""
+    rank window runs over that bounded relation (converting it to the
+    two-phase scan measured +73% local cost for zero scale benefit —
+    BENCH_NOTES_r9.md)."""
     per = load_table(spark, sf_dir, "documents").groupBy("source").agg(
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
     )

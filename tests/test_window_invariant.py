@@ -42,15 +42,28 @@ PID_ORDER = re.compile(r"windowspecdefinition\(_pid#\d+")
 #: query name -> (max unpartitioned windows, why the relation is bounded).
 ACKNOWLEDGED: dict[str, tuple[int, str]] = {
     "events_dau_rolling": (1, "one row per calendar day (time domain)"),
+    "events_peak_concurrency": (
+        1,
+        "per-minute session boundary deltas: one row per minute of the "
+        "dataset's time span (time domain, not row count); two-phase "
+        "conversion measured 2.4x local cost for zero scale benefit (r9)",
+    ),
+    "pipeline_token_budget_split": (
+        1,
+        "largest-remainder rank over the source-domain relation: one row "
+        "per source (fixed model domain); two-phase conversion measured "
+        "+73% local cost for zero scale benefit (r9)",
+    ),
+    "stats_spearman_rho": (
+        2,
+        "value-marginal histograms: one row per distinct quantity / "
+        "discount value (fixed model domains); two-phase conversion "
+        "measured +86% local cost for zero scale benefit (r9)",
+    ),
     "events_gini_concentration": (
         1,
         "count-of-counts histogram: distinct per-user event counts, "
         "O(sqrt(total events)) under any count distribution",
-    ),
-    "events_peak_concurrency": (
-        1,
-        "per-minute session boundary deltas: one row per minute of the "
-        "dataset's time span (time domain, not row count)",
     ),
     "events_rate_anomaly": (1, "one row per hour (time domain)"),
     "orders_holt_forecast": (
@@ -60,22 +73,12 @@ ACKNOWLEDGED: dict[str, tuple[int, str]] = {
         "is planned twice (anchor join + final join), hence two copies",
     ),
     "orders_mom_growth": (1, "one row per month (time domain)"),
-    "orders_open_backlog": (1, "one row per month (time domain)"),
     "orders_survival_hazard": (1, "fixed duration-bucket grid"),
-    "pipeline_token_budget_split": (
-        1,
-        "largest-remainder rank over the source-domain relation: one row "
-        "per source (fixed model domain)",
-    ),
     "stats_runs_test": (
-        3,
-        "day-level revenue relation and its distinct-value histogram "
-        "(time domain)",
-    ),
-    "stats_spearman_rho": (
         2,
-        "value-marginal histograms: one row per distinct quantity / "
-        "discount value (fixed model domains)",
+        "LAG over the day-level revenue relation (time domain); the "
+        "median-crossing cumulative was converted to the two-phase scan "
+        "in r9",
     ),
     "text_ngram_coverage": (
         1,
