@@ -256,6 +256,13 @@ HEADLINE = [
     "dedup_span_stats",
     "lineitem_lorenz_deciles",
     "customer_gini_spend",
+    "orders_cohort_retention",
+    "events_session_depth_funnel",
+    "pipeline_dup_cluster_sizes",
+    "supplier_lead_time_profile",
+    "stats_kruskal_wallis",
+    "text_source_vocab_overlap",
+    "similarity_lsh_bucket_profile",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

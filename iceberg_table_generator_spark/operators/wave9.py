@@ -355,3 +355,595 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (first-order month x months-since-acquisition)
+# --------------------------------------------------------------------------
+_COHORT_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo
+  FROM orders),
+first AS (
+  SELECT o_custkey, min(mo) AS cohort FROM act GROUP BY o_custkey),
+sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort),
+ret AS (
+  SELECT f.cohort, a.mo - f.cohort AS month_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN first f ON a.o_custkey = f.o_custkey
+  GROUP BY 1, 2)
+SELECT r.cohort, r.month_offset, r.n_active, s.cohort_size,
+       round(r.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s ON r.cohort = s.cohort
+"""
+
+
+@query("orders_cohort_retention", oracle=_COHORT_ORACLE)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: customers grouped by
+    first-order month, tracked by months-since-acquisition — the
+    customer-lifecycle read every BI stack ships (for a corpus: source
+    first-seen month vs continued contribution).
+
+    Scale: one distinct (customer, month) activity pass, a per-customer
+    min for the cohort label, one customer-keyed equi join (uniform by
+    construction — customers are the join key, not months), then a
+    months²-bounded rollup; the cohort-size join runs over that bounded
+    relation and AQE broadcasts it at runtime (the repo rule: groupBy on
+    a computed small-domain key is not PROVABLY bounded, so no manual
+    hint).  Pure integer counts; one rounded division."""
+    o = load_table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    act = o.select("o_custkey", mo.alias("mo")).distinct()
+    act = persist_tracked(act)
+    first = act.groupBy("o_custkey").agg(F.min("mo").alias("cohort"))
+    first = persist_tracked(first)
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        act.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("mo") - F.col("cohort")).alias("month_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(sizes, "cohort").select(
+        "cohort",
+        "month_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session-depth funnel (share of sessions reaching >= k events)
+# --------------------------------------------------------------------------
+FUNNEL_MAX_K = 10
+
+
+def _funnel_oracle() -> str:
+    from iceberg_table_generator_spark.functions.sessions import (
+        SESSION_GAP_SECONDS,
+    )
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) > {SESSION_GAP_SECONDS}
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+sz AS (
+  SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n
+  FROM sessions GROUP BY user_id, session_seq),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sz)
+SELECT kk.k AS min_events,
+       CAST(sum(CASE WHEN sz.n >= kk.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       round(sum(CASE WHEN sz.n >= kk.k THEN 1 ELSE 0 END) * 1.0
+             / any_value(tot.t), 6) AS share
+FROM sz CROSS JOIN unnest(generate_series(1, {FUNNEL_MAX_K})) AS kk(k)
+CROSS JOIN tot
+GROUP BY kk.k
+ORDER BY min_events
+"""
+
+
+@query("events_session_depth_funnel", oracle=_funnel_oracle())
+def events_session_depth_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement funnel over session depth: for each k = 1..{FUNNEL_MAX_K},
+    the count and share of user sessions containing at least k events —
+    the drop-off curve product teams read before funnels are defined
+    (sessionization per the repo's gaps-and-islands contract,
+    `functions/sessions.py`).
+
+    Scale: the session pass is the `events_sessionize` shape (one
+    user_id shuffle; both windows are user-partitioned), session sizes
+    collapse to one row per session, the k-grid is a per-row
+    sequence-explode (x{FUNNEL_MAX_K}, no join), and the conditional sums
+    map-combine onto {FUNNEL_MAX_K} keys.  The only cross-row scalar is
+    the broadcast session total."""
+    from pyspark.sql.window import Window
+
+    from iceberg_table_generator_spark.functions.sessions import (
+        SESSION_GAP_SECONDS,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    prev_ts = F.lag("ts").over(w)
+    gap_s = epoch(F.col("ts")) - epoch(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(prev_ts.isNull() | (gap_s > SESSION_GAP_SECONDS), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sz = (
+        flagged.select(
+            "user_id", F.sum("is_new").over(wrun).alias("session_seq")
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sz = persist_tracked(sz)
+    tot = sz.agg(F.count(F.lit(1)).alias("t"))
+    grid = sz.select(
+        F.explode(F.expr(f"sequence(1, {FUNNEL_MAX_K})")).alias("min_events"),
+        "n",
+    )
+    return (
+        grid.groupBy("min_events")
+        .agg(
+            F.sum(
+                F.when(F.col("n") >= F.col("min_events"), 1).otherwise(0)
+            ).alias("n_sessions")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "min_events",
+            "n_sessions",
+            F.round(F.col("n_sessions") * 1.0 / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("min_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-duplicate cluster-size histogram
+# --------------------------------------------------------------------------
+_CLUSTER_SIZE_ORACLE = f"""
+WITH c AS (
+  SELECT {_sql_md5_60('text')} AS h, CAST(count(*) AS BIGINT) AS s
+  FROM documents GROUP BY h),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents)
+SELECT s AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(s * count(*) AS BIGINT) AS n_docs,
+       round(s * count(*) * 1.0 / any_value(t), 6) AS corpus_share
+FROM c CROSS JOIN tot
+GROUP BY s
+ORDER BY cluster_size
+"""
+
+
+@query("pipeline_dup_cluster_sizes", oracle=_CLUSTER_SIZE_ORACLE)
+def pipeline_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram: how many identical-text
+    clusters exist at each size, and what share of the corpus each size
+    class holds — the shape that decides dedup policy (a fat tail of
+    large clusters means keep-one dedup reclaims most of the corpus; a
+    mass of size-2 clusters means near-dup methods must carry the load).
+    Complements `dedup_exact` (doc-level verdicts) with the
+    distributional view.
+
+    Scale: two map-combinable aggregates (count per 60-bit text digest,
+    then count-of-counts over one row per distinct text — the
+    O(sqrt(corpus)) histogram shape); the only cross-row scalar is the
+    broadcast corpus total.  The shuffle carries digests, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(F.count(F.lit(1)).alias("t"))
+    c = d.groupBy(_md5_60(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return (
+        c.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                F.col("s") * F.col("n_clusters") * 1.0 / F.col("t"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-supplier ship-latency percentiles (grouped count-crossing rule)
+# --------------------------------------------------------------------------
+_LEADTIME_ORACLE = """
+WITH lat AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+cnt AS (
+  SELECT suppkey, d, CAST(count(*) AS BIGINT) AS c
+  FROM lat GROUP BY suppkey, d),
+cum AS (
+  SELECT suppkey, d, c,
+         CAST(sum(c) OVER (PARTITION BY suppkey ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cu,
+         CAST(sum(c) OVER (PARTITION BY suppkey) AS BIGINT) AS n
+  FROM cnt)
+SELECT suppkey,
+       any_value(n) AS n_items,
+       min(CASE WHEN 2 * cu >= n THEN d END) AS median_days,
+       min(CASE WHEN 10 * cu >= 9 * n THEN d END) AS p90_days
+FROM cum GROUP BY suppkey
+"""
+
+
+@query("supplier_lead_time_profile", oracle=_LEADTIME_ORACLE)
+def supplier_lead_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier order-to-ship latency profile: exact median and p90
+    days from order date to ship date — the vendor-SLA scorecard
+    (`supplier_scorecard` ranks on price/returns; this is the delivery
+    axis).
+
+    Exact GROUPED percentiles without per-group sorting of raw rows: one
+    orderkey-keyed fact join, counts per (supplier, latency-day) — the
+    latency domain is calendar-bounded (0..~122 days by the generator's
+    ship-window rule) — then the count-distribution crossing rule
+    (lower median = min d with 2·cum >= n, the repo's median contract)
+    over supplier-PARTITIONED windows: every window is keyed by
+    supplier, so the plan has no single-partition stage at any
+    cardinality."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("d"),
+    )
+    cnt = lat.groupBy("suppkey", "d").agg(F.count(F.lit(1)).alias("c"))
+    wrun = (
+        Window.partitionBy("suppkey")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("suppkey")
+    cum = cnt.select(
+        "suppkey",
+        "d",
+        F.sum("c").over(wrun).alias("cu"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("suppkey").agg(
+        F.max("n").alias("n_items"),
+        F.min(F.when(2 * F.col("cu") >= F.col("n"), F.col("d"))).alias(
+            "median_days"
+        ),
+        F.min(
+            F.when(10 * F.col("cu") >= 9 * F.col("n"), F.col("d"))
+        ).alias("p90_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis rank test (quantity across the three return flags)
+# --------------------------------------------------------------------------
+#: Shared H-statistic expression over the exact integer moments — the
+#: engine-exactness trick: the SAME text runs as Spark selectExpr and
+#: inside the DuckDB oracle, so every IEEE double op matches bit for bit.
+#: twoR_g = 2·(sum of tie-averaged ranks of group g); H rewritten with
+#: (2R)² so all inputs stay integer until this one chain.
+_KW_H = (
+    "round((3.0 * ("
+    "CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(na AS DOUBLE)"
+    " + CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " + CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / CAST(nr AS DOUBLE)"
+    ")) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)"
+)
+_KW_HADJ = (
+    "round(((3.0 * ("
+    "CAST(ta AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(na AS DOUBLE)"
+    " + CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " + CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / CAST(nr AS DOUBLE)"
+    ")) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    " / (1.0 - CAST(tt AS DOUBLE) / "
+    "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    " - CAST(n AS DOUBLE))), 6)"
+)
+
+_KW_ORACLE = f"""
+WITH marg AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cn,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr,
+         CAST(count(*) AS BIGINT) AS t
+  FROM lineitem GROUP BY 1),
+rk AS (
+  SELECT *, 2 * (CAST(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - t) + t + 1 AS r2
+  FROM marg),
+mom AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS ta,
+         CAST(sum(CAST(cn AS HUGEINT) * r2) AS HUGEINT) AS tn,
+         CAST(sum(CAST(cr AS HUGEINT) * r2) AS HUGEINT) AS tr,
+         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+  FROM rk)
+SELECT n, na, nn, nr,
+       CAST(2 AS BIGINT) AS df,
+       {_KW_H} AS h,
+       {_KW_HADJ} AS h_adj
+FROM mom
+"""
+
+
+@query("stats_kruskal_wallis", oracle=_KW_ORACLE)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test: do the three return-flag populations
+    draw quantities from the same distribution?  The nonparametric
+    companion to `stats_anova_f` (no normality assumption) and the
+    >2-group extension of `stats_mann_whitney_u`, with the standard tie
+    correction.
+
+    Computed WITHOUT ranking the fact table (the Spearman pattern):
+    tie-averaged ranks come from the cumulative value-marginal counts
+    (2r_v = 2·cum_below + t + 1, integers), the per-group rank sums are
+    128-bit integer cross-mults over the ~50-row marginal relation, and
+    H is ONE shared double chain — the identical expression text runs on
+    both engines.  The marginal cumulative uses the two-phase
+    distributed scan, so nothing is single-partition even over the
+    bounded value domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    marg = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cr"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    marg = persist_tracked(marg)
+    rk = with_global_order(
+        marg, [F.asc("v")], cums=[(F.col("t"), "cum")], pos=None
+    ).withColumn(
+        "r2", 2 * (F.col("cum") - F.col("t")) + F.col("t") + 1
+    )
+    mom = rk.agg(
+        F.sum("t").alias("n"),
+        F.sum("ca").alias("na"),
+        F.sum("cn").alias("nn"),
+        F.sum("cr").alias("nr"),
+        F.sum(F.col("ca").cast(D38) * F.col("r2")).cast(D38).alias("ta"),
+        F.sum(F.col("cn").cast(D38) * F.col("r2")).cast(D38).alias("tn"),
+        F.sum(F.col("cr").cast(D38) * F.col("r2")).cast(D38).alias("tr"),
+        F.sum(
+            F.col("t").cast(D38) * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast(D38)
+        .alias("tt"),
+    )
+    return mom.selectExpr(
+        "n",
+        "na",
+        "nn",
+        "nr",
+        "CAST(2 AS BIGINT) AS df",
+        f"{_KW_H} AS h",
+        f"{_KW_HADJ} AS h_adj",
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary overlap (pairwise Jaccard, join-free on shingles)
+# --------------------------------------------------------------------------
+_VOCAB_OVERLAP_ORACLE = """
+WITH ss AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(string_split(lower(text), ' '),
+                                    i.i, i.i + 2), ' ') AS sh
+  FROM documents,
+       unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i(i)),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY source),
+sets AS (
+  SELECT sh, list_sort(list(source)) AS arr FROM ss GROUP BY sh),
+inter AS (
+  SELECT t1.a AS src_a, t2.b AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sets, unnest(arr) AS t1(a), unnest(arr) AS t2(b)
+  WHERE t1.a < t2.b
+  GROUP BY 1, 2),
+grid AS (
+  SELECT pa.source AS src_a, pa.n AS n_a, pb.source AS src_b, pb.n AS n_b
+  FROM per pa JOIN per pb ON pa.source < pb.source)
+SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       round(COALESCE(i.n_common, 0) * 1.0
+             / (g.n_a + g.n_b - COALESCE(i.n_common, 0)), 6) AS jaccard
+FROM grid g LEFT JOIN inter i
+  ON g.src_a = i.src_a AND g.src_b = i.src_b
+"""
+
+
+@query("text_source_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-vocabulary Jaccard between every pair of corpus
+    sources — the source-redundancy matrix a mixture designer reads
+    before weighting (two sources with ~1.0 overlap are the same scrape
+    twice; `pipeline_drift_monitor` compares metadata mixes, this
+    compares CONTENT).
+
+    Skew design: nothing ever joins on a shingle.  Per-shingle source
+    SETS are one groupBy (collect_set over the 20-source domain, so each
+    group's state is <= |sources|), pairs explode from each set in-row
+    (<= C(20,2) per shingle), and intersections aggregate onto the
+    190-row pair grid.  Unions come from per-source totals via
+    |A|+|B|-|A∩B| — no second pass.  The pair grid itself is built from
+    the 20-row per-source relation (AQE broadcasts it)."""
+    from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
+
+    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    ss = d.select(
+        "source", F.explode("shingles").alias("sh")
+    ).distinct()
+    ss = persist_tracked(ss)
+    per = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sets = ss.groupBy("sh").agg(
+        F.sort_array(F.collect_set("source")).alias("arr")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(arr, (x, i) ->
+                     transform(slice(arr, i + 2, size(arr)),
+                               y -> struct(x AS src_a, y AS src_b))))"""
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    inter = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    grid = pa.join(pb, pa.src_a < pb.src_b)
+    return (
+        grid.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                * 1.0
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.coalesce("n_common", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH bucket-balance profile (the ANN skew audit)
+# --------------------------------------------------------------------------
+def _lsh_bucket_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        _LSH_DIM,
+        _PLANE_ROWS,
+    )
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+planes AS (SELECT * FROM (VALUES {_PLANE_ROWS}) t(tbl, p, w)),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, {_LSH_DIM}),
+                            i -> vec[i] * w[i])) >= 0
+                       THEN (1 << p) ELSE 0 END) + tbl * 65536 AS BIGINT)
+           AS bucket
+  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+bc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM sig GROUP BY bucket)
+SELECT bucket // 65536 AS tbl,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(c) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * (CAST(sum(c) AS DOUBLE) - 1.0)),
+             6) AS collision_rate
+FROM bc GROUP BY 1
+ORDER BY tbl
+"""
+
+
+@query("similarity_lsh_bucket_profile", oracle=_lsh_bucket_oracle())
+def similarity_lsh_bucket_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-table LSH bucket-balance audit over the shared deterministic
+    hyperplane index (`similarity_ann_lsh`'s signatures): buckets used,
+    largest bucket, and the same-bucket collision rate Σc(c−1)/n(n−1) —
+    the number that IS the ANN cost model at 100 TB (candidate-join work
+    scales with Σc², so a hot bucket is the skew failure; this is the
+    audit you run before trusting the index at 1000x the vectors).
+
+    One explode to (vector × table) signatures, two map-combinable
+    aggregates (bucket counts, then the 16-row per-table rollup) —
+    no joins; integer cross-mults with one rounded division."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _bucket_array,
+        _LSH_DIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    sig = emb.select(
+        F.explode(_bucket_array("vec", _LSH_DIM)).alias("bucket")
+    )
+    bc = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bc.groupBy(F.expr("bucket div 65536").alias("tbl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.sum("c").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("c").cast(D38) * (F.col("c") - 1)).cast("double")
+                / (
+                    F.sum("c").cast("double")
+                    * (F.sum("c").cast("double") - 1.0)
+                ),
+                6,
+            ).alias("collision_rate"),
+        )
+        .orderBy("tbl")
+    )
