@@ -263,6 +263,10 @@ HEADLINE = [
     "stats_kruskal_wallis",
     "text_source_vocab_overlap",
     "similarity_lsh_bucket_profile",
+    "text_ttr_by_length",
+    "events_time_to_first_purchase",
+    "similarity_cluster_purity",
+    "part_size_price_regression",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -947,3 +947,299 @@ def similarity_lsh_bucket_profile(
         )
         .orderBy("tbl")
     )
+
+
+# --------------------------------------------------------------------------
+# Type-token ratio by document-length bucket
+# --------------------------------------------------------------------------
+TTR_BUCKET_TOKENS = 10
+
+_TTR_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+           AS n_types
+  FROM documents)
+SELECT n_tokens // {TTR_BUCKET_TOKENS} AS length_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_types) AS BIGINT) AS total_types,
+       round(CAST(sum(n_types) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         AS ttr
+FROM d GROUP BY 1 ORDER BY length_bucket
+"""
+
+
+@query("text_ttr_by_length", oracle=_TTR_ORACLE)
+def text_ttr_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document-length bucket — the lexical-diversity
+    curve controlled for length (raw TTR falls mechanically with doc
+    length, so comparing sources or filters on uncontrolled TTR is a
+    classic corpus-QA mistake; this is the length-stratified read that
+    makes `text_vocab_growth` actionable per document).
+
+    One narrow per-row pass (token and distinct-token counts are in-row
+    array ops, no explode), then a map-combinable aggregate onto the
+    ~10-bucket length domain; integer sums, one rounded division."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_types"),
+    )
+    return (
+        d.groupBy(
+            F.expr(f"n_tokens div {TTR_BUCKET_TOKENS}").alias("length_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_types").alias("total_types"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+        .orderBy("length_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-to-first-purchase distribution (conversion latency)
+# --------------------------------------------------------------------------
+_TTFP_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         min(ts) AS first_ev,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT date_diff('second', first_ev, first_buy) // 86400 AS gap_days
+  FROM per WHERE first_buy IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM conv)
+SELECT gap_days,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(count(*) * 1.0 / any_value(n_conv), 6) AS share
+FROM conv CROSS JOIN tot
+GROUP BY gap_days ORDER BY gap_days
+"""
+
+
+@query("events_time_to_first_purchase", oracle=_TTFP_ORACLE)
+def events_time_to_first_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Days from a user's first event to their first purchase, as a
+    distribution over converting users — the activation-latency curve
+    (`events_funnel_time_to_convert` measures per-session step gaps;
+    this is the account-level time-to-revenue the growth team tracks).
+
+    One user-keyed aggregate (two conditional mins, map-combinable),
+    then a calendar-bounded histogram; the gap uses the repo's
+    epoch-floor idiom so the day count matches DuckDB's
+    boundary-crossing date_diff exactly.  The only cross-row scalar is
+    the broadcast converter total."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ev"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    conv = per.filter(F.col("first_buy").isNotNull()).select(
+        F.expr(
+            "(cast(cast(first_buy as timestamp) as long)"
+            " - cast(cast(first_ev as timestamp) as long)) div 86400"
+        ).alias("gap_days")
+    )
+    conv = persist_tracked(conv)
+    tot = conv.agg(F.count(F.lit(1)).alias("n_conv"))
+    return (
+        conv.groupBy("gap_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gap_days",
+            "n_users",
+            F.round(F.col("n_users") * 1.0 / F.col("n_conv"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("gap_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means cluster label purity (index quality vs ground-truth labels)
+# --------------------------------------------------------------------------
+def _purity_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_ITERS,
+        _VEC_DIM,
+        _sql_d2_int,
+        _sql_ivf_fit_ctes,
+        _sql_km_setup,
+    )
+
+    k, iters, dim = IVF_CLUSTERS, IVF_ITERS, _VEC_DIM
+    d2 = _sql_d2_int("q0.qv", "c.cv", dim)
+    return f"""{_sql_km_setup()}{_sql_ivf_fit_ctes(k, iters, dim)},
+assign AS (
+  SELECT q0.vec_id, c.cid,
+         row_number() OVER (PARTITION BY q0.vec_id
+             ORDER BY {d2}, c.cid) AS rn
+  FROM q0 CROSS JOIN c{iters} c),
+lab AS (
+  SELECT a.cid AS cluster_id, CAST(e.label AS BIGINT) AS label
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE a.rn = 1),
+cell AS (
+  SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS c
+  FROM lab GROUP BY 1, 2)
+SELECT cluster_id,
+       CAST(sum(c) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_labels,
+       min(CASE WHEN r = 1 THEN label END) AS majority_label,
+       CAST(max(c) AS BIGINT) AS majority_count,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS purity
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY c DESC, label) AS r FROM cell) t
+GROUP BY cluster_id
+"""
+
+
+@query("similarity_cluster_purity", oracle=_purity_oracle())
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the shared IVF k-means index against the
+    embeddings table's ground-truth labels: per cluster, the majority
+    label and its share — the external index-quality check
+    (`similarity_silhouette_audit` is the geometric/internal one; purity
+    tells you whether the index's partitions MEAN anything).
+
+    Scale: assignment is the silhouette plan — a per-row argmin over k
+    broadcast centroid literals, joinless on the corpus side — followed
+    by a (k x labels)-bounded cell aggregate; the majority fold is an
+    in-group max over that bounded relation.  Ties break to the smallest
+    label on both engines."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _d2_structs_int,
+        _qint,
+        ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label").cast("long").alias("label"),
+    )
+    cents = ivf_index(
+        emb.select("vec_id", "vec"), cache_key=sf_dir
+    )
+    nearest = F.element_at(
+        F.slice(F.array_sort(_d2_structs_int(_qint("vec"), cents)), 1, 1), 1
+    )
+    lab = emb.select(
+        nearest["cluster_id"].alias("cluster_id"), "label"
+    )
+    cell = lab.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # majority via one in-group max over (count, -label): ties resolve to
+    # the smallest label, matching the oracle's (c DESC, label) rank.
+    best = F.max(F.struct(F.col("c").alias("c"), (-F.col("label")).alias("nl")))
+    return cell.groupBy("cluster_id").agg(
+        F.sum("c").alias("n_points"),
+        F.count(F.lit(1)).alias("n_labels"),
+        (-best["nl"]).alias("majority_label"),
+        F.max("c").alias("majority_count"),
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-brand price-on-size regression (grouped OLS)
+# --------------------------------------------------------------------------
+_SIZE_PRICE_ORACLE = """
+WITH pts AS (
+  SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM part),
+mom AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pts GROUP BY p_brand),
+fit AS (
+  SELECT p_brand, n,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny,
+         CAST(CAST(sy AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sxy AS DOUBLE) AS inum
+  FROM mom)
+SELECT p_brand, n AS n_parts,
+       CASE WHEN denx <> 0 THEN round(num / denx, 6) END
+         AS slope_cents_per_size,
+       CASE WHEN denx <> 0 THEN round(inum / denx, 6) END
+         AS intercept_cents,
+       CASE WHEN denx <> 0 AND deny <> 0
+            THEN round(num * num / (denx * deny), 6) END AS r2
+FROM fit
+"""
+
+
+@query("part_size_price_regression", oracle=_SIZE_PRICE_ORACLE)
+def part_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of retail price (cents) on part size — does bigger
+    cost more, and how consistently, per brand?  The grouped-regression
+    shape (one fit per group in a single aggregate pass) that
+    `orders_ols_trend` runs over time is here run over a catalog
+    dimension — the pricing-model audit a category manager reads.
+
+    Exactness: sizes and cents are integers, the five moments are exact
+    128-bit cross-mults per brand, and each output is one double
+    division rounded once (zero-variance guards mirror the oracle's
+    CASE).  Scale: one map-combinable aggregate onto the bounded brand
+    domain; no joins, no windows."""
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    mom = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(x.cast(D38) * x.cast(D38)).cast(D38).alias("sxx"),
+        F.sum(x.cast(D38) * y.cast(D38)).cast(D38).alias("sxy"),
+        F.sum(y.cast(D38) * y.cast(D38)).cast(D38).alias("syy"),
+    )
+    n = F.col("n").cast(D38)
+    sx, sy = F.col("sx").cast(D38), F.col("sy").cast(D38)
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    denx = (n * F.col("sxx") - sx * sx).cast("double")
+    deny = (n * F.col("syy") - sy * sy).cast("double")
+    inum = (sy * F.col("sxx") - sx * F.col("sxy")).cast("double")
+    return mom.select(
+        "p_brand",
+        F.col("n").alias("n_parts"),
+        F.when(denx != 0, F.round(num / denx, 6)).alias(
+            "slope_cents_per_size"
+        ),
+        F.when(denx != 0, F.round(inum / denx, 6)).alias("intercept_cents"),
+        F.when(
+            (denx != 0) & (deny != 0), F.round(num * num / (denx * deny), 6)
+        ).alias("r2"),
+    )
