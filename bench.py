@@ -267,6 +267,9 @@ HEADLINE = [
     "events_time_to_first_purchase",
     "similarity_cluster_purity",
     "part_size_price_regression",
+    "pipeline_dedup_token_savings",
+    "stats_wilcoxon_signed_rank",
+    "text_source_unigram_tv",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

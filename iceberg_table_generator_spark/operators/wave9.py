@@ -1243,3 +1243,259 @@ def part_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (denx != 0) & (deny != 0), F.round(num * num / (denx * deny), 6)
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup token savings forecast
+# --------------------------------------------------------------------------
+_TOKEN_SAVINGS_ORACLE = f"""
+WITH cl AS (
+  SELECT {_sql_md5_60('text')} AS h,
+         CAST(count(*) AS BIGINT) AS s,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+         CAST(min(len(string_split(text, ' '))) AS BIGINT) AS tok_kept
+  FROM documents GROUP BY h)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
+       CAST(sum(tok_kept) AS BIGINT) AS kept_tokens,
+       CAST(sum(tok_sum) - sum(tok_kept) AS BIGINT) AS saved_tokens,
+       round(CAST(sum(tok_sum) - sum(tok_kept) AS DOUBLE)
+             / CAST(sum(tok_sum) AS DOUBLE), 6) AS savings_ratio
+FROM cl
+"""
+
+
+@query("pipeline_dedup_token_savings", oracle=_TOKEN_SAVINGS_ORACLE)
+def pipeline_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token savings a keep-one exact dedup would deliver: total corpus
+    tokens vs tokens after keeping one representative per
+    identical-text cluster — the capacity number a dedup pass is
+    budgeted against (`pipeline_dup_cluster_sizes` gives the shape;
+    this gives the integral).  Identical texts have identical token
+    counts, so the kept-doc tokens are the cluster min — no
+    representative selection join needed.
+
+    One digest-keyed map-combinable aggregate, then a one-row rollup;
+    the shuffle carries digests + two integers, never text."""
+    d = load_table(spark, sf_dir, "documents").select(
+        _md5_60(F.col("text")).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+    )
+    cl = d.groupBy("h").agg(
+        F.count(F.lit(1)).alias("s"),
+        F.sum("t").alias("tok_sum"),
+        F.min("t").alias("tok_kept"),
+    )
+    return cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("s").alias("n_docs"),
+        F.sum("tok_sum").alias("total_tokens"),
+        F.sum("tok_kept").alias("kept_tokens"),
+        (F.sum("tok_sum") - F.sum("tok_kept")).alias("saved_tokens"),
+        F.round(
+            (F.sum("tok_sum") - F.sum("tok_kept")).cast("double")
+            / F.sum("tok_sum").cast("double"),
+            6,
+        ).alias("savings_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test on year-over-year monthly revenue pairs
+# --------------------------------------------------------------------------
+#: Shared z-statistic text (the engine-exactness trick): w2 = 2·W+,
+#: m2 = n(n+1)/2 = 2·E[W+], v48 = 2n(n+1)(2n+1) − Σ(t³−t) = 48·Var[W+].
+_WILCOXON_Z = (
+    "round((CAST(w2 - m2 AS DOUBLE) / 2.0)"
+    " / sqrt(CAST(v48 AS DOUBLE) / 48.0), 6)"
+)
+
+_WILCOXON_ORACLE = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+diffs AS (
+  SELECT a.cents - b.cents AS d
+  FROM monthly a JOIN monthly b ON b.mo = a.mo - 12
+  WHERE a.cents <> b.cents),
+marg AS (
+  SELECT abs(d) AS ad,
+         CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+  FROM diffs GROUP BY 1),
+rk AS (
+  SELECT *, 2 * (CAST(sum(t) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - t) + t + 1 AS r2
+  FROM marg),
+mom AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n,
+         CAST(sum(CAST(cpos AS HUGEINT) * r2) AS HUGEINT) AS w2,
+         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tt
+  FROM rk)
+SELECT n AS n_pairs,
+       CAST(w2 AS BIGINT) AS w_plus_x2,
+       {_WILCOXON_Z.replace('m2', '(n * (n + 1))')
+                   .replace('v48', '(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - tt)')}
+         AS z
+FROM mom
+"""
+
+
+@query("stats_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired monthly revenue, this month vs
+    the same month last year — is the YoY change systematic or
+    symmetric-noise?  The paired nonparametric companion to
+    `orders_yoy_growth` (which reports magnitudes; this tests them
+    without normality assumptions), with the standard zero-drop rule
+    and tie-averaged ranks.
+
+    The rank algebra is the repo's marginal pattern: |diff| value
+    marginals (months-bounded), tie-averaged 2r from the cumulative via
+    the two-phase scan, 128-bit cross-mults, and ONE shared double chain
+    for z — identical expression text on both engines."""
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mo")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    monthly = persist_tracked(monthly)
+    b = monthly.select(
+        (F.col("mo") + 12).alias("mo"), F.col("cents").alias("prev")
+    )
+    diffs = (
+        monthly.join(b, "mo")
+        .filter(F.col("cents") != F.col("prev"))
+        .select((F.col("cents") - F.col("prev")).alias("d"))
+    )
+    marg = diffs.groupBy(F.abs("d").alias("ad")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("cpos"),
+    )
+    marg = persist_tracked(marg)
+    rk = with_global_order(
+        marg, [F.asc("ad")], cums=[(F.col("t"), "cum")], pos=None
+    ).withColumn("r2", 2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+    mom = rk.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("cpos").cast(D38) * F.col("r2")).cast(D38).alias("w2"),
+        F.sum(F.col("t").cast(D38) * F.col("t") * F.col("t") - F.col("t"))
+        .cast(D38)
+        .alias("tt"),
+    )
+    z_text = (
+        _WILCOXON_Z.replace("m2", "(n * (n + 1))")
+        .replace(
+            "v48",
+            "(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1) - tt)",
+        )
+    )
+    return mom.selectExpr(
+        "n AS n_pairs",
+        "CAST(w2 AS BIGINT) AS w_plus_x2",
+        f"{z_text} AS z",
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source unigram total-variation distance (content drift matrix)
+# --------------------------------------------------------------------------
+_UNIGRAM_TV_ORACLE = """
+WITH cells AS (
+  SELECT source, w.w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(lower(text), ' ')) AS w(w)
+  GROUP BY 1, 2),
+per AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source),
+words AS (SELECT DISTINCT word FROM cells),
+grid AS (
+  SELECT pa.source AS src_a, pa.n AS n_a, pb.source AS src_b, pb.n AS n_b
+  FROM per pa JOIN per pb ON pa.source < pb.source),
+terms AS (
+  SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+         abs(CAST(COALESCE(ca.c, 0) AS HUGEINT) * g.n_b
+             - CAST(COALESCE(cb.c, 0) AS HUGEINT) * g.n_a) AS term
+  FROM grid g CROSS JOIN words w
+  LEFT JOIN cells ca ON ca.source = g.src_a AND ca.word = w.word
+  LEFT JOIN cells cb ON cb.source = g.src_b AND cb.word = w.word)
+SELECT src_a, src_b, n_a AS tokens_a, n_b AS tokens_b,
+       round(CAST(sum(term) AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+         AS tv_distance
+FROM terms GROUP BY src_a, src_b, n_a, n_b
+"""
+
+
+@query("text_source_unigram_tv", oracle=_UNIGRAM_TV_ORACLE)
+def text_source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between source unigram
+    distributions — the CONTENT-drift matrix (`pipeline_drift_monitor`
+    compares each source's metadata mix to the corpus;
+    `text_source_vocab_overlap` compares vocabularies as sets; this
+    compares the actual word-frequency distributions pair by pair, the
+    strongest same-scrape-twice signal).  TV chosen over KL/JS
+    deliberately: it is rational, so the matrix is exactly
+    cross-engine reproducible.
+
+    Exactness: |p−q| terms are cleared to integers by cross-multiplying
+    the token totals (|c_a·n_b − c_b·n_a|, 128-bit), summed exactly,
+    divided once.  Scale: word cells aggregate map-side; the per-word
+    count MAP (≤ |sources| entries) meets the 190-row source-pair grid
+    in one vocabulary×pairs pass — no per-pair corpus scan, and the
+    only join key is the bounded source domain."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = persist_tracked(cells)
+    per = cells.groupBy("source").agg(F.sum("c").alias("n"))
+    wmap = cells.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("source", "c"))
+        ).alias("m")
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    grid = pa.join(pb, pa.src_a < pb.src_b)
+    terms = wmap.crossJoin(grid).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.coalesce(F.element_at("m", F.col("src_a")), F.lit(0)).cast(D38)
+            * F.col("n_b")
+            - F.coalesce(F.element_at("m", F.col("src_b")), F.lit(0)).cast(D38)
+            * F.col("n_a")
+        ).alias("term"),
+    )
+    return terms.groupBy("src_a", "src_b", "n_a", "n_b").agg(
+        F.round(
+            F.sum("term").cast("double")
+            / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("tv_distance")
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("n_a").alias("tokens_a"),
+        F.col("n_b").alias("tokens_b"),
+        "tv_distance",
+    )
