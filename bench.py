@@ -270,6 +270,8 @@ HEADLINE = [
     "pipeline_dedup_token_savings",
     "stats_wilcoxon_signed_rank",
     "text_source_unigram_tv",
+    "events_katz_centrality",
+    "events_absorption_probability",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

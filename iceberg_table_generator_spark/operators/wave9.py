@@ -1499,3 +1499,246 @@ def text_source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").alias("tokens_b"),
         "tv_distance",
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality over the page navigation graph (attenuated path counts)
+# --------------------------------------------------------------------------
+KATZ_SCALE = 1_000_000_000_000  # 1e12 micro-units
+KATZ_ITERS = 6
+KATZ_ATTEN = 256  # beta = 1/256 (integer right-shift-style div); the
+# page domain is <= 100 nodes so max in-degree < 256 => beta*lambda_max
+# < 1 and the series converges; a loud guard pins the bound at runtime.
+
+
+def _katz_oracle() -> str:
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "edges AS (SELECT DISTINCT src, dst FROM seq"
+        " WHERE dst IS NOT NULL AND dst <> src)",
+        "indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY dst)",
+        "nodes AS (SELECT DISTINCT k AS node FROM ev)",
+        f"x0 AS (SELECT node, CAST({KATZ_SCALE} AS BIGINT) AS x FROM nodes)",
+    ]
+    for i in range(1, KATZ_ITERS + 1):
+        ctes.append(
+            f"x{i} AS (SELECT n.node, CAST({KATZ_SCALE} +"
+            f" COALESCE(CAST(sum(p.x // {KATZ_ATTEN}) AS BIGINT), 0)"
+            f" AS BIGINT) AS x"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT e.dst, xp.x FROM edges e"
+            f"  JOIN x{i - 1} xp ON e.src = xp.node) p"
+            f" ON p.dst = n.node GROUP BY n.node)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node, COALESCE(i.d, 0) AS in_degree, x.x AS katz_micro
+FROM nodes n
+JOIN x{KATZ_ITERS} x ON x.node = n.node
+LEFT JOIN indeg i ON i.dst = n.node
+"""
+
+
+@query("events_katz_centrality", oracle=_katz_oracle())
+def events_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality of the page navigation graph: attenuated count of
+    in-paths of every length (x = Σ βᵏ(Aᵀ)ᵏ1, truncated at
+    {KATZ_ITERS} hops) — the prestige measure that, unlike
+    `events_pagerank`, does NOT normalize by out-degree, so a page
+    linked from hubs scores high even when those hubs link widely (the
+    complementary centrality; PageRank answers "where does a random
+    surfer end up", Katz answers "how reachable is this page").
+
+    Engine-exactness (the PageRank contract): ranks live in integer
+    micro-units; each iteration is edge-join + (x div {KATZ_ATTEN})
+    contributions + integer sums in a fixed order, replayed by the
+    oracle as an unrolled CTE chain — bit-identical.  Convergence:
+    β·λ_max ≤ in_deg_max/{KATZ_ATTEN} < 1 on the ≤100-page domain,
+    pinned by a loud runtime guard.  Scale: the distinct-edge relation
+    is |V|²-bounded; each iteration is O(|E|) with |V|-sized rank
+    relations (AQE broadcasts them)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    edges = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+        .distinct()
+        .transform(persist_tracked)
+    )
+    nodes = (
+        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
+    )
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    # Loud convergence/overflow guard (the PageRank rule): beta*lambda_max
+    # <= max_in_degree/KATZ_ATTEN must stay < 1, which also bounds x by
+    # SCALE/(1 - ratio) well under int64.
+    max_in = indeg.agg(F.max("d")).first()[0] or 0
+    if max_in >= KATZ_ATTEN:
+        raise OverflowError(
+            f"events_katz_centrality: divergence risk — max in-degree "
+            f"{max_in} >= attenuation {KATZ_ATTEN}; raise KATZ_ATTEN."
+        )
+    x = nodes.select("node", F.lit(KATZ_SCALE).cast("long").alias("x"))
+    for _ in range(KATZ_ITERS):
+        contrib = (
+            edges.join(x, edges.src == x.node)
+            .select("dst", F.expr(f"x div {KATZ_ATTEN}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        x = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(KATZ_SCALE).cast("long")
+                + F.coalesce("incoming", F.lit(0))
+            ).alias("x"),
+        )
+    return (
+        nodes.join(x.withColumnRenamed("x", "katz_micro"), "node")
+        .join(indeg.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("d", F.lit(0)).alias("in_degree"),
+            "katz_micro",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-walk absorption probability (hit page 0 within K hops)
+# --------------------------------------------------------------------------
+ABSORB_SCALE = 1_000_000_000_000
+ABSORB_ITERS = 8
+ABSORB_TARGET = 0  # the fixed landing page (k=0) — the generator's page
+# domain is 0..99 at every SF, so the target always exists.
+
+
+def _absorb_oracle() -> str:
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)",
+        "outw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw"
+        " FROM edges GROUP BY src)",
+        "er AS (SELECT e.src, e.dst, e.cnt, o.outw"
+        " FROM edges e JOIN outw o USING (src))",
+        "nodes AS (SELECT DISTINCT k AS node FROM ev)",
+        f"h0 AS (SELECT node, CAST(CASE WHEN node = {ABSORB_TARGET}"
+        f" THEN {ABSORB_SCALE} ELSE 0 END AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, ABSORB_ITERS + 1):
+        ctes.append(
+            f"h{i} AS (SELECT n.node,"
+            f" CAST(CASE WHEN n.node = {ABSORB_TARGET} THEN {ABSORB_SCALE}"
+            f" ELSE COALESCE(CAST(sum(CAST(p.cnt AS HUGEINT) * p.h)"
+            f" // any_value(p.outw) AS BIGINT), 0) END AS BIGINT) AS h"
+            f" FROM nodes n LEFT JOIN"
+            f" (SELECT er.src, er.cnt, er.outw, hp.h"
+            f"  FROM er JOIN h{i - 1} hp ON er.dst = hp.node) p"
+            f" ON p.src = n.node GROUP BY n.node)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node, COALESCE(o.outw, 0) AS out_visits, h.h AS absorb_micro
+FROM nodes n
+JOIN h{ABSORB_ITERS} h ON h.node = n.node
+LEFT JOIN outw o ON o.src = n.node
+"""
+
+
+@query("events_absorption_probability", oracle=_absorb_oracle())
+def events_absorption_probability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probability that a navigation random walk starting at each page
+    reaches page {ABSORB_TARGET} (the landing page) within
+    {ABSORB_ITERS} clicks, under the observed transition frequencies —
+    the absorbing-state read of the Markov pack
+    (`events_markov_stationary` answers long-run occupancy;
+    this answers "how funnel-connected is each page to the target",
+    the nav-IA diagnostic).
+
+    Engine-exactness: h_i(v) is EXACTLY P(hit within i steps) in integer
+    micro-units up to one truncating division per (node, iteration) —
+    the division order is fixed (128-bit cnt·h products summed exactly,
+    ONE div by the out-weight), so both engines replay bit-identically;
+    the oracle is the unrolled CTE chain.  Scale: O(|E|) per iteration
+    over the persisted |V|²-bounded edge relation, |V|-sized h
+    relations."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    edges = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
+    er = edges.join(outw, "src").transform(persist_tracked)
+    nodes = (
+        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
+    )
+    h = nodes.select(
+        "node",
+        F.when(F.col("node") == ABSORB_TARGET, F.lit(ABSORB_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("h"),
+    )
+    for _ in range(ABSORB_ITERS):
+        inc = (
+            er.join(h, er.dst == h.node)
+            .select(
+                "src",
+                (F.col("cnt").cast(D38) * F.col("h")).alias("p"),
+                "outw",
+            )
+            .groupBy("src")
+            .agg(
+                F.expr("CAST(sum(p) div any_value(outw) AS BIGINT)").alias(
+                    "nh"
+                )
+            )
+        )
+        h = nodes.join(inc, nodes.node == inc.src, "left").select(
+            "node",
+            F.when(F.col("node") == ABSORB_TARGET, F.lit(ABSORB_SCALE))
+            .otherwise(F.coalesce("nh", F.lit(0)))
+            .cast("long")
+            .alias("h"),
+        )
+    return (
+        nodes.join(h.withColumnRenamed("h", "absorb_micro"), "node")
+        .join(
+            outw.withColumnRenamed("src", "node"), "node", "left"
+        )
+        .select(
+            "node",
+            F.coalesce("outw", F.lit(0)).alias("out_visits"),
+            "absorb_micro",
+        )
+    )
