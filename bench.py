@@ -272,6 +272,8 @@ HEADLINE = [
     "text_source_unigram_tv",
     "events_katz_centrality",
     "events_absorption_probability",
+    "orders_rfm_migration",
+    "stats_friedman_test",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

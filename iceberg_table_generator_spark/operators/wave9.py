@@ -1742,3 +1742,207 @@ def events_absorption_probability(
             "absorb_micro",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM quartile migration matrix (first half vs second half of the calendar)
+# --------------------------------------------------------------------------
+RFM_SPLIT_DATE = "1998-07-01"  # calendar midpoint of the generator's
+# 1995-2001 order-date domain; fixed so both engines split identically.
+RFM_MIG_TILES = 4
+
+
+def _spend_tiles(spend: DataFrame, half: int, out: str) -> DataFrame:
+    """Monetary quartile of one calendar half via the two-phase order +
+    closed-form ntile (the rfm_segments contract)."""
+    part = spend.filter(F.col("h") == half)
+    n = part.agg(F.count(F.lit(1)).alias("n_cust"))
+    t = with_global_order(
+        part, [F.desc("cents"), F.asc("custkey")], pos="pos"
+    )
+    return t.crossJoin(F.broadcast(n)).select(
+        "custkey", ntile_expr("pos", "n_cust", RFM_MIG_TILES).alias(out)
+    )
+
+
+_RFM_MIG_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(o_orderdate < TIMESTAMP '{RFM_SPLIT_DATE}' AS INT) = 1 AS early,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+  GROUP BY 1, 2),
+tiles AS (
+  SELECT custkey, early,
+         CAST(ntile({RFM_MIG_TILES}) OVER (PARTITION BY early
+              ORDER BY cents DESC, custkey) AS INT) AS tile
+  FROM spend),
+m AS (
+  SELECT a.tile AS from_tile, b.tile AS to_tile
+  FROM tiles a JOIN tiles b ON a.custkey = b.custkey
+  WHERE a.early AND NOT b.early),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM m)
+SELECT from_tile, to_tile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(count(*) * 1.0 / any_value(t), 6) AS share
+FROM m CROSS JOIN tot
+GROUP BY from_tile, to_tile
+ORDER BY from_tile, to_tile
+"""
+
+
+@query("orders_rfm_migration", oracle=_RFM_MIG_ORACLE)
+def orders_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quartile migration matrix: each customer's spend quartile
+    in the first calendar half vs the second — the segment-mobility read
+    (`rfm_segments` is the static cube; this shows churn out of the top
+    tile and upgrades into it, the number retention programs are judged
+    on).  Customers active in only one half drop out via the inner join
+    — entering/exiting cohorts are `orders_cohort_retention`'s job.
+
+    Each half's quartile is the two-phase distributed order + the
+    integer closed-form ntile (bit-equal to the oracle's PARTITION BY
+    half window, which Spark deliberately does NOT use: two
+    data-half-sized window partitions are the single-partition
+    scale-killer in disguise).  The migration join is customer-keyed;
+    the matrix rollup is 16 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate") < F.lit(RFM_SPLIT_DATE).cast("timestamp"))
+            .cast("int")
+            .alias("h"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    spend = persist_tracked(spend)
+    early = _spend_tiles(spend, 1, "from_tile")
+    late = _spend_tiles(spend, 0, "to_tile")
+    m = early.join(late, "custkey")
+    m = persist_tracked(m)
+    tot = m.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        m.groupBy("from_tile", "to_tile")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "from_tile",
+            "to_tile",
+            "n_customers",
+            F.round(F.col("n_customers") * 1.0 / F.col("t"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("from_tile", "to_tile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Friedman test (priority revenue ranks within month blocks)
+# --------------------------------------------------------------------------
+FRIEDMAN_K = 5  # order priorities (complete blocks only)
+
+#: Shared chi-square / Kendall-W chain over exact integer rank moments.
+_FRIEDMAN_CHI2 = (
+    "round(12.0 * CAST(sr2 AS DOUBLE)"
+    " / (CAST(nb AS DOUBLE) * {k}.0 * ({k}.0 + 1.0))"
+    " - 3.0 * CAST(nb AS DOUBLE) * ({k}.0 + 1.0), 6)"
+).format(k=FRIEDMAN_K)
+_FRIEDMAN_W = (
+    "round((12.0 * CAST(sr2 AS DOUBLE)"
+    " / (CAST(nb AS DOUBLE) * {k}.0 * ({k}.0 + 1.0))"
+    " - 3.0 * CAST(nb AS DOUBLE) * ({k}.0 + 1.0))"
+    " / (CAST(nb AS DOUBLE) * ({k}.0 - 1.0)), 6)"
+).format(k=FRIEDMAN_K)
+
+_FRIEDMAN_ORACLE = f"""
+WITH cell AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+         o_orderpriority AS pri,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+full_blocks AS (
+  SELECT mo FROM cell GROUP BY mo HAVING count(*) = {FRIEDMAN_K}),
+rk AS (
+  SELECT c.mo, c.pri,
+         CAST(row_number() OVER (PARTITION BY c.mo
+              ORDER BY c.cents, c.pri) AS BIGINT) AS r
+  FROM cell c JOIN full_blocks f ON c.mo = f.mo),
+rs AS (
+  SELECT pri, CAST(sum(r) AS BIGINT) AS rank_sum FROM rk GROUP BY pri),
+mom2 AS (
+  SELECT CAST(sum(CAST(rank_sum AS HUGEINT)) * 2
+              // ({FRIEDMAN_K} * ({FRIEDMAN_K} + 1)) AS BIGINT) AS nb,
+         CAST(sum(CAST(rank_sum AS HUGEINT) * rank_sum) AS HUGEINT) AS sr2
+  FROM rs)
+SELECT nb AS n_blocks,
+       CAST({FRIEDMAN_K - 1} AS BIGINT) AS df,
+       {_FRIEDMAN_CHI2} AS chi2,
+       {_FRIEDMAN_W} AS kendall_w
+FROM mom2
+"""
+
+
+@query("stats_friedman_test", oracle=_FRIEDMAN_ORACLE)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five order priorities keep the same revenue
+    ORDERING month after month?  The repeated-measures companion to
+    `stats_kruskal_wallis` (blocks = months remove the seasonal level
+    shift that would swamp a pooled rank test), plus Kendall's W
+    concordance.  Ranks within a block break exact-cents ties by
+    priority name — deterministic on both engines; incomplete months
+    (missing a priority) are excluded as the test requires.
+
+    Scale: one calendar×priority-bounded aggregate; the ranking window
+    is PARTITIONED by month (5 rows per partition); rank sums and ΣR²
+    are exact integers into one shared double chain."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mo"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    cell = persist_tracked(cell)
+    full = cell.groupBy("mo").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") == FRIEDMAN_K
+    )
+    rk = cell.join(full.select("mo"), "mo").select(
+        "pri",
+        F.row_number()
+        .over(Window.partitionBy("mo").orderBy("cents", "pri"))
+        .cast("long")
+        .alias("r"),
+    )
+    rs = rk.groupBy("pri").agg(F.sum("r").alias("rank_sum"))
+    # n_blocks via the rank-sum identity Σ_j R_j = nb·k(k+1)/2 —
+    # integer-exact `div` on both engines.
+    mom = rs.agg(
+        F.sum("rank_sum").alias("srs"),
+        F.sum(F.col("rank_sum").cast(D38) * F.col("rank_sum"))
+        .cast(D38)
+        .alias("sr2"),
+    ).selectExpr(
+        f"CAST((srs * 2) div ({FRIEDMAN_K} * ({FRIEDMAN_K} + 1)) AS BIGINT)"
+        " AS nb",
+        "sr2",
+    )
+    return mom.selectExpr(
+        "nb AS n_blocks",
+        f"CAST({FRIEDMAN_K - 1} AS BIGINT) AS df",
+        f"{_FRIEDMAN_CHI2} AS chi2",
+        f"{_FRIEDMAN_W} AS kendall_w",
+    )
