@@ -274,6 +274,8 @@ HEADLINE = [
     "events_absorption_probability",
     "orders_rfm_migration",
     "stats_friedman_test",
+    "similarity_pq_distortion",
+    "pipeline_dup_by_source",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -900,17 +900,10 @@ def _pq_query_table(vec_col: str | Column, books: Codebooks) -> Column:
     )
 
 
-def _pq_oracle() -> str:
-    """DuckDB twin of the full PQ pipeline: refit the per-subspace integer
-    codebooks (one CTE chain handles all m subspaces via a subspace column
-    j), re-encode every candidate, rebuild each query's ADC table, and
-    replay shortlist + exact rerank.  The ADC doubles match because both
-    engines run identical folds over identical doubles (the float
-    codebook view is the same exact int→double conversion on both
-    sides)."""
-    m, k, iters = PQ_M, PQ_K, PQ_ITERS
-    sd, dim = _VEC_DIM // PQ_M, _VEC_DIM
-    parts = [_sql_km_setup(), f""",
+def _sql_pq_fit_ctes(m: int, k: int, iters: int, sd: int) -> str:
+    """PQ per-subspace integer codebook fit as a CTE chain (ts, c0..c{iters})
+    — shared by the PQ top-k oracle and the distortion audit."""
+    parts = [f""",
 ts AS (
   SELECT t.vec_id, t.h, g.j,
          list_transform(generate_series(1, {sd}), i -> t.qv[g.j*{sd}+i]) AS sv
@@ -938,6 +931,20 @@ nc{n} AS (
 c{n} AS (
   SELECT p.j, p.cid, COALESCE(w.cv, p.cv) AS cv
   FROM c{p} p LEFT JOIN nc{n} w ON w.j = p.j AND w.cid = p.cid)""")
+    return "".join(parts)
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of the full PQ pipeline: refit the per-subspace integer
+    codebooks (one CTE chain handles all m subspaces via a subspace column
+    j), re-encode every candidate, rebuild each query's ADC table, and
+    replay shortlist + exact rerank.  The ADC doubles match because both
+    engines run identical folds over identical doubles (the float
+    codebook view is the same exact int→double conversion on both
+    sides)."""
+    m, k, iters = PQ_M, PQ_K, PQ_ITERS
+    sd, dim = _VEC_DIM // PQ_M, _VEC_DIM
+    parts = [_sql_km_setup(), _sql_pq_fit_ctes(m, k, iters, sd)]
     cf = f"c{iters}"
     cvd = f"CAST(c.cv[i] AS DOUBLE)/{KM_SCALE}.0"
     parts.append(f""",

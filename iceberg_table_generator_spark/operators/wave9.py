@@ -1946,3 +1946,151 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_FRIEDMAN_CHI2} AS chi2",
         f"{_FRIEDMAN_W} AS kendall_w",
     )
+
+
+# --------------------------------------------------------------------------
+# PQ reconstruction-distortion audit (per-subspace quantization error)
+# --------------------------------------------------------------------------
+def _pq_distortion_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        _VEC_DIM,
+        _sql_d2_int,
+        _sql_km_setup,
+        _sql_pq_fit_ctes,
+    )
+
+    m, k, iters = PQ_M, PQ_K, PQ_ITERS
+    sd = _VEC_DIM // PQ_M
+    return f"""{_sql_km_setup()}{_sql_pq_fit_ctes(m, k, iters, sd)},
+alls AS (
+  SELECT q0.vec_id, g.j,
+         list_transform(generate_series(1, {sd}), i -> q0.qv[g.j*{sd}+i]) AS sv
+  FROM q0, generate_series(0, {m - 1}) g(j)),
+md AS (
+  SELECT a.vec_id, a.j,
+         min({_sql_d2_int('a.sv', 'c.cv', sd)}) AS d2
+  FROM alls a JOIN c{iters} c ON c.j = a.j
+  GROUP BY a.vec_id, a.j)
+SELECT j AS subspace,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((2 * CAST(sum(d2) AS HUGEINT) + count(*))
+            // (2 * count(*)) AS BIGINT) AS mean_d2_e12,
+       CAST(max(d2) AS BIGINT) AS max_d2_e12
+FROM md GROUP BY j
+"""
+
+
+@query("similarity_pq_distortion", oracle=_pq_distortion_oracle())
+def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction distortion: the exact squared error
+    each 4-bit code introduces (min distance to the chosen codeword,
+    which IS the reconstruction error), aggregated per subspace — the
+    codebook-quality audit that explains `similarity_ann_recall_eval`'s
+    number (a subspace with outsized distortion is where ADC ranking
+    lies, and the first candidate for more codewords).
+
+    Exactness: distances are scale-12 integers against the SAME
+    engine-exact integer codebooks DuckDB refits from raw parquet
+    (the shared `_sql_pq_fit_ctes` chain); the mean is the half-up
+    integer micro² mean.  Scale: one joinless per-row fold over the
+    broadcast codebook literals (the `_pq_codes` evaluation contract),
+    then an m-key aggregate — the corpus never joins anything."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _let,
+        _qint,
+        _sq_dist_int,
+        packed_model_col,
+        pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    books = pq_index(emb, cache_key=sf_dir)
+    m, sub_dim = len(books), len(books[0][0])
+    cb = packed_model_col(books, "array<array<array<bigint>>>")
+    subs_of = lambda qv: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(qv, j * sub_dim + 1, sub_dim),
+    )
+    d2s = _let(
+        _let(_qint("vec"), subs_of),
+        lambda subs: F.transform(
+            cb,
+            lambda mcb, mi: F.array_min(
+                F.transform(
+                    mcb,
+                    lambda c: _sq_dist_int(F.element_at(subs, mi + 1), c),
+                )
+            ),
+        ),
+    )
+    per = emb.select(F.posexplode(d2s).alias("subspace", "d2"))
+    return (
+        per.groupBy(F.col("subspace").cast("long").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d2").cast(D38)).cast(D38).alias("s"),
+            F.max("d2").alias("max_d2_e12"),
+        )
+        .selectExpr(
+            "subspace",
+            "n AS n_vectors",
+            "CAST((2 * s + n) div (2 * n) AS BIGINT) AS mean_d2_e12",
+            "CAST(max_d2_e12 AS BIGINT) AS max_d2_e12",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source exact-duplication attribution
+# --------------------------------------------------------------------------
+_DUP_BY_SOURCE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_sql_md5_60('text')} AS h FROM documents),
+cl AS (SELECT h, CAST(count(*) AS BIGINT) AS s FROM d GROUP BY h)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cl.s >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(CASE WHEN cl.s >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM d JOIN cl ON d.h = cl.h
+GROUP BY d.source
+"""
+
+
+@query("pipeline_dup_by_source", oracle=_DUP_BY_SOURCE_ORACLE)
+def pipeline_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources carry the duplication: per source, the share of its
+    documents whose exact text appears >= 2 times anywhere in the corpus
+    — the attribution that turns `pipeline_dup_cluster_sizes`' global
+    histogram into a per-feed action item (a feed with a high cross-
+    corpus dup rate is a re-scrape; drop it before paying near-dup
+    compute).
+
+    Scale: cluster sizes come from one digest-keyed aggregate; the join
+    back to documents is digest-keyed with bounded multiplicity (exact-
+    dup cluster sizes are small by construction — the
+    `dedup_keep_canonical` design note), and the rollup is onto the
+    bounded source domain.  Only 16-byte digests shuffle, never text."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", _md5_60(F.col("text")).alias("h")
+    )
+    d = persist_tracked(d)
+    cl = d.groupBy("h").agg(F.count(F.lit(1)).alias("s"))
+    dup = F.when(F.col("s") >= 2, 1).otherwise(0)
+    return (
+        d.join(cl, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).alias("n_dup_docs"),
+            F.round(F.sum(dup) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
