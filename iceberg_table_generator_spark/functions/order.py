@@ -25,7 +25,11 @@ composition of DataFrame ops, bit-exactly equal to the global window:
 AQE partition coalescing only ever merges ADJACENT shuffle partitions,
 which preserves the range-ordering invariant, and the offsets are computed
 from the ACTUAL per-partition totals, so correctness never depends on
-where the sampled range boundaries fall.
+WHERE the sampled range boundaries fall — but it DOES depend on both plan
+branches seeing the SAME boundaries: Spark's range sampler is not
+deterministic across executions and ReuseExchange does not dedupe the
+exchange, so the shuffled relation is persisted inside the primitive (the
+r9 correctness fix; see the inline comment).
 
 The reference has no ordering surface at all (its only sort is the
 deterministic file-path sort, `IcebergTableGenerator.java:451-464`); this
@@ -38,6 +42,9 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.storagelevel import StorageLevel
+
+from iceberg_table_generator_spark.functions.cache import persist_tracked
 
 #: Floor for the range-shuffle partition count: keeps the offset relation
 #: (and therefore the plan shape under test) non-trivial on tiny local
@@ -68,6 +75,21 @@ def with_global_order(
     d = df.repartitionByRange(n_parts, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # CORRECTNESS-REQUIRED persist (r9 finding, caught by the sf0.1
+    # sweep): the local-rank branch and the offset-totals branch below
+    # both consume `d`, ReuseExchange does NOT dedupe the range
+    # exchange, and Spark's range SAMPLER is not deterministic across
+    # executions — two independent runs of the same repartitionByRange
+    # were measured placing rows in different partitions.  Without this
+    # persist the offsets can be computed against a DIFFERENT
+    # partitioning than the ranks (observed: rfm_segments 71-row vs the
+    # window form's 63-row result at sf0.1).  Persisting materializes
+    # ONE partitioning that both branches read; it also makes each call
+    # read its input lineage exactly once.  (Executor-loss recompute
+    # would reintroduce the ambiguity on a real cluster — jobs needing
+    # that guarantee should checkpoint; see test_global_order.py's
+    # branch-consistency test.)
+    d = persist_tracked(d, StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy("_pid").orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_lpos", F.row_number().over(w).cast("long"))

@@ -179,23 +179,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # Persist base AND each chain link: every with_global_order call
-    # reads its input from two plan branches (local ranks + the offset
-    # aggregate), and ReuseExchange does NOT dedupe them (measured r9:
-    # base-only persist 3.9 s, no persist 2.9 s, full-chain persist
-    # 1.3-1.5 s at sf0.1), so an unpersisted 3-call chain re-executes
-    # upstream lineage up to 2^3 times (r8's +336% local regression).
-    # The persisted relations are per-customer — dimension-bounded.
+    # Persist base: the scalar n-branch and the first range shuffle both
+    # read it.  Chain-link persists are NOT needed since the r9 fix —
+    # with_global_order persists its shuffled relation internally (a
+    # correctness requirement: the range sampler is nondeterministic
+    # across executions), which also caps each call's input lineage at
+    # one execution (r8's +336% local regression is gone: 2.88 s -> 1.4 s
+    # at sf0.1).
     base = persist_tracked(base, StorageLevel.MEMORY_AND_DISK)
     n = base.agg(F.count(F.lit(1)).alias("n_cust"))
     t = with_global_order(
         base, [F.desc("last_order"), F.asc("custkey")], pos="rpos"
     )
-    t = persist_tracked(t, StorageLevel.MEMORY_AND_DISK)
     t = with_global_order(
         t, [F.desc("frequency"), F.asc("custkey")], pos="fpos"
     )
-    t = persist_tracked(t, StorageLevel.MEMORY_AND_DISK)
     t = with_global_order(
         t, [F.desc("monetary"), F.asc("custkey")], pos="mpos"
     )
@@ -263,9 +261,9 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(rev_dec()).alias("rev"))
     )
-    # Three plan branches read pv (the total, the ranked relation, and
-    # the offset aggregate inside with_global_order) and ReuseExchange
-    # does not dedupe them — persist so the fact scan runs once.
+    # Persist pv: the scalar total and the range shuffle both read it
+    # (the shuffle itself is materialized once inside with_global_order
+    # — the r9 fix).
     pv = persist_tracked(pv, StorageLevel.MEMORY_AND_DISK)
     tot = pv.agg(F.sum("rev").alias("total"))
     ranked = with_global_order(
@@ -1183,15 +1181,13 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rate", F.expr("returns * 1000000 div n_items"))
     )
-    # Same ReuseExchange finding as rfm_segments: each with_global_order
-    # reads its input twice, so persist the per-supplier aggregate and
-    # the chain link (both supplier-bounded) to keep the fact scan and
-    # the first range shuffle from re-executing.
+    # Persist the per-supplier aggregate (read by the first range
+    # shuffle's materialization; chain links need no persist since
+    # with_global_order materializes its own shuffle — the r9 fix).
     m = persist_tracked(m, StorageLevel.MEMORY_AND_DISK)
     ranked = with_global_order(
         m, [F.desc("revenue"), F.asc("suppkey")], pos="rev_rank"
     )
-    ranked = persist_tracked(ranked, StorageLevel.MEMORY_AND_DISK)
     ranked = with_global_order(
         ranked, [F.asc("rate"), F.asc("suppkey")], pos="return_rank"
     )

@@ -245,10 +245,9 @@ def lineitem_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition DECIMAL running sums, a cluster-bounded offset
     broadcast, then the integer `ntile_expr` closed form.  No
     single-partition window anywhere; at 100x the rows the plan is
-    unchanged.  The input is deliberately NOT persisted: its lineage is
-    a pruned 4-column parquet scan, and at fact-table scale re-scanning
-    beats caching the whole table (the two readers are the ranked
-    relation and the per-partition offset aggregate).
+    unchanged.  The primitive materializes its shuffled relation once
+    internally (the r9 range-sampler-determinism fix), so the pruned
+    4-column fact scan executes exactly once.
 
     Exactness: values stay DECIMAL(18,6) through the running sums (the
     `rev_dec` contract); shares are one double division of exact

@@ -111,7 +111,12 @@ def _bounded_reasons(subtree: str) -> list[str]:
         reasons.append("id_range")
     pid = PARTITION_ID_AS.search(subtree)
     if pid and re.search(
-        r"Aggregate\(keys=\[" + re.escape(pid.group(1)), subtree
+        # Match by column NAME, not exprId: since r9 the two-phase order
+        # persists its shuffled relation, and InMemoryTableScan remaps
+        # exprIds between the cached plan (where SPARK_PARTITION_ID()
+        # is projected) and the consuming aggregate.
+        r"Aggregate\(keys=\[" + re.escape(pid.group(1).split("#")[0]) + r"#\d+",
+        subtree,
     ):
         reasons.append("partition_offsets")
     tables = _scan_tables(subtree)

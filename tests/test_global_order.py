@@ -114,3 +114,25 @@ def test_nullable_cumsum_matches_window_null_semantics(spark):
         .count()
         == 0
     )
+
+
+def test_offset_branch_sees_the_same_partitioning(spark):
+    """Regression (r9): Spark's range sampler is nondeterministic across
+    executions and ReuseExchange does not dedupe the range exchange, so
+    without the internal persist the offset branch could aggregate a
+    DIFFERENT partitioning than the rank branch (observed live at sf0.1:
+    rfm_segments 71 rows vs the window form's 63).  Pin (a) the persist
+    is in the plan, and (b) positions are a permutation of 1..n and
+    bit-equal to the single-partition window across repeated runs on a
+    relation large enough for ambiguous sampling."""
+    from iceberg_table_generator_spark.plans import explain
+
+    df = _toy(spark, 50_000)
+    order = [F.desc("v"), F.asc("id")]
+    got = with_global_order(df, order, pos="pos")
+    assert "InMemoryTableScan" in explain.plan_text(got, mode="simple")
+    w = Window.orderBy(*order)
+    want = df.select("id", F.row_number().over(w).cast("long").alias("wpos"))
+    for _ in range(3):
+        joined = with_global_order(df, order, pos="pos").join(want, "id")
+        assert joined.filter(F.col("pos") != F.col("wpos")).count() == 0
