@@ -14,7 +14,12 @@ after each query's terminal action.
 ``release_tracked`` only unpersists — every tracked frame has
 recomputable lineage, so a subsequent re-execution of the same returned
 DataFrame stays CORRECT (it just recomputes), which is exactly Spark's
-own executor-loss story for DISK_ONLY blocks.
+own executor-loss story for DISK_ONLY blocks.  This contract briefly did
+NOT hold in r9, when `with_global_order` relied on its internal persist
+for rank/offset branch consistency (the nondeterministic range sampler);
+the r10 redesign made the bucket assignment a deterministic literal-
+boundary expression, so every tracked persist — including that one — is
+again performance-only and recompute-safe.
 """
 
 from __future__ import annotations

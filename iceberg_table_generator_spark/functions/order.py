@@ -13,23 +13,35 @@ scale-killer class.
 This module implements the classic two-phase distributed prefix scan as a
 composition of DataFrame ops, bit-exactly equal to the global window:
 
-1. `repartitionByRange(n, *order)` — range shuffle on the sort key, so
-   partition i holds keys strictly before partition i+1's (skew-balanced
-   by Spark's range sampler);
-2. per-partition `row_number` / running `sum` under
-   `Window.partitionBy(spark_partition_id())` — parallel, no data motion;
-3. per-partition totals (≤ n_partitions rows — bounded by CLUSTER size,
-   not data size), prefix-summed over that bounded relation and broadcast
-   back as offsets.
+1. **Deterministic range bucketing** (the r10 redesign): explicit bucket
+   boundaries are computed ONCE at call time — a seeded sample of the sort
+   key collected to the driver (≤ ``n_buckets × 32`` rows; the same
+   bounded-driver-literal class as the repo's centroid broadcasts) —
+   and embedded in the plan as LITERALS inside a binary-search CASE
+   expression.  Every row's bucket is a pure function of its own values,
+   so ANY re-execution (executor loss, evicted cache block, a second
+   action on the returned frame) reproduces the identical partitioning.
+   This replaces ``repartitionByRange``, whose sampler is nondeterministic
+   across executions: the r9 persist fix pinned one sampling per query but
+   left correctness resting on cache residency — lineage recompute through
+   a fresh sampler could silently de-synchronize the rank and offset
+   branches on a real cluster (r9 VERDICT lead item).  Boundaries-as-
+   literals remove the sampler from the correctness path entirely.
+2. per-bucket `row_number` / running `sum` under
+   `Window.partitionBy("_bkt")` — one hash shuffle on the bucket id,
+   deterministic, skew-balanced by the quantile boundaries;
+3. per-bucket totals (≤ n_buckets rows — bounded by configuration, not
+   data size; map-side partial aggregation makes this shuffle tiny),
+   prefix-summed over that bounded relation and broadcast back as offsets.
 
-AQE partition coalescing only ever merges ADJACENT shuffle partitions,
-which preserves the range-ordering invariant, and the offsets are computed
-from the ACTUAL per-partition totals, so correctness never depends on
-WHERE the sampled range boundaries fall — but it DOES depend on both plan
-branches seeing the SAME boundaries: Spark's range sampler is not
-deterministic across executions and ReuseExchange does not dedupe the
-exchange, so the shuffled relation is persisted inside the primitive (the
-r9 correctness fix; see the inline comment).
+The bucket count follows ``spark.sql.shuffle.partitions`` (what every
+other shuffle in the engine obeys — `defaultParallelism` would equal
+total cores on a real cluster and put ~10 GB per bucket at 100 TB), with
+a small floor so the offset relation stays non-trivial on tiny local
+sessions.  The input is persisted MEMORY_AND_DISK as a PURE PERFORMANCE
+measure (both the window branch and the totals branch read it, as do most
+callers' separate scalar aggregates); unlike the r9 design, losing the
+cache can no longer change the answer.
 
 The reference has no ordering surface at all (its only sort is the
 deterministic file-path sort, `IcebergTableGenerator.java:451-464`); this
@@ -38,6 +50,7 @@ primitive exists for SURVEY.md §2.8's 100 TB mandate.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -46,15 +59,131 @@ from pyspark.storagelevel import StorageLevel
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 
-#: Floor for the range-shuffle partition count: keeps the offset relation
-#: (and therefore the plan shape under test) non-trivial on tiny local
-#: sessions; real sessions take the cluster's default parallelism.
+#: Floor for the bucket count: keeps the offset relation (and therefore
+#: the plan shape under test) non-trivial on tiny local sessions.
 _MIN_PARTS = 8
+
+#: Sample rows collected per bucket when estimating boundaries.  32 per
+#: bucket bounds the driver collect at n_buckets*32 tuples (1,024 for the
+#: local 32-partition session) while keeping bucket sizes within ~2x of
+#: balanced with high probability — and balance only affects SPEED, never
+#: correctness: any boundary set yields exact global positions.
+_SAMPLE_PER_BUCKET = 32
+
+#: Seed for the boundary sample.  Determinism across separate executions
+#: of the SAME query run is what matters for reproducibility hygiene;
+#: correctness does not depend on it (boundaries are collected once and
+#: embedded as literals before the main job runs).
+_BOUNDARY_SEED = 1031
+
+OrderSpec = Sequence[tuple[str, bool]]
+
+
+def sort_cols(order: OrderSpec) -> list[Column]:
+    """Materialize an ``(name, ascending)`` order spec as sort Columns
+    (Spark defaults: ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST — the same
+    convention the boundary comparator below implements)."""
+    return [F.asc(c) if asc else F.desc(c) for c, asc in order]
+
+
+def _cmp_rows(order: OrderSpec, a: tuple, b: tuple) -> int:
+    """Driver-side lexicographic comparator matching Spark's sort order
+    (asc ⇒ nulls first, desc ⇒ nulls last).  Only boundary QUALITY (bucket
+    balance) depends on this matching exactly; correctness does not."""
+    for (_, asc), x, y in zip(order, a, b):
+        if x is None and y is None:
+            continue
+        if x is None:
+            r = -1 if asc else 1
+        elif y is None:
+            r = 1 if asc else -1
+        elif x == y:
+            continue
+        elif x < y:
+            r = -1 if asc else 1
+        else:
+            r = 1 if asc else -1
+        return r
+    return 0
+
+
+def _strictly_after(order: OrderSpec, bound: tuple) -> Column:
+    """Expression: the row's sort key sorts STRICTLY AFTER the literal
+    boundary tuple under ``order``.  Built back-to-front so each level is
+    ``after_i OR (eq_i AND after_rest)``; null semantics match Spark's
+    (asc nulls first, desc nulls last).  A NULL comparison result can only
+    arise where "not after" is the correct answer (asc row-null vs
+    non-null boundary), and `F.when` treats NULL conditions as false, so
+    the bucket search below stays exact."""
+    expr = F.lit(False)
+    for (name, asc), v in reversed(list(zip(order, bound))):
+        c = F.col(name)
+        if v is None:
+            after = c.isNotNull() if asc else F.lit(False)
+            eq = c.isNull()
+        else:
+            lit = F.lit(v)
+            after = (c > lit) if asc else ((c < lit) | c.isNull())
+            eq = c.eqNullSafe(lit)
+        expr = after | (eq & expr)
+    return expr
+
+
+def _bucket_expr(order: OrderSpec, bounds: list[tuple]) -> Column:
+    """Binary-search CASE tree assigning each row its bucket id in
+    ``[0, len(bounds)]``: O(log n_buckets) comparisons evaluated per row
+    over literal boundaries — deterministic by construction (a pure
+    function of the row), which is the whole point of the r10 redesign."""
+    if not bounds:
+        return F.lit(0)
+
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            _strictly_after(order, bounds[mid]), rec(mid + 1, hi)
+        ).otherwise(rec(lo, mid))
+
+    return rec(0, len(bounds))
+
+
+def range_boundaries(
+    df: DataFrame, order: OrderSpec, n_buckets: int
+) -> list[tuple]:
+    """Compute ``≤ n_buckets − 1`` sorted, deduplicated boundary tuples for
+    ``order`` from a seeded sample of ``df`` — collected ONCE to the
+    driver (bounded: ~``n_buckets × _SAMPLE_PER_BUCKET`` key tuples), then
+    embedded as plan literals by the caller.  ``df.count()`` sizes the
+    sample fraction; callers persist ``df`` first so both jobs read cache.
+    """
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    target = n_buckets * _SAMPLE_PER_BUCKET
+    frac = min(1.0, target / cnt)
+    keys = [F.col(c) for c, _ in order]
+    sample = [
+        tuple(r)
+        for r in df.select(*keys)
+        .sample(False, frac, seed=_BOUNDARY_SEED)
+        .collect()
+    ]
+    sample.sort(key=functools.cmp_to_key(lambda a, b: _cmp_rows(order, a, b)))
+    s = len(sample)
+    if s == 0:
+        return []
+    bounds: list[tuple] = []
+    for i in range(1, n_buckets):
+        b = sample[(i * s) // n_buckets]
+        if not bounds or _cmp_rows(order, b, bounds[-1]) > 0:
+            bounds.append(b)
+    return bounds
 
 
 def with_global_order(
     df: DataFrame,
-    order: Sequence[Column],
+    order: OrderSpec,
     cums: Sequence[tuple[Column, str]] = (),
     pos: str | None = "pos",
 ) -> DataFrame:
@@ -62,59 +191,60 @@ def with_global_order(
     running totals (``sum(...) ROWS UNBOUNDED PRECEDING`` equivalents)
     under the TOTAL order ``order`` — without a single-partition window.
 
-    ``order`` must be a total order (include a unique tiebreak column, as
-    every caller's window already does); under a total order ``rank`` and
-    ``dense_rank`` equal ``row_number``, so ``pos`` serves for all three.
-    ``cums`` is a list of ``(value_column, output_name)``; value types are
-    preserved (DECIMAL stays exact — the cross-partition offset add is
-    null-guarded rather than coalesced with an int literal, so no type
-    coercion happens).
+    ``order`` is a sequence of ``(column_name, ascending)`` pairs and must
+    be a total order (include a unique tiebreak column, as every caller's
+    window already does); under a total order ``rank`` and ``dense_rank``
+    equal ``row_number``, so ``pos`` serves for all three.  ``cums`` is a
+    list of ``(value_column, output_name)``; value types are preserved
+    (DECIMAL stays exact — the cross-partition offset add is null-guarded
+    rather than coalesced with an int literal, so no type coercion
+    happens).
+
+    Determinism contract (r10): the bucket id is a pure expression over
+    literal boundaries, so EVERY re-execution — executor loss, cache
+    eviction, `release_tracked()` followed by a second action — produces
+    the identical partitioning for the rank and offset branches.  The
+    internal persist is performance-only.
     """
     spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, _MIN_PARTS)
-    d = df.repartitionByRange(n_parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    n_buckets = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        _MIN_PARTS,
     )
-    # CORRECTNESS-REQUIRED persist (r9 finding, caught by the sf0.1
-    # sweep): the local-rank branch and the offset-totals branch below
-    # both consume `d`, ReuseExchange does NOT dedupe the range
-    # exchange, and Spark's range SAMPLER is not deterministic across
-    # executions — two independent runs of the same repartitionByRange
-    # were measured placing rows in different partitions.  Without this
-    # persist the offsets can be computed against a DIFFERENT
-    # partitioning than the ranks (observed: rfm_segments 71-row vs the
-    # window form's 63-row result at sf0.1).  Persisting materializes
-    # ONE partitioning that both branches read; it also makes each call
-    # read its input lineage exactly once.  (Executor-loss recompute
-    # would reintroduce the ambiguity on a real cluster — jobs needing
-    # that guarantee should checkpoint; see test_global_order.py's
-    # branch-consistency test.)
-    d = persist_tracked(d, StorageLevel.MEMORY_AND_DISK)
-    w = Window.partitionBy("_pid").orderBy(*order)
+    # Perf-only persist: the boundary jobs (count + sample), the window
+    # branch, the totals branch, and most callers' separate scalar
+    # aggregates all read this relation; one materialization serves all.
+    base = persist_tracked(df, StorageLevel.MEMORY_AND_DISK)
+    bounds = range_boundaries(base, order, n_buckets)
+    d = base.withColumn("_bkt", _bucket_expr(order, bounds).cast("int"))
+
+    sc = sort_cols(order)
+    w = Window.partitionBy("_bkt").orderBy(*sc)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_lpos", F.row_number().over(w).cast("long"))
     for col, name in cums:
         d = d.withColumn(f"_lc_{name}", F.sum(col).over(run))
 
-    # Per-partition totals: ≤ n_parts rows by construction (grouped on
-    # spark_partition_id), so the global prefix window over THEM is
-    # cluster-bounded, and the offset relation broadcasts safely.  The
-    # value totals re-sum the RAW column (a running-sum max would only
-    # equal the total for non-negative values).
-    tot = d.groupBy("_pid").agg(
+    # Per-bucket totals: ≤ n_buckets rows by construction, so the global
+    # prefix window over THEM is configuration-bounded, and the offset
+    # relation broadcasts safely.  The value totals re-sum the RAW column
+    # (a running-sum max would only equal the total for non-negative
+    # values).  Bucket ids increase along the sort order, so the prior-
+    # bucket prefix IS the global offset.
+    tot = d.groupBy("_bkt").agg(
         F.count(F.lit(1)).alias("_cnt"),
         *[F.sum(col).alias(f"_t_{name}") for col, name in cums],
     )
-    prior = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prior = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     off = tot.select(
-        "_pid",
+        "_bkt",
         F.coalesce(F.sum("_cnt").over(prior), F.lit(0)).alias("_off_pos"),
         *[
             F.sum(f"_t_{name}").over(prior).alias(f"_off_{name}")
             for _, name in cums
         ],
     )
-    d = d.join(F.broadcast(off), "_pid")
+    d = d.join(F.broadcast(off), "_bkt")
     if pos is not None:
         d = d.withColumn(pos, F.col("_lpos") + F.col("_off_pos"))
     for _, name in cums:
@@ -122,14 +252,14 @@ def with_global_order(
         # ignores nulls, so an all-null local prefix (_lc NULL) with a
         # non-null cross-partition offset must yield the offset — and
         # only both-NULL yields NULL.  `_lc + o` alone would poison the
-        # offset whenever the partition's leading values are all null.
+        # offset whenever the bucket's leading values are all null.
         o = F.col(f"_off_{name}")
         lc = F.col(f"_lc_{name}")
         d = d.withColumn(
             name,
             F.when(o.isNull(), lc).when(lc.isNull(), o).otherwise(lc + o),
         )
-    drop = ["_pid", "_lpos", "_off_pos"]
+    drop = ["_bkt", "_lpos", "_off_pos"]
     drop += [f"_lc_{name}" for _, name in cums]
     drop += [f"_off_{name}" for _, name in cums]
     return d.drop(*drop)

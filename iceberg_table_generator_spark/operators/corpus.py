@@ -445,7 +445,7 @@ def text_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the ranked vocab: the scalar n_vocab and the decile fold
     # both consume it — one token explode + one rank pass, not two.
     ranked = with_global_order(
-        vocab, [F.desc("cnt"), F.asc("word")], pos="rk"
+        vocab, [("cnt", False), ("word", True)], pos="rk"
     ).select("cnt", "rk").transform(persist_tracked)
     n = ranked.agg(F.count(F.lit(1)).alias("n_vocab"))
     return (

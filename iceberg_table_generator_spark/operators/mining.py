@@ -179,23 +179,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    # Persist base: the scalar n-branch and the first range shuffle both
-    # read it.  Chain-link persists are NOT needed since the r9 fix —
-    # with_global_order persists its shuffled relation internally (a
-    # correctness requirement: the range sampler is nondeterministic
-    # across executions), which also caps each call's input lineage at
-    # one execution (r8's +336% local regression is gone: 2.88 s -> 1.4 s
-    # at sf0.1).
+    # Persist base: the scalar n-branch and the first global-order call
+    # both read it.  Chain-link persists are NOT needed —
+    # with_global_order persists its own input internally (perf-only
+    # under the r10 deterministic literal-boundary buckets; in r9 the
+    # internal persist was correctness-required against the
+    # nondeterministic range sampler), which caps each call's input
+    # lineage at one execution (r8's +336% local regression is gone:
+    # 2.88 s -> 1.4 s at sf0.1).
     base = persist_tracked(base, StorageLevel.MEMORY_AND_DISK)
     n = base.agg(F.count(F.lit(1)).alias("n_cust"))
     t = with_global_order(
-        base, [F.desc("last_order"), F.asc("custkey")], pos="rpos"
+        base, [("last_order", False), ("custkey", True)], pos="rpos"
     )
     t = with_global_order(
-        t, [F.desc("frequency"), F.asc("custkey")], pos="fpos"
+        t, [("frequency", False), ("custkey", True)], pos="fpos"
     )
     t = with_global_order(
-        t, [F.desc("monetary"), F.asc("custkey")], pos="mpos"
+        t, [("monetary", False), ("custkey", True)], pos="mpos"
     )
     tiles = t.crossJoin(F.broadcast(n)).select(
         "custkey",
@@ -268,7 +269,7 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(F.sum("rev").alias("total"))
     ranked = with_global_order(
         pv,
-        [F.desc("rev"), F.asc("l_partkey")],
+        [("rev", False), ("l_partkey", True)],
         cums=[(F.col("rev"), "cum_rev")],
         pos=None,
     ).crossJoin(F.broadcast(tot))
@@ -783,7 +784,7 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact-table interval join runs once (r9 ReuseExchange finding).
     net = persist_tracked(net, StorageLevel.MEMORY_AND_DISK)
     return with_global_order(
-        net, [F.asc("month")], cums=[(F.col("_net"), "open_backlog")], pos=None
+        net, [("month", True)], cums=[(F.col("_net"), "open_backlog")], pos=None
     ).drop("_net")
 
 
@@ -1186,10 +1187,10 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with_global_order materializes its own shuffle — the r9 fix).
     m = persist_tracked(m, StorageLevel.MEMORY_AND_DISK)
     ranked = with_global_order(
-        m, [F.desc("revenue"), F.asc("suppkey")], pos="rev_rank"
+        m, [("revenue", False), ("suppkey", True)], pos="rev_rank"
     )
     ranked = with_global_order(
-        ranked, [F.asc("rate"), F.asc("suppkey")], pos="return_rank"
+        ranked, [("rate", True), ("suppkey", True)], pos="return_rank"
     )
     return (
         ranked.select(
@@ -3775,7 +3776,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dist.agg(F.sum("c").alias("n"))
     med = (
         with_global_order(
-            dist, [F.asc("rev")], cums=[(F.col("c"), "cum")], pos=None
+            dist, [("rev", True)], cums=[(F.col("c"), "cum")], pos=None
         )
         .crossJoin(F.broadcast(tot))
         .filter(2 * F.col("cum") >= F.col("n"))

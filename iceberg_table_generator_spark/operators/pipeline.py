@@ -1076,7 +1076,7 @@ def pipeline_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = with_global_order(
         tok,
-        [F.asc("rk"), F.asc("doc_id")],
+        [("rk", True), ("doc_id", True)],
         cums=[(F.col("tokens"), "c_hi")],
         pos=None,
     )

@@ -515,7 +515,7 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cust.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
     ranked = with_global_order(
         cust,
-        [F.desc("rev_cents"), F.asc("o_custkey")],
+        [("rev_cents", False), ("o_custkey", True)],
         cums=[(F.col("rev_cents"), "cum_cents")],
         pos=None,
     ).crossJoin(F.broadcast(tot))
@@ -989,7 +989,7 @@ def lineitem_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     d = with_global_order(
-        li, [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        li, [("cents", True), ("l_orderkey", True), ("l_linenumber", True)],
         pos="pos",
     )
     tot = li.agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -52,6 +52,30 @@ SPAN_TOP_K = 40
 _POS_BASE = 1_000_000
 
 
+def _span_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): every k-token span occurrence, identified by its
+    1-based token position and the engine-independent 60-bit md5 hash of
+    the span text.  The hash is computed IN-ROW before the explode, so
+    nothing downstream ever carries the text — the shared pre-aggregation
+    relation of the whole span-dedup family."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    spans = F.expr(
+        f"""CASE WHEN size(tk) < {SPAN_K} THEN array()
+            ELSE transform(sequence(1, size(tk) - {SPAN_K} + 1),
+                           i -> concat_ws(' ', slice(tk, i, {SPAN_K})))
+            END"""
+    )
+    return d.select(
+        "doc_id", F.posexplode(spans).alias("pos0", "span")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        _md5_60(F.col("span")).alias("h"),
+    )
+
+
 def _span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per distinct k-token span: occurrence count, distinct-doc
     count, and the first occurrence (min (doc_id, pos) composite).
@@ -62,22 +86,7 @@ def _span_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     span's posting list, and nothing ever joins on the span.  The
     shuffle carries an 8-byte hash + three small integers per distinct
     span per task, never the text."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tk")
-    )
-    spans = F.expr(
-        f"""CASE WHEN size(tk) < {SPAN_K} THEN array()
-            ELSE transform(sequence(1, size(tk) - {SPAN_K} + 1),
-                           i -> concat_ws(' ', slice(tk, i, {SPAN_K})))
-            END"""
-    )
-    sp = d.select(
-        "doc_id", F.posexplode(spans).alias("pos0", "span")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        _md5_60(F.col("span")).alias("h"),
-    )
+    sp = _span_positions(spark, sf_dir)
     return sp.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -241,13 +250,14 @@ def lineitem_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale — this is the two-phase distributed global order
     (`functions/order.py`) at FULL fact-table cardinality, not a
-    dimension rollup: a range shuffle on (value, orderkey, linenumber),
-    per-partition DECIMAL running sums, a cluster-bounded offset
-    broadcast, then the integer `ntile_expr` closed form.  No
-    single-partition window anywhere; at 100x the rows the plan is
-    unchanged.  The primitive materializes its shuffled relation once
-    internally (the r9 range-sampler-determinism fix), so the pruned
-    4-column fact scan executes exactly once.
+    dimension rollup: deterministic literal-boundary bucketing on
+    (value, orderkey, linenumber), per-bucket DECIMAL running sums, a
+    configuration-bounded offset broadcast, then the integer
+    `ntile_expr` closed form.  No single-partition window anywhere; at
+    100x the rows the plan is unchanged.  The primitive persists its
+    input `v` internally (perf-only under the r10 deterministic-bucket
+    design), and the totals branch below reads the SAME DataFrame
+    object, so the pruned 3-column fact scan executes exactly once.
 
     Exactness: values stay DECIMAL(18,6) through the running sums (the
     `rev_dec` contract); shares are one double division of exact
@@ -255,7 +265,7 @@ def lineitem_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", rev_dec().alias("val")
     )
-    order = [F.asc("val"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    order = [("val", True), ("l_orderkey", True), ("l_linenumber", True)]
     t = with_global_order(
         v, order, cums=[(F.col("val"), "cum")], pos="pos"
     )
@@ -337,7 +347,7 @@ def customer_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r = with_global_order(
-        spend, [F.asc("cents"), F.asc("o_custkey")], pos="pos"
+        spend, [("cents", True), ("o_custkey", True)], pos="pos"
     )
     mom = r.agg(
         F.count(F.lit(1)).alias("n"),
@@ -745,7 +755,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marg = persist_tracked(marg)
     rk = with_global_order(
-        marg, [F.asc("v")], cums=[(F.col("t"), "cum")], pos=None
+        marg, [("v", True)], cums=[(F.col("t"), "cum")], pos=None
     ).withColumn(
         "r2", 2 * (F.col("cum") - F.col("t")) + F.col("t") + 1
     )
@@ -1385,7 +1395,7 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marg = persist_tracked(marg)
     rk = with_global_order(
-        marg, [F.asc("ad")], cums=[(F.col("t"), "cum")], pos=None
+        marg, [("ad", True)], cums=[(F.col("t"), "cum")], pos=None
     ).withColumn("r2", 2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
     mom = rk.agg(
         F.sum("t").alias("n"),
@@ -1757,7 +1767,7 @@ def _spend_tiles(spend: DataFrame, half: int, out: str) -> DataFrame:
     part = spend.filter(F.col("h") == half)
     n = part.agg(F.count(F.lit(1)).alias("n_cust"))
     t = with_global_order(
-        part, [F.desc("cents"), F.asc("custkey")], pos="pos"
+        part, [("cents", False), ("custkey", True)], pos="pos"
     )
     return t.crossJoin(F.broadcast(n)).select(
         "custkey", ntile_expr("pos", "n_cust", RFM_MIG_TILES).alias(out)

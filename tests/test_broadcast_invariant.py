@@ -39,11 +39,13 @@ Bounded categories (a subtree passes if it matches ANY):
                      harness's stand-in for it.
 - ``id_range``     — a ``<k`` predicate on an id/key column: the
                      similarity query sets (vec_id < n_queries).
-- ``partition_offsets`` — an aggregate keyed on ``SPARK_PARTITION_ID()``:
-                     at most one row per shuffle partition, so the
-                     relation is bounded by CLUSTER size, not data size
+- ``partition_offsets`` — an aggregate keyed on the reserved ``_bkt``
+                     bucket column: at most one row per range bucket
+                     (``spark.sql.shuffle.partitions`` buckets), so the
+                     relation is bounded by CONFIGURATION, not data size
                      (the two-phase global-order offset table,
-                     ``functions/order.py``).
+                     ``functions/order.py``; r10 deterministic literal-
+                     boundary buckets replaced SPARK_PARTITION_ID()).
 
 Driver-built relations that surface as ``Scan ExistingRDD`` are NOT
 granted a blanket pass — a corpus-sized ``localCheckpoint`` prints
@@ -73,7 +75,7 @@ LITERAL = re.compile(r"LocalTableScan|\bRange \(")
 HEAVY_HITTER = re.compile(r"Filter \(\w+#\d+L? > \d+\)")
 BENCH_FRACTION = re.compile(r"pmod\(doc_id#\d+L?, \d+\) = 0")
 ID_RANGE = re.compile(r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+")
-PARTITION_ID_AS = re.compile(r"SPARK_PARTITION_ID\(\) AS (\w+#\d+)")
+BUCKET_AGG = re.compile(r"Aggregate\(keys=\[_bkt#\d+")
 SCAN = re.compile(r"FileScan parquet \[[^\]]*\].*?\[file:([^\],]+)")
 
 FIXED_DIMS = {"region", "nation"}
@@ -109,15 +111,10 @@ def _bounded_reasons(subtree: str) -> list[str]:
         reasons.append("bench_fraction")
     if ID_RANGE.search(subtree):
         reasons.append("id_range")
-    pid = PARTITION_ID_AS.search(subtree)
-    if pid and re.search(
-        # Match by column NAME, not exprId: since r9 the two-phase order
-        # persists its shuffled relation, and InMemoryTableScan remaps
-        # exprIds between the cached plan (where SPARK_PARTITION_ID()
-        # is projected) and the consuming aggregate.
-        r"Aggregate\(keys=\[" + re.escape(pid.group(1).split("#")[0]) + r"#\d+",
-        subtree,
-    ):
+    if BUCKET_AGG.search(subtree):
+        # `_bkt` is functions/order.py's reserved bucket column — a
+        # literal-boundary CASE expression with <= n_buckets+1 distinct
+        # values, so an aggregate keyed on it is configuration-bounded.
         reasons.append("partition_offsets")
     tables = _scan_tables(subtree)
     if tables and all(t in FIXED_DIMS for t in tables):

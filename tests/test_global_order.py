@@ -1,6 +1,9 @@
 """functions/order.py: the distributed global-order primitive must be
-bit-identical to the single-partition window it replaces, and its plan
-must contain NO unpartitioned window over the input relation."""
+bit-identical to the single-partition window it replaces, its plan must
+contain NO unpartitioned window over the input relation, and — the r10
+determinism contract — its answer must NOT depend on cache residency:
+bucket ids are pure expressions over literal boundaries, so recompute
+after a full cache wipe (the executor-loss simulation) is bit-equal."""
 
 from __future__ import annotations
 
@@ -10,6 +13,8 @@ from pyspark.sql import Window
 
 from iceberg_table_generator_spark.functions.order import (
     ntile_expr,
+    range_boundaries,
+    sort_cols,
     with_global_order,
 )
 from iceberg_table_generator_spark.plans import explain
@@ -27,11 +32,11 @@ def _toy(spark, n=997):
 
 def test_matches_global_window_pos_and_cumsum(spark):
     df = _toy(spark)
-    order = [F.desc("v"), F.asc("id")]
+    order = [("v", False), ("id", True)]
     got = with_global_order(
         df, order, cums=[(F.col("signed"), "cum_signed")], pos="pos"
     )
-    w = Window.orderBy(*order)
+    w = Window.orderBy(*sort_cols(order))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = df.select(
         "id",
@@ -51,14 +56,14 @@ def test_matches_global_window_pos_and_cumsum(spark):
 @pytest.mark.parametrize("n,k", [(997, 4), (8, 3), (3, 7), (100, 10)])
 def test_ntile_expr_matches_spark_ntile(spark, n, k):
     df = _toy(spark, n)
-    order = [F.desc("v"), F.asc("id")]
+    order = [("v", False), ("id", True)]
     got = (
         with_global_order(df, order, pos="pos")
         .withColumn("n_total", F.lit(n).cast("long"))
         .select("id", ntile_expr("pos", "n_total", k).alias("tile"))
     )
     want = df.select(
-        "id", F.ntile(k).over(Window.orderBy(*order)).alias("wtile")
+        "id", F.ntile(k).over(Window.orderBy(*sort_cols(order))).alias("wtile")
     )
     bad = (
         got.join(want, "id")
@@ -71,31 +76,31 @@ def test_ntile_expr_matches_spark_ntile(spark, n, k):
 def test_no_global_window_in_plan(spark):
     df = _toy(spark)
     got = with_global_order(
-        df, [F.asc("v"), F.asc("id")], cums=[(F.col("v"), "cv")]
+        df, [("v", True), ("id", True)], cums=[(F.col("v"), "cv")]
     )
     # The only unpartitioned window allowed is the offset prefix over the
-    # per-partition totals — bounded by cluster size, keyed on _pid.
+    # per-bucket totals — bounded by configuration, keyed on _bkt.
     for line, sub in explain.global_window_subtrees(got):
-        assert "_pid" in line, f"unexpected global window: {line}\n{sub}"
+        assert "_bkt" in line, f"unexpected global window: {line}\n{sub}"
 
 
 def test_nullable_cumsum_matches_window_null_semantics(spark):
-    """SUM ignores nulls: a partition whose leading values are all NULL
-    must inherit the cross-partition offset (not poison it to NULL), and
-    only an all-NULL global prefix stays NULL — exactly the window form."""
+    """SUM ignores nulls: a bucket whose leading values are all NULL must
+    inherit the cross-bucket offset (not poison it to NULL), and only an
+    all-NULL global prefix stays NULL — exactly the window form."""
     # Nulls concentrated at the FRONT of the global order so the first
-    # partition's local running sum is NULL while later offsets are not.
+    # bucket's local running sum is NULL while later offsets are not.
     df = spark.range(200).select(
         F.col("id"),
         F.when(F.col("id") < 40, F.lit(None).cast("long"))
         .otherwise(F.col("id") % 7)
         .alias("val"),
     )
-    order = [F.asc("id")]
+    order = [("id", True)]
     got = with_global_order(
         df.repartition(8), order, cums=[(F.col("val"), "cum_val")], pos="pos"
     )
-    w = Window.orderBy(*order).rowsBetween(
+    w = Window.orderBy(*sort_cols(order)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     want = df.select("id", F.sum("val").over(w).alias("wcum"))
@@ -116,22 +121,96 @@ def test_nullable_cumsum_matches_window_null_semantics(spark):
     )
 
 
-def test_offset_branch_sees_the_same_partitioning(spark):
-    """Regression (r9): Spark's range sampler is nondeterministic across
-    executions and ReuseExchange does not dedupe the range exchange, so
-    without the internal persist the offset branch could aggregate a
-    DIFFERENT partitioning than the rank branch (observed live at sf0.1:
-    rfm_segments 71 rows vs the window form's 63).  Pin (a) the persist
-    is in the plan, and (b) positions are a permutation of 1..n and
-    bit-equal to the single-partition window across repeated runs on a
-    relation large enough for ambiguous sampling."""
-    from iceberg_table_generator_spark.plans import explain
+def test_null_sort_keys_bucket_correctly(spark):
+    """Sort-KEY nulls must land in the right bucket relative to literal
+    boundaries: asc ⇒ nulls first (before every non-null boundary), desc ⇒
+    nulls last (after every boundary) — checked against the window form,
+    for both directions, with nulls dense enough to cross boundaries."""
+    df = spark.range(500).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 23)
+        .alias("v"),
+    )
+    for asc in (True, False):
+        order = [("v", asc), ("id", True)]
+        got = with_global_order(df, order, pos="pos")
+        w = Window.orderBy(*sort_cols(order))
+        want = df.select(
+            "id", F.row_number().over(w).cast("long").alias("wpos")
+        )
+        assert (
+            got.join(want, "id").filter(F.col("pos") != F.col("wpos")).count()
+            == 0
+        ), f"asc={asc}"
 
+
+def test_recompute_after_cache_wipe_is_bit_equal(spark):
+    """The r10 determinism contract (r9 verdict lead item): the bucket id
+    is a pure expression over literal boundaries, so recomputing the WHOLE
+    plan from lineage — every cached block dropped, simulating executor
+    loss / release_tracked() + a second action — yields the identical
+    positions.  Under the r9 design (repartitionByRange + persist) this
+    test would be flaky-wrong: a fresh range-sampler run could place the
+    rank and offset branches on different partitionings."""
     df = _toy(spark, 50_000)
-    order = [F.desc("v"), F.asc("id")]
+    order = [("v", False), ("id", True)]
+    got = with_global_order(df, order, pos="pos")
+    w = Window.orderBy(*sort_cols(order))
+    want = df.select("id", F.row_number().over(w).cast("long").alias("wpos"))
+
+    first = got.join(want, "id").filter(F.col("pos") != F.col("wpos")).count()
+    assert first == 0
+    # Simulate total cache loss between actions: every block gone, the
+    # next action recomputes both branches from lineage.
+    spark.catalog.clearCache()
+    for _ in range(3):
+        assert (
+            got.join(want, "id").filter(F.col("pos") != F.col("wpos")).count()
+            == 0
+        )
+        spark.catalog.clearCache()
+    # positions are a permutation of 1..n even after recompute
+    n = df.count()
+    agg = got.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("pos").alias("d"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).first()
+    assert (agg.c, agg.d, agg.lo, agg.hi) == (n, n, 1, n)
+
+
+def test_boundaries_are_bounded_sorted_and_deduped(spark):
+    df = _toy(spark, 10_000).persist()
+    try:
+        order = [("v", True), ("id", True)]
+        bounds = range_boundaries(df, order, 32)
+        assert 0 < len(bounds) <= 31
+        from iceberg_table_generator_spark.functions.order import _cmp_rows
+
+        for a, b in zip(bounds, bounds[1:]):
+            assert _cmp_rows(order, a, b) < 0
+        # empty relation ⇒ no boundaries ⇒ single bucket
+        empty = df.filter(F.lit(False))
+        assert range_boundaries(empty, order, 32) == []
+    finally:
+        df.unpersist()
+
+
+def test_offset_branch_sees_the_same_partitioning(spark):
+    """Regression (r9, redesigned r10): the rank branch and the offset
+    branch must agree on row→bucket assignment.  r9 pinned this with a
+    correctness-required persist; r10 makes the bucket a deterministic
+    literal-boundary expression, so agreement holds by construction — but
+    keep the behavioral pin (bit-equality to the single-partition window
+    across repeated runs on a relation large enough that the old sampler
+    was observably ambiguous), plus the perf persist's presence."""
+    df = _toy(spark, 50_000)
+    order = [("v", False), ("id", True)]
     got = with_global_order(df, order, pos="pos")
     assert "InMemoryTableScan" in explain.plan_text(got, mode="simple")
-    w = Window.orderBy(*order)
+    w = Window.orderBy(*sort_cols(order))
     want = df.select("id", F.row_number().over(w).cast("long").alias("wpos"))
     for _ in range(3):
         joined = with_global_order(df, order, pos="pos").join(want, "id")

@@ -27,24 +27,26 @@ def test_span_stats_is_join_free_rollup(spark, sf_small):
 
 def _only_pid_offset_windows(df):
     """Every unpartitioned window must be the two-phase order's internal
-    offset prefix over per-partition totals (orders on _pid, <= cluster
+    offset prefix over per-bucket totals (orders on _bkt, <= config
     size rows) — the same `partition_offsets` bounded category the
     repo-wide window-invariant suite applies."""
     return [
         (line, sub)
         for line, sub in explain.global_window_subtrees(df)
-        if "windowspecdefinition(_pid#" not in line
+        if "windowspecdefinition(_bkt#" not in line
     ]
 
 
 def test_lorenz_runs_on_range_shuffle_not_global_window(spark, sf_small):
-    """The fact-table Lorenz curve must be the two-phase order: a range
-    exchange, NO single-partition window over the fact relation, the
-    offset/total relations broadcast, and the scan pruned to exactly the
-    four columns used."""
+    """The fact-table Lorenz curve must be the two-phase order: a
+    deterministic-bucket exchange (hashpartitioning on _bkt — r10
+    replaced the range sampler with literal boundaries), NO
+    single-partition window over the fact relation, the offset/total
+    relations broadcast, and the scan pruned to exactly the four
+    columns used."""
     df = wave9.lineitem_lorenz_deciles(spark, sf_small)
     assert _only_pid_offset_windows(df) == []
-    assert "rangepartitioning" in explain.plan_text(df, mode="simple").lower()
+    assert "hashpartitioning(_bkt" in explain.plan_text(df, mode="simple")
     kinds = explain.join_kinds(df)
     # One BNLJ is the broadcast crossJoin against the single-row
     # (n_total, t_rev) scalar aggregate — the repo's scalar-broadcast
@@ -63,7 +65,7 @@ def test_lorenz_runs_on_range_shuffle_not_global_window(spark, sf_small):
 def test_gini_positions_avoid_global_window(spark, sf_small):
     df = wave9.customer_gini_spend(spark, sf_small)
     assert _only_pid_offset_windows(df) == []
-    assert "rangepartitioning" in explain.plan_text(df, mode="simple").lower()
+    assert "hashpartitioning(_bkt" in explain.plan_text(df, mode="simple")
 
 
 def test_token_savings_is_join_free(spark, sf_small):

@@ -9,9 +9,9 @@ suite is the standing guard that no registered query re-introduces one.
 
 Structural bounded categories (a window passes if ANY matches):
 
-- ``partition_offsets`` — the window orders on a ``_pid`` column (the
-  two-phase offset prefix over per-partition totals: ≤ n_partitions rows,
-  bounded by CLUSTER size, not data size).
+- ``partition_offsets`` — the window orders on a ``_bkt`` column (the
+  two-phase offset prefix over per-bucket totals: ≤ n_buckets rows,
+  bounded by CONFIGURATION, not data size).
 - ``limit``   — the window's child subtree contains GlobalLimit /
   CollectLimit / TakeOrderedAndProject: k rows by construction.
 - ``scalar``  — the relation under the window is a keys=[] aggregate.
@@ -37,7 +37,7 @@ QUERIES = all_queries()
 
 LIMIT = re.compile(r"TakeOrderedAndProject|GlobalLimit|CollectLimit")
 SCALAR_AGG = re.compile(r"(?:Hash|Sort|Object\w*)Aggregate\(keys=\[\]")
-PID_ORDER = re.compile(r"windowspecdefinition\(_pid#\d+")
+PID_ORDER = re.compile(r"windowspecdefinition\(_bkt#\d+")
 
 #: query name -> (max unpartitioned windows, why the relation is bounded).
 ACKNOWLEDGED: dict[str, tuple[int, str]] = {
@@ -84,6 +84,12 @@ ACKNOWLEDGED: dict[str, tuple[int, str]] = {
         1,
         "count-of-counts histogram over word frequencies, "
         "O(sqrt(corpus tokens)) under Zipf",
+    ),
+    "pipeline_dedup_roi_curve": (
+        1,
+        "cumulative shares over the cluster-SIZE domain (count-of-counts "
+        "of head-fingerprint clusters): O(sqrt(corpus docs)) rows under "
+        "any size distribution",
     ),
 }
 
