@@ -276,6 +276,104 @@ HEADLINE = [
     "stats_friedman_test",
     "similarity_pq_distortion",
     "pipeline_dup_by_source",
+    # round-10 additions: close the bench-guard gap (r9 verdict #4) — every
+    # registered query is now either in HEADLINE or covered by a named
+    # exclusion comment.  The only exclusion is orders_holt_forecast (the
+    # UnionLoop scheduling-constant rationale above).  Groups below:
+    # the 20 previously-unbenched TPC-H shapes,
+    "q2_min_acctbal_supplier",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # the multimodal family,
+    "multimodal_binary_meta",
+    "multimodal_byte_stats",
+    "multimodal_chunk_dedup",
+    "multimodal_frame_index",
+    # the relational / scalar / window core (sub-second shapes, but a
+    # regression should still be visible in BENCH_FULL),
+    "filter_predicates",
+    "scalar_functions",
+    "string_functions",
+    "date_functions",
+    "null_semantics",
+    "json_extraction",
+    "conditional_agg",
+    "distinct_agg",
+    "correlated_subquery",
+    "cube_orders",
+    "rollup_acctbal",
+    "grouping_sets",
+    "pivot_status_revenue",
+    "unpivot_customer_metrics",
+    "percentiles",
+    "histogram_extendedprice",
+    "set_operations",
+    "string_agg_nations",
+    "argmax_orders",
+    "window_running",
+    "window_analytics_pack",
+    "join_broadcast_dims",
+    "join_semi",
+    "join_anti",
+    "range_join_events",
+    "asof_join_forward_tolerance",
+    "approx_sketches",
+    "deterministic_sample",
+    "fuzzy_brand_pairs",
+    # event-time / sampling / text / pipeline stragglers,
+    "events_sliding_window",
+    "events_resample_ffill",
+    "events_rate_anomaly",
+    "text_word_freq",
+    "text_language_id",
+    "text_quality_score",
+    "pipeline_contamination_check",
+    "pipeline_domain_mix",
+    "pipeline_repetition_stats",
+    "pipeline_stratified_sample",
+    "similarity_quantize_int8",
+    "similarity_random_projection",
+    "wide_metrics_row_stats",
+    "zorder_morton_codes",
+    "dedup_one_pass_verdict",
+    # datagen + lifecycle/metadata relations,
+    "datagen_sequence",
+    "datagen_products_deterministic",
+    "profile_table",
+    "lifecycle_pruned_scan",
+    "meta_all_files",
+    "meta_history",
+    "meta_partitions",
+    "meta_refs",
+    "meta_snapshot_summary",
+    "meta_snapshots",
+    # round-10 new operators
+    "dedup_span_islands",
+    "dedup_span_island_stats",
+    "multimodal_feature_simhash_dedup",
+    "multimodal_frame_dup_stats",
+    "dedup_doc_dup_profile",
+    "pipeline_dedup_roi_curve",
+    "pipeline_quality_dedup_matrix",
+    "similarity_isotropy_audit",
+    "similarity_cos_pair_hist",
+    "stats_page_trend",
+    "customer_hoover_index",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
