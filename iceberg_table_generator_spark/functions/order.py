@@ -14,13 +14,17 @@ This module implements the classic two-phase distributed prefix scan as a
 composition of DataFrame ops, bit-exactly equal to the global window:
 
 1. **Deterministic range bucketing** (the r10 redesign): explicit bucket
-   boundaries are computed ONCE at call time — a seeded sample of the sort
-   key collected to the driver (≤ ``n_buckets × 32`` rows; the same
-   bounded-driver-literal class as the repo's centroid broadcasts) —
-   and embedded in the plan as LITERALS inside a binary-search CASE
-   expression.  Every row's bucket is a pure function of its own values,
-   so ANY re-execution (executor loss, evicted cache block, a second
-   action on the returned frame) reproduces the identical partitioning.
+   boundaries are computed ONCE at call time — a seeded sample of the
+   LEADING sort column collected to the driver (≤ ``n_buckets × 32``
+   scalars; the same bounded-driver-literal class as the repo's centroid
+   broadcasts) — and embedded in the plan as LITERALS inside a
+   binary-search CASE expression.  The bucket count adapts to the
+   relation (``ceil(count / 4096)``, capped at the configured shuffle
+   parallelism, floored at 2), so dimension-sized inputs get trivial
+   expressions and fact-sized inputs get full parallelism.  Every row's
+   bucket is a pure function of its own values, so ANY re-execution
+   (executor loss, evicted cache block, a second action on the returned
+   frame) reproduces the identical partitioning.
    This replaces ``repartitionByRange``, whose sampler is nondeterministic
    across executions: the r9 persist fix pinned one sampling per query but
    left correctness resting on cache residency — lineage recompute through
@@ -86,97 +90,114 @@ def sort_cols(order: OrderSpec) -> list[Column]:
     return [F.asc(c) if asc else F.desc(c) for c, asc in order]
 
 
-def _cmp_rows(order: OrderSpec, a: tuple, b: tuple) -> int:
-    """Driver-side lexicographic comparator matching Spark's sort order
-    (asc ⇒ nulls first, desc ⇒ nulls last).  Only boundary QUALITY (bucket
-    balance) depends on this matching exactly; correctness does not."""
-    for (_, asc), x, y in zip(order, a, b):
-        if x is None and y is None:
-            continue
-        if x is None:
-            r = -1 if asc else 1
-        elif y is None:
-            r = 1 if asc else -1
-        elif x == y:
-            continue
-        elif x < y:
-            r = -1 if asc else 1
-        else:
-            r = 1 if asc else -1
-        return r
-    return 0
+#: Minimum rows per bucket before another bucket is worth opening.  A
+#: relation with fewer than 2×4096 rows gets ONE bucket (the work is
+#: trivial either way); the bucket count only reaches the configured
+#: shuffle parallelism once the relation is large enough that per-bucket
+#: work dominates — which keeps the boundary CASE expression TINY for the
+#: dimension-sized relations most callers pass (measured r10: Catalyst
+#: ANALYSIS of a 31-boundary multi-column tree cost ~0.6 s driver-side
+#: per call; a 3-boundary single-column tree is noise).
+_MIN_ROWS_PER_BUCKET = 4096
 
 
-def _strictly_after(order: OrderSpec, bound: tuple) -> Column:
-    """Expression: the row's sort key sorts STRICTLY AFTER the literal
-    boundary tuple under ``order``.  Built back-to-front so each level is
-    ``after_i OR (eq_i AND after_rest)``; null semantics match Spark's
-    (asc nulls first, desc nulls last).  A NULL comparison result can only
-    arise where "not after" is the correct answer (asc row-null vs
-    non-null boundary), and `F.when` treats NULL conditions as false, so
-    the bucket search below stays exact."""
-    expr = F.lit(False)
-    for (name, asc), v in reversed(list(zip(order, bound))):
-        c = F.col(name)
-        if v is None:
-            after = c.isNotNull() if asc else F.lit(False)
-            eq = c.isNull()
-        else:
-            lit = F.lit(v)
-            after = (c > lit) if asc else ((c < lit) | c.isNull())
-            eq = c.eqNullSafe(lit)
-        expr = after | (eq & expr)
-    return expr
+def _cmp_lead(asc: bool, a, b) -> int:
+    """Driver-side comparator for LEADING-column boundary values, matching
+    Spark's sort order (asc ⇒ nulls first, desc ⇒ nulls last).  Only
+    boundary QUALITY (bucket balance) depends on this; correctness does
+    not."""
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return -1 if asc else 1
+    if b is None:
+        return 1 if asc else -1
+    if a == b:
+        return 0
+    if a < b:
+        return -1 if asc else 1
+    return 1 if asc else -1
 
 
-def _bucket_expr(order: OrderSpec, bounds: list[tuple]) -> Column:
+def _strictly_after(name: str, asc: bool, v) -> Column:
+    """Expression: the row's LEADING sort column sorts STRICTLY AFTER the
+    literal boundary value.  Null semantics match Spark's (asc nulls
+    first, desc nulls last).  A NULL comparison result can only arise
+    where "not after" is the correct answer (asc row-null vs non-null
+    boundary), and `F.when` treats NULL conditions as false, so the
+    bucket search below stays exact."""
+    c = F.col(name)
+    if v is None:
+        return c.isNotNull() if asc else F.lit(False)
+    lit = F.lit(v)
+    return (c > lit) if asc else ((c < lit) | c.isNull())
+
+
+def _bucket_expr(order: OrderSpec, bounds: list) -> Column:
     """Binary-search CASE tree assigning each row its bucket id in
     ``[0, len(bounds)]``: O(log n_buckets) comparisons evaluated per row
-    over literal boundaries — deterministic by construction (a pure
-    function of the row), which is the whole point of the r10 redesign."""
+    over literal boundary values of the LEADING sort column —
+    deterministic by construction (a pure function of the row), which is
+    the whole point of the r10 redesign.
+
+    Leading-column-only boundaries keep the expression O(n_buckets)
+    simple comparisons (no per-node lexicographic chains): bucketing only
+    needs MONOTONICITY along the order, not total-order precision — rows
+    tied on the leading column land in one bucket and the within-bucket
+    window finishes the job.  The trade is skew: a single leading value
+    carrying a large fraction of the relation concentrates in one bucket
+    (still strictly better than the single-partition window this
+    primitive replaces, which concentrates 100%)."""
     if not bounds:
         return F.lit(0)
+    name, asc = order[0]
 
     def rec(lo: int, hi: int) -> Column:
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
         return F.when(
-            _strictly_after(order, bounds[mid]), rec(mid + 1, hi)
+            _strictly_after(name, asc, bounds[mid]), rec(mid + 1, hi)
         ).otherwise(rec(lo, mid))
 
     return rec(0, len(bounds))
 
 
-def range_boundaries(
-    df: DataFrame, order: OrderSpec, n_buckets: int
-) -> list[tuple]:
-    """Compute ``≤ n_buckets − 1`` sorted, deduplicated boundary tuples for
-    ``order`` from a seeded sample of ``df`` — collected ONCE to the
-    driver (bounded: ~``n_buckets × _SAMPLE_PER_BUCKET`` key tuples), then
-    embedded as plan literals by the caller.  ``df.count()`` sizes the
-    sample fraction; callers persist ``df`` first so both jobs read cache.
-    """
+def range_boundaries(df: DataFrame, order: OrderSpec, n_buckets: int) -> list:
+    """Compute sorted, deduplicated boundary values of the LEADING sort
+    column from a seeded sample of ``df`` — collected ONCE to the driver
+    (bounded: ~``n_buckets × _SAMPLE_PER_BUCKET`` scalars), then embedded
+    as plan literals by the caller.  ``df.count()`` sizes both the sample
+    fraction and the EFFECTIVE bucket count (``ceil(cnt / 4096)`` capped
+    at ``n_buckets``): tiny relations get one bucket and a trivial plan,
+    and the bucket count only reaches the configured parallelism when
+    the data actually needs it.  Callers persist ``df`` first so both
+    jobs read cache."""
     cnt = df.count()
-    if cnt == 0:
+    if cnt <= 1:
         return []
-    target = n_buckets * _SAMPLE_PER_BUCKET
+    # Floor at 2: with at least one boundary the bucket column stays a
+    # ROW-DEPENDENT expression — a constant bucket would be folded by
+    # Catalyst, degenerating the main window to an unpartitioned one and
+    # changing the plan shape the invariant suites pin.
+    eff = max(2, min(n_buckets, -(-cnt // _MIN_ROWS_PER_BUCKET)))
+    lead, asc = order[0]
+    target = eff * _SAMPLE_PER_BUCKET
     frac = min(1.0, target / cnt)
-    keys = [F.col(c) for c, _ in order]
-    sample = [
-        tuple(r)
-        for r in df.select(*keys)
+    vals = [
+        r[0]
+        for r in df.select(F.col(lead))
         .sample(False, frac, seed=_BOUNDARY_SEED)
         .collect()
     ]
-    sample.sort(key=functools.cmp_to_key(lambda a, b: _cmp_rows(order, a, b)))
-    s = len(sample)
-    if s == 0:
+    if not vals:
         return []
-    bounds: list[tuple] = []
-    for i in range(1, n_buckets):
-        b = sample[(i * s) // n_buckets]
-        if not bounds or _cmp_rows(order, b, bounds[-1]) > 0:
+    vals.sort(key=functools.cmp_to_key(lambda a, b: _cmp_lead(asc, a, b)))
+    s = len(vals)
+    bounds: list = []
+    for i in range(1, eff):
+        b = vals[(i * s) // eff]
+        if not bounds or _cmp_lead(asc, b, bounds[-1]) > 0:
             bounds.append(b)
     return bounds
 

@@ -185,12 +185,24 @@ def test_boundaries_are_bounded_sorted_and_deduped(spark):
     df = _toy(spark, 10_000).persist()
     try:
         order = [("v", True), ("id", True)]
+        # 10k rows / 4096-per-bucket floor => 3 effective buckets max
         bounds = range_boundaries(df, order, 32)
-        assert 0 < len(bounds) <= 31
-        from iceberg_table_generator_spark.functions.order import _cmp_rows
+        assert 0 < len(bounds) <= 2, bounds
+        from iceberg_table_generator_spark.functions.order import _cmp_lead
 
         for a, b in zip(bounds, bounds[1:]):
-            assert _cmp_rows(order, a, b) < 0
+            assert _cmp_lead(True, a, b) < 0
+        # large n_buckets request on a big-enough relation caps at config
+        big = spark.range(200_000).selectExpr(
+            "id", "id % 977 AS v"
+        ).persist()
+        try:
+            bb = range_boundaries(big, [("v", True), ("id", True)], 32)
+            assert 0 < len(bb) <= 31
+            for a, b in zip(bb, bb[1:]):
+                assert _cmp_lead(True, a, b) < 0
+        finally:
+            big.unpersist()
         # empty relation ⇒ no boundaries ⇒ single bucket
         empty = df.filter(F.lit(False))
         assert range_boundaries(empty, order, 32) == []
