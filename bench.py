@@ -374,6 +374,10 @@ HEADLINE = [
     "similarity_cos_pair_hist",
     "stats_page_trend",
     "customer_hoover_index",
+    "multimodal_frame_motion_profile",
+    "stats_siegel_tukey",
+    "text_duplication_vs_length",
+    "events_harmonic_centrality",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.functions.order import with_global_order
 from iceberg_table_generator_spark.operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
@@ -1064,4 +1065,392 @@ def customer_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n").cast("double") * F.col("s").cast("double")),
             6,
         ).alias("hoover"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame-motion profile: consecutive-frame feature distance (cut detection)
+# --------------------------------------------------------------------------
+#: Scene-cut threshold on the integer L1 distance between consecutive
+#: frames' 8 quantized feature bytes (range 0..2040).
+MOTION_CUT_L1 = 256
+
+_FRAME_MOTION_ORACLE = f"""{_SQL_FRAME_TOKENS.replace("ftok AS (", "fb0 AS (")},
+fb AS (
+  SELECT doc_id, fi,
+         list_transform([0, 4, 8, 12, 16, 20, 24, 28],
+                        s -> (hv >> s) & 255) AS f
+  FROM fh),
+lg AS (
+  SELECT doc_id, fi, f,
+         lag(f) OVER (PARTITION BY doc_id ORDER BY fi) AS pf
+  FROM fb),
+dist AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+                                      i -> abs(f[i] - pf[i]))) AS BIGINT) AS d
+  FROM lg WHERE pf IS NOT NULL),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fb GROUP BY doc_id),
+mo AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(sum(d) AS BIGINT) AS total_motion,
+         CAST(sum(CASE WHEN d >= {MOTION_CUT_L1} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts
+  FROM dist GROUP BY doc_id)
+SELECT p.doc_id, p.n_frames,
+       coalesce(mo.n_transitions, 0) AS n_transitions,
+       coalesce(mo.total_motion, 0) AS total_motion,
+       coalesce(mo.n_cuts, 0) AS n_cuts,
+       CASE WHEN mo.n_transitions > 0
+            THEN round(CAST(mo.total_motion AS DOUBLE) / mo.n_transitions, 6)
+       END AS mean_motion
+FROM per_doc p LEFT JOIN mo ON p.doc_id = mo.doc_id
+"""
+
+
+@query("multimodal_frame_motion_profile", oracle=_FRAME_MOTION_ORACLE)
+def multimodal_frame_motion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-payload motion profile: integer L1 distance between CONSECUTIVE
+    sampled frames' quantized feature bytes, with a scene-cut count
+    (distance ≥ {MOTION_CUT_L1}) — the shot-boundary / static-content
+    detector a video pipeline runs right after decode (a payload whose
+    frames never move is a slideshow or padding; one with constant cuts
+    is noise).  With real media libs the fake features become actual
+    frame embeddings; the windowed distance algebra is unchanged.
+
+    Scale: the Arrow-batched decode (bytes cross the Python boundary
+    once), then a doc-PARTITIONED lag window (bounded by frames/payload)
+    and integer zip_with folds — all cross-row accumulation integer; the
+    only double is the final per-doc mean, rounded once."""
+    media = attach_payload(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).filter(F.col("byte_len") > 0)
+    frames = sample_frame_features(media, fake_decode=True)
+    fb = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.transform(
+            "features", lambda f: F.round(f * 255).cast("int")
+        ).alias("f"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lg = fb.withColumn("pf", F.lag("f").over(w))
+    dist = lg.filter(F.col("pf").isNotNull()).select(
+        "doc_id",
+        F.aggregate(
+            F.zip_with("f", "pf", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    per_doc = fb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    mo = dist.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("d").alias("total_motion"),
+        F.sum(F.when(F.col("d") >= MOTION_CUT_L1, 1).otherwise(0)).alias(
+            "n_cuts"
+        ),
+    )
+    return per_doc.join(mo, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_transitions", F.lit(0).cast("long")).alias(
+            "n_transitions"
+        ),
+        F.coalesce("total_motion", F.lit(0).cast("long")).alias(
+            "total_motion"
+        ),
+        F.coalesce("n_cuts", F.lit(0).cast("long")).alias("n_cuts"),
+        F.when(
+            F.col("n_transitions") > 0,
+            F.round(
+                F.col("total_motion").cast("double")
+                / F.col("n_transitions"),
+                6,
+            ),
+        ).alias("mean_motion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Siegel-Tukey dispersion test on the two-phase global order
+# --------------------------------------------------------------------------
+ST_GROUPS = ("A", "R")  # l_returnflag: accepted vs returned lines
+
+#: Alternating-extreme rank from the global 1-based position `pos` and the
+#: total count `n` (both referenced BY NAME): rank 1 to the smallest, 2,3
+#: to the two largest, 4,5 to the next two smallest, … — a permutation of
+#: 1..n (odd n: the middle element takes rank n).  Shared text between the
+#: Spark selectExpr and the DuckDB oracle so the integer CASE is identical.
+_ST_RANK = (
+    "CASE WHEN pos * 2 = n + 1 THEN n "  # odd n: the middle takes rank n
+    "WHEN pos * 2 < n + 1 THEN "
+    "(CASE WHEN pos = 1 THEN 1 WHEN pos % 2 = 0 THEN 2 * pos "
+    "ELSE 2 * pos - 1 END) "
+    "ELSE (CASE WHEN (n + 1 - pos) % 2 = 1 THEN 2 * (n + 1 - pos) "
+    "ELSE 2 * (n + 1 - pos) - 1 END) END"
+)
+
+_SIEGEL_TUKEY_ORACLE = f"""
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 100 AS BIGINT)
+           AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE l_returnflag IN ('{ST_GROUPS[0]}', '{ST_GROUPS[1]}')),
+r AS (
+  SELECT grp,
+         CAST(row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+              AS BIGINT) AS pos
+  FROM v),
+mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN grp = '{ST_GROUPS[0]}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1
+        FROM v),
+st AS (
+  SELECT grp, {_ST_RANK} AS st_rank
+  FROM r CROSS JOIN mom),
+agg AS (
+  SELECT CAST(sum(CASE WHEN grp = '{ST_GROUPS[0]}' THEN st_rank ELSE 0 END)
+              AS HUGEINT) AS w,
+         any_value((SELECT n FROM mom)) AS n,
+         any_value((SELECT n1 FROM mom)) AS n1
+  FROM st)
+SELECT n1 AS n_grp_a, n - n1 AS n_grp_b, CAST(w AS BIGINT) AS w_grp_a,
+       round((2.0 * CAST(w AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             / (2.0 * sqrt(CAST(n1 AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                           * (CAST(n AS DOUBLE) + 1.0) / 12.0)), 6) AS z
+FROM agg
+"""
+
+
+@query("stats_siegel_tukey", oracle=_SIEGEL_TUKEY_ORACLE)
+def stats_siegel_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel-Tukey dispersion test: do accepted (A) and returned (R)
+    lineitems have the same SPREAD of line revenue?  Ranks alternate between the extremes of
+    the pooled order (smallest→1, two largest→2,3, …), so a group with
+    fatter tails collects smaller ranks — a rank-sum test on dispersion
+    rather than location, completing the rank-stat family
+    (Mann-Whitney/KW/Wilcoxon/Friedman/Page test location; this tests
+    scale).  Exact ties order by (orderkey, linenumber) — the
+    deterministic ordinal convention, identical on both engines.
+
+    Scale + exactness: the pooled order is the two-phase distributed
+    global order over a FACT-scale relation (~2/3 of lineitem — another
+    deliberate stress of the r10 deterministic-bucket primitive); the
+    alternating rank is a shared integer CASE over (pos, n); W
+    accumulates as integers; the z-score is one double chain with the
+    standard rank-sum moments E=n1(n+1)/2, Var=n1·n2·(n+1)/12."""
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin(*ST_GROUPS))
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            (F.col("l_extendedprice").cast("decimal(25,6)") * 100)
+            .cast("long")
+            .alias("cents"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    v = persist_tracked(v)
+    r = with_global_order(
+        v,
+        [("cents", True), ("l_orderkey", True), ("l_linenumber", True)],
+        pos="pos",
+    )
+    mom = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("grp") == ST_GROUPS[0], 1).otherwise(0)).alias(
+            "n1"
+        ),
+    )
+    st = r.crossJoin(F.broadcast(mom)).selectExpr(
+        "grp", "n", "n1", f"{_ST_RANK} AS st_rank"
+    )
+    agg = st.agg(
+        F.sum(
+            F.when(F.col("grp") == ST_GROUPS[0], F.col("st_rank")).otherwise(
+                0
+            ).cast("decimal(38,0)")
+        ).alias("w"),
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+    )
+    return agg.selectExpr(
+        "n1 AS n_grp_a",
+        "n - n1 AS n_grp_b",
+        "CAST(w AS BIGINT) AS w_grp_a",
+        "round((2.0 * CAST(w AS DOUBLE)"
+        " - CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))"
+        " / (2.0 * sqrt(CAST(n1 AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) + 1.0) / 12.0)), 6) AS z",
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplication rate by document length bucket
+# --------------------------------------------------------------------------
+DUP_LEN_BUCKET = 500  # n_chars per bucket
+
+_DUP_BY_LENGTH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars // {DUP_LEN_BUCKET} AS len_bucket,
+         md5(array_to_string(
+             list_slice(string_split(text, ' '), 1, {ROI_HEAD_K}), ' '))
+           AS dig
+  FROM documents),
+cnt AS (SELECT dig, count(*) AS c FROM d GROUP BY dig),
+m AS (
+  SELECT d.len_bucket, CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END AS is_dup
+  FROM d JOIN cnt USING (dig))
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_share
+FROM m GROUP BY len_bucket ORDER BY len_bucket
+"""
+
+
+@query("text_duplication_vs_length", oracle=_DUP_BY_LENGTH_ORACLE)
+def text_duplication_vs_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate as a function of document length ({DUP_LEN_BUCKET}-
+    char buckets, head-fingerprint granularity): short documents duplicate
+    far more often (templates, boilerplate snippets), and this curve is
+    what justifies length-conditioned dedup thresholds — a flat curve
+    means one global threshold is fine, a steep one means short docs need
+    their own pass.
+
+    Scale: one digest groupBy + the digest-keyed bounded-multiplicity
+    join back (`pipeline_quality_dedup_matrix`'s shape), folded onto the
+    bounded length-bucket domain."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"n_chars div {DUP_LEN_BUCKET}").alias("len_bucket"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, ROI_HEAD_K))
+        ).alias("dig"),
+    )
+    d = persist_tracked(d)
+    cnt = d.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))
+    m = d.join(cnt, "dig").select(
+        "len_bucket",
+        F.when(F.col("c") >= 2, 1).otherwise(0).alias("is_dup"),
+    )
+    return (
+        m.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_share"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Harmonic centrality (truncated, exact via lcm fraction clearing)
+# --------------------------------------------------------------------------
+HC_MAX_HOPS = 8
+HC_LCM = 840  # lcm(1..8): 840/d is an exact integer for every hop count
+
+_HARMONIC_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS INT) AS k FROM events),
+seq AS (
+  SELECT k AS src, lead(k) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+bi AS (SELECT u AS src, v AS dst FROM und
+       UNION ALL SELECT v AS src, u AS dst FROM und),
+nodes AS (SELECT DISTINCT k AS node FROM ev),
+walk(src, node, hop) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT w.src, b.dst, w.hop + 1
+  FROM walk w JOIN bi b ON b.src = w.node
+  WHERE w.hop < {HC_MAX_HOPS}),
+d AS (
+  SELECT src, node, CAST(min(hop) AS BIGINT) AS d
+  FROM walk WHERE src <> node GROUP BY src, node),
+h AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum({HC_LCM} // d) AS BIGINT) AS harmonic_{HC_LCM}
+  FROM d GROUP BY src)
+SELECT n.node, coalesce(h.n_reached, 0) AS n_reached,
+       coalesce(h.harmonic_{HC_LCM}, 0) AS harmonic_{HC_LCM},
+       round(CAST(coalesce(h.harmonic_{HC_LCM}, 0) AS DOUBLE)
+             / {HC_LCM}.0, 6) AS harmonic
+FROM nodes n LEFT JOIN h ON h.node = n.node
+"""
+
+
+@query("events_harmonic_centrality", oracle=_HARMONIC_ORACLE)
+def events_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of every page in the undirected
+    transition graph: Σ 1/d(u,v) over nodes reachable within
+    {HC_MAX_HOPS} hops — the centrality that stays well-defined on
+    disconnected graphs (unreachable contributes 0, no infinite
+    distances), completing the graph pack's centrality trio
+    (degree/PageRank/Katz measure flow; harmonic measures PROXIMITY).
+
+    Exactness: distances are integers and every 1/d clears through the
+    lcm(1..{HC_MAX_HOPS}) = {HC_LCM} numerator — harmonic_{HC_LCM} is an
+    exact integer on both engines; the readable value is one division,
+    rounded once.  Scale: the transition graph is MODEL-BOUNDED (|V|²
+    distinct edges, visit-count-independent — the PageRank/BFS premise),
+    so per repo policy the all-pairs BFS runs driver-side over one
+    collect() of the edge set; the corpus-sized work (events scan →
+    distinct edges) stays distributed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    und = (
+        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    edge_rows = und.collect()  # |V|²-bounded (model parameter, not corpus)
+    nodes = sorted(r["k"] for r in ev.select("k").distinct().collect())
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for r in edge_rows:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    rows = []
+    for s in nodes:
+        hop = {s: 0}
+        frontier = [s]
+        for h in range(1, HC_MAX_HOPS + 1):
+            frontier = sorted(
+                {m for f in frontier for m in adj[f] if m not in hop}
+            )
+            for m in frontier:
+                hop[m] = h
+            if not frontier:
+                break
+        dists = [d for n, d in hop.items() if n != s]
+        hsum = sum(HC_LCM // d for d in dists)
+        rows.append((s, len(dists), hsum, round(hsum / HC_LCM, 6)))
+    return spark.createDataFrame(
+        rows,
+        f"node int, n_reached bigint, harmonic_{HC_LCM} bigint, "
+        "harmonic double",
     )

@@ -132,3 +132,74 @@ def test_island_coverage_never_double_counts(spark):
         expect += len(covered)
     assert stats.dup_tokens == expect
     assert stats.n_islands == len(isl)
+
+
+def test_frame_motion_runs_arrow_decode_with_partitioned_windows(
+    spark, sf_small
+):
+    df = wave10.multimodal_frame_motion_profile(spark, sf_small)
+    txt = explain.plan_text(df, mode="simple")
+    assert "MapInPandas" in txt
+    assert explain.global_window_subtrees(df) == []
+
+
+def test_siegel_tukey_uses_deterministic_bucket_order(spark, sf_small):
+    """The pooled dispersion ranks must come from the two-phase order
+    (hashpartitioning on the literal-boundary _bkt), never a
+    single-partition window over the fact relation."""
+    df = wave10.stats_siegel_tukey(spark, sf_small)
+    txt = explain.plan_text(df, mode="simple")
+    assert "hashpartitioning(_bkt" in txt
+    for line, sub in explain.global_window_subtrees(df):
+        assert "_bkt" in line, line
+
+
+def test_siegel_tukey_rank_is_a_permutation(spark):
+    """The alternating-extreme rank CASE must be a permutation of 1..n
+    for both parities of n."""
+    import pyspark.sql.functions as F
+
+    from iceberg_table_generator_spark.operators.wave10 import _ST_RANK
+
+    for n in (7, 8, 1, 2, 1001):
+        got = (
+            spark.range(1, n + 1)
+            .selectExpr(f"id AS pos", f"{n}::long AS n")
+            .selectExpr(f"{_ST_RANK} AS r")
+        )
+        agg = got.agg(
+            F.countDistinct("r").alias("d"),
+            F.min("r").alias("lo"),
+            F.max("r").alias("hi"),
+        ).first()
+        assert (agg.d, agg.lo, agg.hi) == (n, 1, n), (n, agg)
+
+
+def test_harmonic_centrality_on_planted_graph(spark):
+    """Path graph 1-2-3 planted via user navigation sequences: harmonic
+    of the middle node is 1/1 + 1/1 = 2; the ends get 1 + 1/2."""
+    import datetime
+    import os
+    import tempfile
+
+    from iceberg_table_generator_spark.operators.wave10 import HC_LCM
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # one user walks 1 -> 2 -> 3 (undirected path graph)
+        (1, base, 1, '{"k": 1}'),
+        (1, base + datetime.timedelta(minutes=1), 2, '{"k": 2}'),
+        (1, base + datetime.timedelta(minutes=2), 3, '{"k": 3}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, props string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.node: (r.n_reached, r[f"harmonic_{HC_LCM}"])
+            for r in wave10.events_harmonic_centrality(spark, td).collect()
+        }
+    assert got[2] == (2, 2 * HC_LCM)
+    assert got[1] == (2, HC_LCM + HC_LCM // 2)
+    assert got[3] == (2, HC_LCM + HC_LCM // 2)
