@@ -378,6 +378,10 @@ HEADLINE = [
     "stats_siegel_tukey",
     "text_duplication_vs_length",
     "events_harmonic_centrality",
+    "orders_priority_mix_drift",
+    "text_lang_signature_jaccard",
+    "similarity_norm_profile",
+    "pipeline_source_length_quantiles",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -1454,3 +1454,306 @@ def events_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"node int, n_reached bigint, harmonic_{HC_LCM} bigint, "
         "harmonic double",
     )
+
+
+# --------------------------------------------------------------------------
+# Monthly priority-mix drift (TV distance vs the global mix, integer-cleared)
+# --------------------------------------------------------------------------
+_MIX_DRIFT_ORACLE = """
+WITH cell AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+         o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+mos AS (SELECT mo, CAST(sum(c) AS BIGINT) AS n_m FROM cell GROUP BY mo),
+pris AS (SELECT pri, CAST(sum(c) AS BIGINT) AS cp FROM cell GROUP BY pri),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+grid AS (
+  SELECT m.mo, m.n_m, p.pri, p.cp, t.n, coalesce(cell.c, 0) AS c
+  FROM mos m CROSS JOIN pris p CROSS JOIN tot t
+  LEFT JOIN cell ON cell.mo = m.mo AND cell.pri = p.pri)
+SELECT mo, any_value(n_m) AS n_orders,
+       round(CAST(sum(abs(CAST(c AS HUGEINT) * n - CAST(cp AS HUGEINT) * n_m))
+                  AS DOUBLE)
+             / (2.0 * CAST(any_value(n_m) AS DOUBLE)
+                * CAST(any_value(n) AS DOUBLE)), 6) AS tv_drift
+FROM grid GROUP BY mo ORDER BY mo
+"""
+
+
+@query("orders_priority_mix_drift", oracle=_MIX_DRIFT_ORACLE)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-global drift of the order-priority MIX: per month, the
+    total-variation distance between that month's priority distribution
+    and the corpus-wide one — the categorical drift monitor (for a
+    training pipeline: per-shard label/source mix vs the global recipe;
+    a month above threshold means the mix shifted, not just the volume).
+    Missing cells count (a month with NO urgent orders drifts).
+
+    Exactness: TV clears its two divisions into |c·N − C_p·n_m| integer
+    cross-mults (DECIMAL(38,0) — c·N overflows BIGINT at warehouse
+    scale), summed exactly over the bounded month×priority grid; one
+    double division per month, rounded once.  Scale: one calendar-
+    bounded aggregate + a broadcast 5-row priority relation; no windows,
+    no corpus-sized joins."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mo"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cell = persist_tracked(cell)
+    mos = cell.groupBy("mo").agg(F.sum("c").alias("n_m"))
+    pris = cell.groupBy("pri").agg(F.sum("c").alias("cp"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    # pris is the 5-value priority domain but an agg keyed on a column is
+    # not STRUCTURALLY bounded, so no broadcast hint (the repo's bounded-
+    # broadcast invariant) — AQE sizes it adaptively at runtime, and the
+    # grid sides are calendar/domain-bounded either way.
+    grid = (
+        mos.crossJoin(pris)
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["mo", "pri"], "left")
+        .select(
+            "mo",
+            "n_m",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            "cp",
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        grid.groupBy("mo")
+        .agg(
+            F.max("n_m").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("c").cast(d38) * F.col("n")
+                        - F.col("cp").cast(d38) * F.col("n_m")
+                    )
+                ).cast("double")
+                / (
+                    2.0
+                    * F.max("n_m").cast("double")
+                    * F.max("n").cast("double")
+                ),
+                6,
+            ).alias("tv_drift"),
+        )
+        .orderBy("mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language signature overlap: top-K char-trigram Jaccard between languages
+# --------------------------------------------------------------------------
+LANG_SIG_K = 50
+
+_LANG_SIG_ORACLE = f"""
+WITH tri AS (
+  SELECT lang, substring(lower(text), i.i, 3) AS g
+  FROM documents, unnest(generate_series(1, length(text) - 2)) AS i(i)
+  WHERE length(text) >= 3),
+cnt AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2),
+rk AS (
+  SELECT lang, g,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS r
+  FROM cnt),
+sig AS (
+  SELECT lang, list(g) AS gs FROM rk WHERE r <= {LANG_SIG_K} GROUP BY lang)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS shared,
+       round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))),
+             6) AS jaccard
+FROM sig a JOIN sig b ON a.lang < b.lang
+ORDER BY lang_a, lang_b
+"""
+
+
+@query("text_lang_signature_jaccard", oracle=_LANG_SIG_ORACLE)
+def text_lang_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-signature confusability: each language's top-{LANG_SIG_K}
+    character trigrams (the classic language-ID feature set) compared
+    pairwise by Jaccard — high overlap between two languages means the
+    n-gram language-ID (`text_language_id`) will confuse them, and this
+    matrix says WHERE to spend discriminating features.
+
+    Scale: the only corpus-sized operation is one (lang, trigram) groupBy
+    (map-side combine; in-row trigram explode).  The ranking window is
+    lang-PARTITIONED over a BOUNDED relation (distinct char trigrams ≤
+    charset³, a fixed-alphabet domain, not corpus-sized); signatures are
+    {LANG_SIG_K}-element arrays over the 5-language grid — everything
+    after the groupBy is driver-trivial."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    ).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    cnt = d.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+    sig = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= LANG_SIG_K)
+        .groupBy("lang")
+        .agg(F.collect_set("g").alias("gs"))
+    )
+    a = sig.select(F.col("lang").alias("lang_a"), F.col("gs").alias("ga"))
+    b = sig.select(F.col("lang").alias("lang_b"), F.col("gs").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    return (
+        a.join(b, F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            inter.cast("long").alias("shared"),
+            F.round(
+                inter.cast("double")
+                / (F.size("ga") + F.size("gb") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding norm profile per label (ANN health: norm outliers break cosine)
+# --------------------------------------------------------------------------
+_NORM_PROFILE_ORACLE = """
+WITH v AS (
+  SELECT label,
+         CAST(floor(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000)
+           AS BIGINT) AS ne6
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(ne6) AS DOUBLE) / count(*) / 1000000.0, 6)
+         AS mean_norm,
+       CAST(min(ne6) AS BIGINT) AS min_norm_e6,
+       CAST(max(ne6) AS BIGINT) AS max_norm_e6
+FROM v GROUP BY label ORDER BY label
+"""
+
+
+@query("similarity_norm_profile", oracle=_NORM_PROFILE_ORACLE)
+def similarity_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm profile: count, mean, min, max — the
+    pre-flight check for every cosine-based operator in the similarity
+    family (a label whose norms collapse toward 0 turns cosine into
+    noise; a wide min-max spread says dot-product and cosine rankings
+    will disagree).  Norms quantize to integers INSIDE the identical
+    IEEE chain (floor(‖x‖·1e6) — the isotropy-audit pattern), so all
+    cross-row accumulation is exact.
+
+    Scale: one narrow in-row fold + one label-keyed map-combinable
+    aggregate; zero joins, zero windows."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.floor(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x: x * x,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("ne6"),
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum("ne6").cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000.0,
+                6,
+            ).alias("mean_norm"),
+            F.min("ne6").alias("min_norm_e6"),
+            F.max("ne6").alias("max_norm_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source document-length quantiles (grouped crossing rule)
+# --------------------------------------------------------------------------
+_SOURCE_LEN_Q_ORACLE = """
+WITH c AS (
+  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS t
+  FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT source, v, t,
+         sum(t) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(t) OVER (PARTITION BY source) AS n
+  FROM c)
+SELECT source, CAST(any_value(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN 4 * cu >= n THEN v END) AS BIGINT) AS p25_chars,
+       CAST(min(CASE WHEN 2 * cu >= n THEN v END) AS BIGINT) AS p50_chars,
+       CAST(min(CASE WHEN 10 * cu >= 9 * n THEN v END) AS BIGINT) AS p90_chars
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
+@query("pipeline_source_length_quantiles", oracle=_SOURCE_LEN_Q_ORACLE)
+def pipeline_source_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source exact document-length quantiles (p25/p50/p90 chars) via
+    the grouped count-crossing rule — the numbers that set per-source
+    length filters and packing bin sizes (a source whose p90 exceeds the
+    context window needs chunking; one whose p25 is tiny needs a floor).
+
+    Exactness + scale: counts per (source, length) value, source-
+    PARTITIONED cumulative windows (bounded per source by the distinct-
+    length domain), and the integer crossing rule (min v with k·cum ≥
+    m·n) — no percentile_approx, no single-partition window, no floats
+    anywhere."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("source")
+    cum = c.select(
+        "source",
+        "v",
+        F.sum("t").over(w).alias("cu"),
+        F.sum("t").over(wn).alias("n"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.min(F.when(4 * F.col("cu") >= F.col("n"), F.col("v"))).alias(
+                "p25_chars"
+            ),
+            F.min(F.when(2 * F.col("cu") >= F.col("n"), F.col("v"))).alias(
+                "p50_chars"
+            ),
+            F.min(
+                F.when(10 * F.col("cu") >= 9 * F.col("n"), F.col("v"))
+            ).alias("p90_chars"),
+        )
+        .orderBy("source")
+    )
