@@ -382,6 +382,10 @@ HEADLINE = [
     "text_lang_signature_jaccard",
     "similarity_norm_profile",
     "pipeline_source_length_quantiles",
+    "lineitem_ship_delay_by_priority",
+    "similarity_label_centroid_matrix",
+    "text_source_quality_profile",
+    "events_peak_to_mean_by_type",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

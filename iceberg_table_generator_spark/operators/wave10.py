@@ -1757,3 +1757,287 @@ def pipeline_source_length_quantiles(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Ship-delay quantiles per priority (fact-scale grouped crossing rule)
+# --------------------------------------------------------------------------
+_SHIP_DELAY_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority AS pri,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS delay
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+c AS (SELECT pri, delay AS v, CAST(count(*) AS BIGINT) AS t
+      FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT pri, v, t,
+         sum(t) OVER (PARTITION BY pri ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cu,
+         sum(t) OVER (PARTITION BY pri) AS n
+  FROM c)
+SELECT pri, CAST(any_value(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN 2 * cu >= n THEN v END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN 10 * cu >= 9 * n THEN v END) AS BIGINT) AS p90_days,
+       CAST(max(v) AS BIGINT) AS max_days
+FROM cum GROUP BY pri ORDER BY pri
+"""
+
+
+@query("lineitem_ship_delay_by_priority", oracle=_SHIP_DELAY_ORACLE)
+def lineitem_ship_delay_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship delay quantiles (exact p50/p90/max days) per order
+    priority — does paying for 1-URGENT actually ship faster, read off
+    the FULL fact join, not a sample.  The SLA answer every priority
+    tier is sold on.
+
+    Scale + exactness: one orderkey-equi join (orders side pruned to two
+    columns), then the grouped count-crossing rule — counts per
+    (priority, delay-day) value, priority-PARTITIONED cumulative windows
+    over the bounded delay-day domain, integer crossings.  No
+    percentile_approx, no single-partition window, no floats."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("pri")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "pri",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("v"),
+    )
+    c = d.groupBy("pri", "v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.partitionBy("pri").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("pri")
+    cum = c.select(
+        "pri",
+        "v",
+        F.sum("t").over(w).alias("cu"),
+        F.sum("t").over(wn).alias("n"),
+    )
+    return (
+        cum.groupBy("pri")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.min(F.when(2 * F.col("cu") >= F.col("n"), F.col("v"))).alias(
+                "p50_days"
+            ),
+            F.min(
+                F.when(10 * F.col("cu") >= 9 * F.col("n"), F.col("v"))
+            ).alias("p90_days"),
+            F.max("v").alias("max_days"),
+        )
+        .orderBy("pri")
+    )
+
+
+# --------------------------------------------------------------------------
+# Label centroid cosine matrix (integer-quantized per-dimension sums)
+# --------------------------------------------------------------------------
+_CENTROID_DIM = 64  # embeddings vector width (TESTDATA.md)
+
+
+def _centroid_matrix_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT)) AS HUGEINT)"
+        for i in range(_CENTROID_DIM)
+    )
+    return f"""
+WITH c AS (
+  SELECT label, [{sums}] AS cv
+  FROM embeddings GROUP BY label),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         list_sum(list_transform(generate_series(1, {_CENTROID_DIM}),
+                                 i -> a.cv[i] * b.cv[i])) AS dot,
+         list_sum(list_transform(a.cv, x -> x * x)) AS na2,
+         list_sum(list_transform(b.cv, x -> x * x)) AS nb2
+  FROM c a JOIN c b ON a.label < b.label)
+SELECT label_a, label_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+             6) AS centroid_cos
+FROM p ORDER BY label_a, label_b
+"""
+
+
+@query("similarity_label_centroid_matrix", oracle=_centroid_matrix_oracle())
+def similarity_label_centroid_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between LABEL CENTROIDS of the embedding space —
+    the class-geometry map (two labels whose centroids sit at cos > 0.9
+    will bleed into each other in any nearest-centroid or kNN labeler;
+    this matrix says which class pairs need margin).  Complements
+    `similarity_cluster_purity` (assignment-level) with the
+    direction-level view.
+
+    Exactness: per-vector coordinates quantize to floor(x·1e6) integers
+    (the identical-IEEE-chain rule), per-dimension sums are exact
+    integer aggregates (64 map-combinable sums, no explode), and the
+    unnormalized-centroid cosine — invariant to the 1/n mean scaling —
+    is DECIMAL(38,0)/HUGEINT cross-mults into one rounded double chain.
+    Scale: one label-keyed aggregate over a narrow scan; the pair grid
+    is the bounded label domain (10 rows self-joined)."""
+    d38 = "decimal(38,0)"
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = [
+        F.sum(
+            F.floor(
+                F.col("embedding")[i].cast("double") * 1_000_000
+            ).cast("long")
+        ).alias(f"s{i}")
+        for i in range(_CENTROID_DIM)
+    ]
+    c = emb.groupBy("label").agg(*sums).select(
+        "label", F.array(*[f"s{i}" for i in range(_CENTROID_DIM)]).alias("cv")
+    )
+    a = c.select(F.col("label").alias("label_a"), F.col("cv").alias("ca"))
+    b = c.select(F.col("label").alias("label_b"), F.col("cv").alias("cb"))
+    dec_dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: u.cast(d38) * v),
+        F.lit(0).cast(d38),
+        lambda acc, v: acc + v,
+    )
+    p = a.join(b, F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        dec_dot("ca", "cb").alias("dot"),
+        dec_dot("ca", "ca").alias("na2"),
+        dec_dot("cb", "cb").alias("nb2"),
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    ).orderBy("label_a", "label_b")
+
+
+# --------------------------------------------------------------------------
+# Per-source corpus quality profile (integer count shares)
+# --------------------------------------------------------------------------
+def _source_quality_oracle() -> str:
+    from iceberg_table_generator_spark.operators.text import (
+        STOPWORDS,
+        _sql_list,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              w -> w IN ({_sql_list(STOPWORDS)})))
+              AS BIGINT) AS n_stop,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tok), 6) AS stopword_share,
+       round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6) AS chars_per_token
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+@query("text_source_quality_profile", oracle=_source_quality_oracle())
+def text_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality profile: token mass, stopword share, and
+    chars-per-token — the source-level roll-up of `text_quality_score`'s
+    per-doc features, read the way a mixture designer reads it (a source
+    whose stopword share collapses is code/tables, one whose
+    chars-per-token spikes is non-natural text; both get different
+    filters, and the DENOMINATORS here size each source's token budget).
+
+    Exactness + scale: all three ratios are exact integer-count sums
+    (in-row token/stopword folds, metadata chars) divided once per
+    source; one source-keyed map-combinable aggregate, no joins, no
+    windows."""
+    from iceberg_table_generator_spark.operators.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda w: w.isin(STOPWORDS)
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum("n_stop").cast("double") / F.sum("n_tok"), 6
+            ).alias("stopword_share"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak-to-mean load ratio per event type (capacity planning)
+# --------------------------------------------------------------------------
+_PEAK_MEAN_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_active_hours,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(max(c) AS BIGINT) AS peak_hourly,
+       round(CAST(max(c) * count(*) AS DOUBLE) / sum(c), 6)
+         AS peak_to_mean
+FROM h GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_peak_to_mean_by_type", oracle=_PEAK_MEAN_ORACLE)
+def events_peak_to_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-mean hourly load ratio per event type (mean over ACTIVE
+    hours) — the capacity-planning number: a type at ratio ≈ 1 is steady
+    background load, one at 10 needs burst headroom ten times its
+    average.  For an ingestion pipeline: per-stream provisioning.
+
+    Exactness + scale: two nested calendar-bounded aggregates (hourly
+    counts, then the per-type fold); the ratio max·hours/total is exact
+    integers into one rounded division.  No windows, no joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    h = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("c").alias("n_events"),
+            F.max("c").alias("peak_hourly"),
+            F.round(
+                (F.max("c") * F.count(F.lit(1))).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("peak_to_mean"),
+        )
+        .orderBy("event_type")
+    )
