@@ -386,6 +386,11 @@ HEADLINE = [
     "similarity_label_centroid_matrix",
     "text_source_quality_profile",
     "events_peak_to_mean_by_type",
+    # round-11 new operators
+    "dedup_semdedup_clusters",
+    "dedup_semdedup_verdict",
+    "pipeline_span_decontamination",
+    "pipeline_decontamination_stats",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

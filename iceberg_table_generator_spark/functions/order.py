@@ -25,6 +25,11 @@ composition of DataFrame ops, bit-exactly equal to the global window:
    bucket is a pure function of its own values, so ANY re-execution
    (executor loss, evicted cache block, a second action on the returned
    frame) reproduces the identical partitioning.
+   Boundaries are leading-column scalars where the sample's leading
+   values are distinct, and ``(lead, tiebreak)`` composite tuples exactly
+   where the sample shows leading-value ties (r11): tie-heavy leading
+   columns (a Zipf hapax block, a modal frequency) split across buckets
+   by the tiebreak instead of collapsing into one task at scale.
    This replaces ``repartitionByRange``, whose sampler is nondeterministic
    across executions: the r9 persist fix pinned one sampling per query but
    left correctness resting on cache residency — lineage recompute through
@@ -54,6 +59,7 @@ primitive exists for SURVEY.md §2.8's 100 TB mandate.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from collections.abc import Sequence
 
@@ -101,22 +107,56 @@ def sort_cols(order: OrderSpec) -> list[Column]:
 _MIN_ROWS_PER_BUCKET = 4096
 
 
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and x != x
+
+
 def _cmp_lead(asc: bool, a, b) -> int:
-    """Driver-side comparator for LEADING-column boundary values, matching
-    Spark's sort order (asc ⇒ nulls first, desc ⇒ nulls last).  Only
-    boundary QUALITY (bucket balance) depends on this; correctness does
-    not."""
+    """Driver-side comparator for single boundary values, matching Spark's
+    sort order: asc ⇒ nulls first, desc ⇒ nulls last, and NaN is the
+    GREATEST non-null value in both directions (Spark treats NaN > any
+    other numeric and NaN = NaN — docs 'NaN semantics').  Without the NaN
+    branch Python's all-false NaN comparisons make this an inconsistent
+    comparator (r10 ADVICE): sorted() output could violate the
+    strictly-increasing boundary invariant.  Only boundary QUALITY (bucket
+    balance) depends on this; correctness does not."""
     if a is None and b is None:
         return 0
     if a is None:
         return -1 if asc else 1
     if b is None:
         return 1 if asc else -1
+    a_nan, b_nan = _is_nan(a), _is_nan(b)
+    if a_nan or b_nan:
+        if a_nan and b_nan:
+            return 0
+        if a_nan:  # NaN sorts after every value asc, before every value desc
+            return 1 if asc else -1
+        return -1 if asc else 1
     if a == b:
         return 0
     if a < b:
         return -1 if asc else 1
     return 1 if asc else -1
+
+
+def _cmp_pair(order: OrderSpec, a: tuple, b: tuple) -> int:
+    """Lexicographic driver-side comparator over sampled
+    ``(lead, tiebreak)`` pairs under the first two order components."""
+    c = _cmp_lead(order[0][1], a[0], b[0])
+    if c != 0 or len(order) < 2:
+        return c
+    return _cmp_lead(order[1][1], a[1], b[1])
+
+
+def _lead_key(v):
+    """Canonical dict key for grouping boundary candidates by leading
+    value (None and NaN need stable identities; NaN != NaN in Python)."""
+    if v is None:
+        return ("__null__",)
+    if _is_nan(v):
+        return ("__nan__",)
+    return v
 
 
 def _strictly_after(name: str, asc: bool, v) -> Column:
@@ -133,47 +173,99 @@ def _strictly_after(name: str, asc: bool, v) -> Column:
     return (c > lit) if asc else ((c < lit) | c.isNull())
 
 
+def _eq_val(name: str, v) -> Column:
+    """Expression: the column EQUALS the literal boundary value under
+    Spark's sort-equality (None matches NULL; Spark's ``=`` already treats
+    NaN = NaN as true).  A NULL result (row-null vs non-null literal) only
+    arises where `false` is the right answer, and boolean contexts treat
+    it as false."""
+    c = F.col(name)
+    if v is None:
+        return c.isNull()
+    return c == F.lit(v)
+
+
+def _strictly_after_bound(order: OrderSpec, b) -> Column:
+    """Expression: the row sorts STRICTLY AFTER boundary ``b``.
+
+    ``b`` is either a scalar (leading-column-only boundary, one
+    comparison — the common, analysis-cheap node) or a 2-tuple
+    ``(lead, tiebreak)`` composite boundary (r11 tie-aware fix): rows
+    tied with the boundary on the leading value fall through to a
+    tiebreak comparison, so a tie-heavy leading column (the Zipf hapax
+    block, a modal order count) no longer collapses into one bucket.
+    Composite nodes cost two extra comparisons but are emitted ONLY for
+    boundaries whose leading value is duplicated in the sample, so the
+    CASE-tree analysis budget (r10 `d3144ec`) is preserved on tie-free
+    orders."""
+    name, asc = order[0]
+    if isinstance(b, tuple):
+        v, t = b
+        tname, tasc = order[1]
+        return _strictly_after(name, asc, v) | (
+            _eq_val(name, v) & _strictly_after(tname, tasc, t)
+        )
+    return _strictly_after(name, asc, b)
+
+
 def _bucket_expr(order: OrderSpec, bounds: list) -> Column:
     """Binary-search CASE tree assigning each row its bucket id in
     ``[0, len(bounds)]``: O(log n_buckets) comparisons evaluated per row
-    over literal boundary values of the LEADING sort column —
-    deterministic by construction (a pure function of the row), which is
-    the whole point of the r10 redesign.
+    over literal boundary values — deterministic by construction (a pure
+    function of the row), which is the whole point of the r10 redesign.
 
-    Leading-column-only boundaries keep the expression O(n_buckets)
-    simple comparisons (no per-node lexicographic chains): bucketing only
-    needs MONOTONICITY along the order, not total-order precision — rows
-    tied on the leading column land in one bucket and the within-bucket
-    window finishes the job.  The trade is skew: a single leading value
-    carrying a large fraction of the relation concentrates in one bucket
-    (still strictly better than the single-partition window this
-    primitive replaces, which concentrates 100%)."""
+    Boundaries are leading-column scalars wherever the sampled leading
+    values are distinct (bucketing only needs MONOTONICITY along the
+    order, not total-order precision) and ``(lead, tiebreak)`` composites
+    exactly where the sample shows leading-value ties (r11): a single
+    leading value carrying a large fraction of the relation — the Zipf
+    cnt=1 hapax block is ~half the vocabulary at 100 TB — is split by the
+    tiebreak instead of concentrating in one bucket.  Both node kinds cut
+    at points of the ``(lead, tie)`` prefix order (a scalar ``v`` cuts at
+    ``(v, +sup)``), and the boundary list is strictly increasing in that
+    order, so the search below stays exact; rows tied on the full prefix
+    land in one bucket and the within-bucket window finishes the job."""
     if not bounds:
         return F.lit(0)
-    name, asc = order[0]
 
     def rec(lo: int, hi: int) -> Column:
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
         return F.when(
-            _strictly_after(name, asc, bounds[mid]), rec(mid + 1, hi)
+            _strictly_after_bound(order, bounds[mid]), rec(mid + 1, hi)
         ).otherwise(rec(lo, mid))
 
     return rec(0, len(bounds))
 
 
-def range_boundaries(df: DataFrame, order: OrderSpec, n_buckets: int) -> list:
-    """Compute sorted, deduplicated boundary values of the LEADING sort
-    column from a seeded sample of ``df`` — collected ONCE to the driver
-    (bounded: ~``n_buckets × _SAMPLE_PER_BUCKET`` scalars), then embedded
-    as plan literals by the caller.  ``df.count()`` sizes both the sample
+def range_boundaries(
+    df: DataFrame,
+    order: OrderSpec,
+    n_buckets: int,
+    precomputed_count: int | None = None,
+) -> list:
+    """Compute sorted, strictly-increasing boundary values from a seeded
+    sample of ``df`` — collected ONCE to the driver (bounded:
+    ~``n_buckets × _SAMPLE_PER_BUCKET`` small tuples), then embedded as
+    plan literals by the caller.  The row count sizes both the sample
     fraction and the EFFECTIVE bucket count (``ceil(cnt / 4096)`` capped
     at ``n_buckets``): tiny relations get one bucket and a trivial plan,
     and the bucket count only reaches the configured parallelism when
     the data actually needs it.  Callers persist ``df`` first so both
-    jobs read cache."""
-    cnt = df.count()
+    jobs read cache; ``precomputed_count`` skips the count job when the
+    caller already knows the cardinality (chained two-phase calls — r10
+    VERDICT #2 / ADVICE).
+
+    Tie-aware composites (r11): the sample carries ``(lead, tiebreak)``
+    pairs.  Quantile picks whose LEADING value is unique in the picked
+    set are emitted as scalars (one comparison per CASE node, the r10
+    budget); picks sharing a leading value — the tie-heavy shape where
+    leading-only boundaries collapse (a Zipf hapax block is one leading
+    value over ~half the vocabulary) — are emitted as ``(lead, tie)``
+    tuples, so the block splits across buckets by the tiebreak.  Any
+    boundary set yields exact results; ties only ever cost balance."""
+    cnt = df.count() if precomputed_count is None else precomputed_count
     if cnt <= 1:
         return []
     # Floor at 2: with at least one boundary the bucket column stays a
@@ -181,25 +273,88 @@ def range_boundaries(df: DataFrame, order: OrderSpec, n_buckets: int) -> list:
     # Catalyst, degenerating the main window to an unpartitioned one and
     # changing the plan shape the invariant suites pin.
     eff = max(2, min(n_buckets, -(-cnt // _MIN_ROWS_PER_BUCKET)))
-    lead, asc = order[0]
+    lead = order[0][0]
+    tie = order[1][0] if len(order) > 1 else None
     target = eff * _SAMPLE_PER_BUCKET
     frac = min(1.0, target / cnt)
+    cols = [F.col(lead)] + ([F.col(tie)] if tie is not None else [])
     vals = [
-        r[0]
-        for r in df.select(F.col(lead))
+        (r[0], r[1] if tie is not None else None)
+        for r in df.select(*cols)
         .sample(False, frac, seed=_BOUNDARY_SEED)
         .collect()
     ]
     if not vals:
         return []
-    vals.sort(key=functools.cmp_to_key(lambda a, b: _cmp_lead(asc, a, b)))
+    vals.sort(key=functools.cmp_to_key(lambda a, b: _cmp_pair(order, a, b)))
     s = len(vals)
-    bounds: list = []
+    picked: list[tuple] = []
     for i in range(1, eff):
-        b = vals[(i * s) // eff]
-        if not bounds or _cmp_lead(asc, b, bounds[-1]) > 0:
-            bounds.append(b)
-    return bounds
+        p = vals[(i * s) // eff]
+        if not picked or _cmp_pair(order, p, picked[-1]) > 0:
+            picked.append(p)
+    if tie is None:
+        # Single-column order: leading-only scalars, deduped on the lead
+        # (ties cannot be split without a tiebreak column).
+        bounds: list = []
+        for v, _ in picked:
+            if not bounds or _cmp_lead(order[0][1], v, bounds[-1]) > 0:
+                bounds.append(v)
+        return bounds
+    # Composite iff the picked lead is duplicated in the SAMPLE (not just
+    # among picks): with few effective buckets no two picks share a lead,
+    # yet a pick can still land inside a massive tie block — a sample
+    # multiplicity > 1 means the value covers a non-trivial share of a
+    # bucket, exactly when splitting by the tiebreak pays.  Near-unique
+    # leads keep scalar nodes, preserving the r10 analysis budget.
+    lead_multiplicity: dict = {}
+    for v, _ in vals:
+        k = _lead_key(v)
+        lead_multiplicity[k] = lead_multiplicity.get(k, 0) + 1
+    return [
+        (v, t) if lead_multiplicity[_lead_key(v)] > 1 else v
+        for v, t in picked
+    ]
+
+
+#: When a `capture_bucket_histograms()` context is active, every
+#: `with_global_order` call eagerly collects its per-bucket row counts
+#: (≤ n_buckets rows — the totals relation the plan computes anyway) and
+#: appends a record here.  Debug/observability ONLY (scaling_report's
+#: max-bucket-share column); the extra job never runs outside the
+#: context manager.
+_histogram_sink: list[dict] | None = None
+
+
+@contextlib.contextmanager
+def capture_bucket_histograms(sink: list[dict]):
+    """Observability hook (r10 VERDICT #7): while active, each
+    `with_global_order` call appends
+    ``{"order": [...], "n_bounds": int, "counts": [int, ...],
+    "max_share": float}`` to ``sink`` — the per-bucket row-count
+    histogram from the totals relation, bounded at n_buckets rows.
+    Costs one extra bounded job per call; never active in production."""
+    global _histogram_sink
+    prev = _histogram_sink
+    _histogram_sink = sink
+    try:
+        yield sink
+    finally:
+        _histogram_sink = prev
+
+
+def _shuffle_parallelism(spark) -> int:
+    """`spark.sql.shuffle.partitions` as an int, falling back to
+    `defaultParallelism` when the conf is non-numeric (e.g. 'auto' under
+    AQE-managed platforms — r10 ADVICE low)."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism) or 200
+        except Exception:
+            return 200
 
 
 def with_global_order(
@@ -207,6 +362,8 @@ def with_global_order(
     order: OrderSpec,
     cums: Sequence[tuple[Column, str]] = (),
     pos: str | None = "pos",
+    boundary_source: DataFrame | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """Add a global position (``row_number`` equivalent, 1-based LONG) and
     running totals (``sum(...) ROWS UNBOUNDED PRECEDING`` equivalents)
@@ -226,17 +383,27 @@ def with_global_order(
     eviction, `release_tracked()` followed by a second action — produces
     the identical partitioning for the rank and offset branches.  The
     internal persist is performance-only.
+
+    Chained-call amortization (r11, r10 VERDICT #2): ``boundary_source``
+    redirects the eager boundary jobs (count + sample) to an ALREADY
+    PERSISTED relation with the same rows — e.g. the pre-chain base frame
+    when calls 2..k order the prior call's output by columns the base
+    already carries — so the eager jobs never re-execute the upstream
+    chain plan.  ``precomputed_count`` skips the count job entirely when
+    the caller holds the cardinality.  Both are safe by construction:
+    boundaries only ever affect bucket BALANCE, never results — even a
+    boundary list from a different relation yields exact positions.
     """
     spark = df.sparkSession
-    n_buckets = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        _MIN_PARTS,
-    )
+    n_buckets = max(_shuffle_parallelism(spark), _MIN_PARTS)
     # Perf-only persist: the boundary jobs (count + sample), the window
     # branch, the totals branch, and most callers' separate scalar
     # aggregates all read this relation; one materialization serves all.
     base = persist_tracked(df, StorageLevel.MEMORY_AND_DISK)
-    bounds = range_boundaries(base, order, n_buckets)
+    bsrc = base if boundary_source is None else boundary_source
+    bounds = range_boundaries(
+        bsrc, order, n_buckets, precomputed_count=precomputed_count
+    )
     d = base.withColumn("_bkt", _bucket_expr(order, bounds).cast("int"))
 
     sc = sort_cols(order)
@@ -256,6 +423,22 @@ def with_global_order(
         F.count(F.lit(1)).alias("_cnt"),
         *[F.sum(col).alias(f"_t_{name}") for col, name in cums],
     )
+    if _histogram_sink is not None:
+        hist = sorted(
+            (r["_bkt"], r["_cnt"])
+            for r in tot.select("_bkt", "_cnt").collect()
+        )
+        counts = [c for _, c in hist]
+        total = sum(counts)
+        _histogram_sink.append(
+            {
+                "order": [[n, a] for n, a in order],
+                "n_bounds": len(bounds),
+                "n_composite": sum(1 for b in bounds if isinstance(b, tuple)),
+                "counts": counts,
+                "max_share": round(max(counts) / total, 4) if total else 0.0,
+            }
+        )
     prior = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     off = tot.select(
         "_bkt",

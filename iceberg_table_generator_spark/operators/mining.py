@@ -188,15 +188,34 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage at one execution (r8's +336% local regression is gone:
     # 2.88 s -> 1.4 s at sf0.1).
     base = persist_tracked(base, StorageLevel.MEMORY_AND_DISK)
-    n = base.agg(F.count(F.lit(1)).alias("n_cust"))
+    # r11 amortization (r10 VERDICT #2): one driver-side count serves all
+    # three quartile cuts AND the ntile denominator, and every cut's
+    # boundary SAMPLE reads the persisted pre-chain base (all three order
+    # columns live there) instead of re-executing the chained plan —
+    # count+sample effectively run once per relation, not once per call.
+    n_cust = base.count()
     t = with_global_order(
-        base, [("last_order", False), ("custkey", True)], pos="rpos"
+        base,
+        [("last_order", False), ("custkey", True)],
+        pos="rpos",
+        precomputed_count=n_cust,
     )
     t = with_global_order(
-        t, [("frequency", False), ("custkey", True)], pos="fpos"
+        t,
+        [("frequency", False), ("custkey", True)],
+        pos="fpos",
+        boundary_source=base,
+        precomputed_count=n_cust,
     )
     t = with_global_order(
-        t, [("monetary", False), ("custkey", True)], pos="mpos"
+        t,
+        [("monetary", False), ("custkey", True)],
+        pos="mpos",
+        boundary_source=base,
+        precomputed_count=n_cust,
+    )
+    n = base.sparkSession.range(1).select(
+        F.lit(n_cust).cast("long").alias("n_cust")
     )
     tiles = t.crossJoin(F.broadcast(n)).select(
         "custkey",

@@ -54,6 +54,53 @@ from iceberg_table_generator_spark.sources.tables import load_table, spread
 # --------------------------------------------------------------------------
 
 
+def merge_position_islands(flagged: DataFrame, *extra_aggs) -> DataFrame:
+    """Gaps-and-islands merge of flagged k-window POSITIONS into maximal
+    token intervals: input ``(doc_id, pos, ...)`` (1-based token positions
+    whose k-window matched some predicate), output one row per maximal run
+    of consecutive positions — ``(doc_id, token_start, token_end,
+    n_kspans, *extra_aggs)``.  The repo's sessionize idiom: pos −
+    row_number() per doc under a doc-PARTITIONED window (bounded by
+    document length).  Shared by the span-dedup family and the span-level
+    decontamination pass (r11) — the merge lives HERE once (r10 VERDICT
+    #6 asked for reuse, not duplication)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = flagged.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "_grp").agg(
+        F.min("pos").cast("long").alias("token_start"),
+        (F.max("pos") + (SPAN_K - 1)).cast("long").alias("token_end"),
+        F.count(F.lit(1)).alias("n_kspans"),
+        *extra_aggs,
+    )
+
+
+def with_interval_coverage(isl: DataFrame) -> DataFrame:
+    """Exact per-island token contribution under per-doc interval union —
+    the sorted-starts running-max-end form: each island contributes
+    ``max(0, end − max(prev_max_end, start−1))`` under a doc-partitioned
+    window, so summing ``covered`` per doc (or corpus-wide) counts each
+    token once even where nearby islands' extents overlap (islands 2
+    positions apart still overlap in tokens for k > 2).  Integer-exact,
+    bounded per doc; shared by `dedup_span_island_stats` and the r11
+    decontamination coverage."""
+    prev = Window.partitionBy("doc_id").orderBy("token_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return isl.withColumn(
+        "covered",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("token_end")
+            - F.greatest(
+                F.coalesce(
+                    F.max("token_end").over(prev), F.lit(0).cast("long")
+                ),
+                F.col("token_start") - 1,
+            ),
+        ),
+    )
+
+
 def _span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per maximal duplicated span island: (doc_id, token_start,
     token_end, n_kspans, max_span_occurrences).  An island is a maximal
@@ -83,15 +130,8 @@ def _span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") >= 2)
     )
     flagged = sp.join(dup, "h")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = flagged.withColumn(
-        "_grp", F.col("pos") - F.row_number().over(w)
-    )
-    return isl.groupBy("doc_id", "_grp").agg(
-        F.min("pos").cast("long").alias("token_start"),
-        (F.max("pos") + (SPAN_K - 1)).cast("long").alias("token_end"),
-        F.count(F.lit(1)).alias("n_kspans"),
-        F.max("n_occ").alias("max_span_occurrences"),
+    return merge_position_islands(
+        flagged, F.max("n_occ").alias("max_span_occurrences")
     )
 
 
@@ -196,22 +236,7 @@ def dedup_span_island_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio` is directly comparable to `dedup_span_stats.dup_ratio` (which
     counts k-WINDOW occurrences, not distinct tokens)."""
     isl = _span_islands(spark, sf_dir)
-    prev = Window.partitionBy("doc_id").orderBy("token_start").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cov = isl.withColumn(
-        "covered",
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.col("token_end")
-            - F.greatest(
-                F.coalesce(
-                    F.max("token_end").over(prev), F.lit(0).cast("long")
-                ),
-                F.col("token_start") - 1,
-            ),
-        ),
-    )
+    cov = with_interval_coverage(isl)
     tot = (
         load_table(spark, sf_dir, "documents")
         .select(F.size(F.split("text", " ")).alias("n_tok"))
@@ -498,22 +523,7 @@ def dedup_doc_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio order is a total order (identical integer divisions tie-break
     by doc_id).  Top-k ends the plan."""
     isl = _span_islands(spark, sf_dir)
-    prev = Window.partitionBy("doc_id").orderBy("token_start").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cov = isl.withColumn(
-        "covered",
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.col("token_end")
-            - F.greatest(
-                F.coalesce(
-                    F.max("token_end").over(prev), F.lit(0).cast("long")
-                ),
-                F.col("token_start") - 1,
-            ),
-        ),
-    )
+    cov = with_interval_coverage(isl)
     per_doc = cov.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("covered").alias("dup_tokens"),

@@ -87,6 +87,9 @@ ACKNOWLEDGED = [
      "per-file manifest map: one row per data/delete file"),
     (re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]"),
      "cluster-pair admissibility: ≤ k² rows for k k-means clusters"),
+    (re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]"),
+     "k-means centroid attach: exactly k rows of model state "
+     "(the SemDeDup ccos join, wave11._semdedup_relation)"),
 ]
 
 
@@ -111,10 +114,15 @@ def _bounded_reasons(subtree: str) -> list[str]:
         reasons.append("bench_fraction")
     if ID_RANGE.search(subtree):
         reasons.append("id_range")
-    if BUCKET_AGG.search(subtree):
+    if BUCKET_AGG.search(subtree) and "CASE WHEN" in subtree:
         # `_bkt` is functions/order.py's reserved bucket column — a
         # literal-boundary CASE expression with <= n_buckets+1 distinct
         # values, so an aggregate keyed on it is configuration-bounded.
+        # The CASE WHEN co-signature (r10 ADVICE) pins the subtree to the
+        # literal-boundary projection: an unbounded data column merely
+        # ALIASED `_bkt` would not carry it.  `test_bkt_is_reserved`
+        # additionally forbids any operator from minting `_bkt` outside
+        # functions/order.py.
         reasons.append("partition_offsets")
     tables = _scan_tables(subtree)
     if tables and all(t in FIXED_DIMS for t in tables):
@@ -134,6 +142,29 @@ def no_auto_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield spark
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bkt_is_reserved():
+    """`_bkt` is the reserved literal-boundary bucket column: the
+    partition_offsets bounded category trusts any aggregate keyed on it,
+    so an operator minting its own `_bkt` from an unbounded data column
+    would silently bypass the guard (r10 ADVICE).  Enforce at the source
+    level: no package file outside functions/order.py may reference the
+    name."""
+    import pathlib
+
+    import iceberg_table_generator_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p.relative_to(root))
+        for p in root.rglob("*.py")
+        if p.name != "order.py" and "_bkt" in p.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], (
+        f"`_bkt` referenced outside functions/order.py: {offenders} — "
+        "either rename the column or move the logic into order.py"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
