@@ -389,8 +389,13 @@ HEADLINE = [
     # round-11 new operators
     "dedup_semdedup_clusters",
     "dedup_semdedup_verdict",
+    "dedup_semdedup_tau_sweep",
+    "dedup_semdedup_shadow_map",
     "pipeline_span_decontamination",
     "pipeline_decontamination_stats",
+    "pipeline_decontamination_by_source",
+    "similarity_ivf_nprobe_recall",
+    "pipeline_source_mixing_weights",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -23,9 +23,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_table_generator_spark import all_queries, get_spark
+from iceberg_table_generator_spark.functions.cache import release_tracked
+from iceberg_table_generator_spark.functions.order import (
+    capture_bucket_histograms,
+)
 from iceberg_table_generator_spark.plans import explain
 
 SF_DIR = "/root/testdata/sf0.001"
+#: Bucket-balance histograms are re-measured at sf0.1 — at sf0.001 most
+#: two-phase inputs sit under the 4096-rows-per-bucket floor (1 bucket,
+#: max share 1.0 by construction), which says nothing about skew.
+SF_HIST_DIR = "/root/testdata/sf0.1"
 
 LIMIT = re.compile(r"TakeOrderedAndProject|GlobalLimit|CollectLimit")
 SCALAR_AGG = re.compile(r"(?:Hash|Sort|Object\w*)Aggregate\(keys=\[\]")
@@ -38,6 +46,7 @@ BUCKET_AGG = re.compile(r"Aggregate\(keys=\[_bkt#\d+")
 MANIFEST = re.compile(r"Scan ExistingRDD\[__file#\d+")
 CLUSTER_PAIRS = re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]")
 CENTROID_ATTACH = re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]")
+TAU_GRID = re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]")
 
 FIXED_DIMS = {"region", "nation"}
 SCALING_DIMS = {"part", "supplier", "customer", "partsupp"}
@@ -77,6 +86,8 @@ def classify(sub: str) -> list[str]:
         cats.append("cluster-pairs")
     if CENTROID_ATTACH.search(sub):
         cats.append("centroid-attach")
+    if TAU_GRID.search(sub):
+        cats.append("threshold-grid")
     return cats or ["UNBOUNDED?"]
 
 
@@ -86,8 +97,13 @@ def main() -> None:
     queries = all_queries()
 
     rows = []
+    two_phase: list[str] = []
     for name in sorted(queries):
-        df = queries[name](spark, SF_DIR)
+        sink: list[dict] = []
+        with capture_bucket_histograms(sink):
+            df = queries[name](spark, SF_DIR)
+        if sink:
+            two_phase.append(name)
         # AQE wraps plans in AdaptiveSparkPlan whose INITIAL text carries
         # no codegen annotations (stages fuse at runtime); disable it for
         # the EXPLAIN only — after the build, because load_table's
@@ -139,6 +155,40 @@ def main() -> None:
         lines.append(
             f"| {r['name']} | {r['exchanges']} | {r['joins']} | {r['broadcasts']} | {r['codegen']} |"
         )
+
+    # Two-phase global-order callers: per-bucket balance, measured at
+    # sf0.1 (r10 VERDICT #7 observability).  `max share` is the largest
+    # bucket's row fraction across the query's with_global_order calls —
+    # the direct empirical check on the r11 tie-aware composite
+    # boundaries (a tie-heavy leading column without composites would
+    # print ~1/2..1 here; balanced calls print ~1/n_buckets).
+    lines += [
+        "",
+        "## Two-phase global-order callers — bucket balance (sf0.1)",
+        "",
+        "Collected via `functions/order.capture_bucket_histograms` during",
+        "query construction at sf0.1 (histograms read the ≤ n_buckets-row",
+        "totals relation the plan computes anyway).  `bounds` counts",
+        "boundary literals (`composite` of them carry a tiebreak);",
+        "`max share` is the worst bucket's row fraction over all calls.",
+        "",
+        "| query | order calls | bounds (composite) | buckets | max share |",
+        "|---|---|---|---|---|",
+    ]
+    for name in two_phase:
+        sink = []
+        with capture_bucket_histograms(sink):
+            queries[name](spark, SF_HIST_DIR)
+        release_tracked()
+        calls = len(sink)
+        bounds = sum(h["n_bounds"] for h in sink)
+        comp = sum(h["n_composite"] for h in sink)
+        buckets = max(len(h["counts"]) for h in sink)
+        share = max(h["max_share"] for h in sink)
+        lines.append(
+            f"| {name} | {calls} | {bounds} ({comp}) | {buckets} | {share} |"
+        )
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")

@@ -90,6 +90,9 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]"),
      "k-means centroid attach: exactly k rows of model state "
      "(the SemDeDup ccos join, wave11._semdedup_relation)"),
+    (re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]"),
+     "threshold grid: |SEMDEDUP_TAU_GRID| driver-literal rows "
+     "(wave11.dedup_semdedup_tau_sweep)"),
 ]
 
 
