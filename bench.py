@@ -396,6 +396,11 @@ HEADLINE = [
     "pipeline_decontamination_by_source",
     "similarity_ivf_nprobe_recall",
     "pipeline_source_mixing_weights",
+    "pipeline_dsir_weights",
+    "text_unigram_logloss",
+    "pipeline_truncation_loss",
+    "events_graph_eccentricity",
+    "similarity_cluster_outlier_audit",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -47,6 +47,7 @@ MANIFEST = re.compile(r"Scan ExistingRDD\[__file#\d+")
 CLUSTER_PAIRS = re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]")
 CENTROID_ATTACH = re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]")
 TAU_GRID = re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]")
+CTX_GRID = re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]")
 
 FIXED_DIMS = {"region", "nation"}
 SCALING_DIMS = {"part", "supplier", "customer", "partsupp"}
@@ -88,6 +89,8 @@ def classify(sub: str) -> list[str]:
         cats.append("centroid-attach")
     if TAU_GRID.search(sub):
         cats.append("threshold-grid")
+    if CTX_GRID.search(sub):
+        cats.append("context-length-grid")
     return cats or ["UNBOUNDED?"]
 
 

@@ -93,6 +93,9 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]"),
      "threshold grid: |SEMDEDUP_TAU_GRID| driver-literal rows "
      "(wave11.dedup_semdedup_tau_sweep)"),
+    (re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]"),
+     "context-length grid: |TRUNC_GRID| driver-literal rows "
+     "(wave12.pipeline_truncation_loss)"),
 ]
 
 

@@ -1,0 +1,197 @@
+"""Behavioral + engine-determinism guards for the round-11 wave12
+operators (DSIR weights, unigram logloss, truncation loss, graph
+eccentricity, cluster-outlier audit).  Oracle hash-equality itself is
+covered by test_oracle_pack; these tests pin the properties the hash
+check can't express."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_table_generator_spark.functions.cache import release_tracked
+from iceberg_table_generator_spark.operators import wave12
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_tracked()
+
+
+# --------------------------------------------------------------------------
+# Rounding-margin guards (the BM25 ln-ulp absorption precondition)
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("sf_fixture", ["sf_small", "sf_medium"])
+def test_dsir_lambda_rounding_margin(spark, sf_fixture, request):
+    """DSIR's oracle pairing rests on per-bucket round(λ·10⁶) absorbing
+    ln()'s last-ulp engine disagreement; that requires no raw λ·10⁶ near
+    a half-integer boundary.  The engines' raw values differ by a few
+    ulp (~1e-9 at these magnitudes); pin the margin 100× above that."""
+    sf_dir = request.getfixturevalue(sf_fixture)
+    lam, _ = wave12.dsir_bucket_lambdas(spark, sf_dir)
+    scaled = F.col("raw_lam") * 1e6
+    min_dist = (
+        lam.select(F.abs(scaled - F.floor(scaled) - 0.5).alias("d"))
+        .agg(F.min("d"))
+        .first()[0]
+    )
+    assert min_dist > 1e-7, min_dist
+
+
+@pytest.mark.parametrize("sf_fixture", ["sf_small", "sf_medium"])
+def test_unigram_lnp_rounding_margin(spark, sf_fixture, request):
+    sf_dir = request.getfixturevalue(sf_fixture)
+    lnp, _ = wave12.unigram_lnp_terms(spark, sf_dir)
+    scaled = F.col("raw_lnp") * 1e6
+    min_dist = (
+        lnp.select(F.abs(scaled - F.floor(scaled) - 0.5).alias("d"))
+        .agg(F.min("d"))
+        .first()[0]
+    )
+    assert min_dist > 1e-7, min_dist
+
+
+# --------------------------------------------------------------------------
+# DSIR separates the target domain
+# --------------------------------------------------------------------------
+def test_dsir_separates_target_language(spark, sf_small):
+    """The whole point of the importance weight: documents from the
+    target domain (lang='en') must score higher on average than the
+    rest.  Probed margin at sf0.001: ≈ +107k micro (en mean −101k vs
+    non-en −208k) — assert the sign, not the magnitude."""
+    lam, tb = wave12.dsir_bucket_lambdas(spark, sf_small)
+    dc = tb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sc = (
+        dc.join(F.broadcast(lam.drop("raw_lam")), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("lam_micro")).alias("llr"))
+    )
+    rows = sc.groupBy(
+        (F.col("lang") == wave12.DSIR_TARGET_LANG).alias("is_tgt")
+    ).agg(F.avg("llr").alias("m")).collect()
+    means = {r.is_tgt: r.m for r in rows}
+    assert means[True] > means[False], means
+
+
+def test_dsir_topk_shape(spark, sf_small):
+    got = wave12.pipeline_dsir_weights(spark, sf_small).collect()
+    assert len(got) == wave12.DSIR_TOP_K
+    ranks = sorted(r.rank for r in got)
+    assert ranks == list(range(1, wave12.DSIR_TOP_K + 1))
+    by_rank = sorted(got, key=lambda r: r.rank)
+    scores = [r.llr_micro for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# Truncation-loss curve properties
+# --------------------------------------------------------------------------
+def test_truncation_loss_monotone(spark, sf_small):
+    rows = sorted(
+        wave12.pipeline_truncation_loss(spark, sf_small).collect(),
+        key=lambda r: r.ctx_len,
+    )
+    lost = [r.tokens_lost for r in rows]
+    assert lost == sorted(lost, reverse=True), lost
+    trunc = [r.docs_truncated for r in rows]
+    assert trunc == sorted(trunc, reverse=True), trunc
+    # every row sees the same corpus
+    assert len({(r.n_docs, r.tokens_total) for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r.loss_ppm <= 1_000_000
+        assert r.loss_ppm == (r.tokens_lost * 1_000_000) // r.tokens_total
+
+
+# --------------------------------------------------------------------------
+# Eccentricity on a planted graph
+# --------------------------------------------------------------------------
+def test_eccentricity_on_planted_path(spark):
+    """Path graph 1-2-3-4 via one user's navigation: ends have ecc 3,
+    middles ecc 2, diameter 3, radius 2, centers = {2, 3}."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(minutes=i), i + 1, '{"k": %d}' % k)
+        for i, k in enumerate([1, 2, 3, 4])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, props string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.node: r
+            for r in wave12.events_graph_eccentricity(spark, td).collect()
+        }
+    assert {n: r.ecc for n, r in got.items()} == {1: 3, 2: 2, 3: 2, 4: 3}
+    assert all(r.diameter == 3 and r.radius == 2 for r in got.values())
+    assert {n for n, r in got.items() if r.is_center} == {2, 3}
+    assert {n for n, r in got.items() if r.is_periphery} == {1, 4}
+    assert all(r.n_reached == 3 for r in got.values())
+
+
+def test_eccentricity_isolated_node(spark):
+    """A node with no edges: n_reached 0, ecc 0, never center/periphery."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, '{"k": 1}'),
+        (1, base + datetime.timedelta(minutes=1), 2, '{"k": 2}'),
+        # user 2 emits a single lonely event type 9 (no transition)
+        (2, base, 3, '{"k": 9}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, props string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.node: r
+            for r in wave12.events_graph_eccentricity(spark, td).collect()
+        }
+    assert got[9].n_reached == 0 and got[9].ecc == 0
+    assert got[9].is_center == 0 and got[9].is_periphery == 0
+    assert got[1].ecc == 1 and got[2].ecc == 1
+    # 1-2 edge: both are centers AND periphery (diameter == radius == 1)
+    assert all(r.diameter == 1 and r.radius == 1 for r in got.values())
+
+
+# --------------------------------------------------------------------------
+# Cluster-outlier audit consistency with the shared member relation
+# --------------------------------------------------------------------------
+def test_outlier_audit_consistent_with_members(spark, sf_small):
+    from iceberg_table_generator_spark.operators.wave11 import (
+        _semdedup_relation,
+    )
+
+    audit = {
+        r.cid: r
+        for r in wave12.similarity_cluster_outlier_audit(
+            spark, sf_small
+        ).collect()
+    }
+    m = _semdedup_relation(spark, sf_small).collect()
+    by_cid: dict[int, list] = {}
+    for r in m:
+        by_cid.setdefault(r.cid, []).append(r)
+    assert set(audit) == set(by_cid)
+    total_outliers = 0
+    for cid, members in by_cid.items():
+        a = audit[cid]
+        assert a.n_members == len(members)
+        expect_out = sum(1 for r in members if r.ccos < wave12.OUTLIER_TAU)
+        assert a.n_outliers == expect_out
+        total_outliers += expect_out
+        far = min(members, key=lambda r: (r.ccos, r.vec_id))
+        assert a.farthest_vec_id == far.vec_id
+        import math
+
+        assert a.min_ccos_micro == math.floor(far.ccos * 1_000_000)
+        assert 0 <= a.outlier_ppm <= 1_000_000
+    # the τ constant must flag a real, nonzero tail on this testdata
+    assert total_outliers > 0
