@@ -401,6 +401,10 @@ HEADLINE = [
     "pipeline_truncation_loss",
     "events_graph_eccentricity",
     "similarity_cluster_outlier_audit",
+    "text_readability_profile",
+    "pipeline_pii_incidence",
+    "text_source_hellinger",
+    "text_distinctive_terms",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -543,3 +543,477 @@ def similarity_cluster_outlier_audit(
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability profile (Flesch reading-ease, integer micro arithmetic)
+# --------------------------------------------------------------------------
+_READABILITY_ORACLE = """
+WITH f AS (
+  SELECT source,
+         greatest(len(string_split(text, ' ')), 1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+  FROM documents),
+pd AS (
+  SELECT source, w, s, y,
+         206835000 - (1015000 * w) // s - (84600000 * y) // w AS fm
+  FROM f)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fm) // count(*) AS BIGINT) AS avg_flesch_micro,
+       CAST(min(fm) AS BIGINT) AS min_flesch_micro,
+       CAST(max(fm) AS BIGINT) AS max_flesch_micro,
+       CAST((1000 * sum(w)) // sum(s) AS BIGINT) AS words_per_sentence_milli,
+       CAST((1000 * sum(y)) // sum(w) AS BIGINT) AS syllables_per_word_milli
+FROM pd GROUP BY source
+"""
+
+
+@query("text_readability_profile", oracle=_READABILITY_ORACLE)
+def text_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease profile: score = 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with syllables
+    approximated as vowel groups (`[aeiouy]+`) and every component
+    floored into exact micro-integers — readability is the classic
+    cheap quality signal next to stopword/punctuation ratios, and a
+    feed whose average score collapses is machine-generated or OCR
+    garbage.  All counters are per-row regexp counts (zero-shuffle
+    narrow pass); the single shuffle is the 20-row source rollup.
+
+    Engine determinism: the score is a pure integer formula
+    (206835000 − 1015000·w div s − 84600000·y div w); Spark `div` and
+    DuckDB `//` both truncate toward zero (probed), so no floats exist
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        F.greatest(F.size(F.split("text", " ")), F.lit(1))
+        .cast("long")
+        .alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)), F.lit(1)
+        )
+        .cast("long")
+        .alias("s"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+            ),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    pd = f.withColumn(
+        "fm",
+        F.expr("206835000 - (1015000 * w) div s - (84600000 * y) div w"),
+    )
+    return (
+        pd.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(sum(fm) div count(1) AS BIGINT)").alias(
+                "avg_flesch_micro"
+            ),
+            F.min("fm").cast("long").alias("min_flesch_micro"),
+            F.max("fm").cast("long").alias("max_flesch_micro"),
+            F.expr("CAST((1000 * sum(w)) div sum(s) AS BIGINT)").alias(
+                "words_per_sentence_milli"
+            ),
+            F.expr("CAST((1000 * sum(y)) div sum(w) AS BIGINT)").alias(
+                "syllables_per_word_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII incidence matrix (per source x PII type)
+# --------------------------------------------------------------------------
+_PII_INCIDENCE_ORACLE = None  # assembled below from pipeline's patterns
+
+
+def _pii_incidence_oracle() -> str:
+    from iceberg_table_generator_spark.operators.pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 < 3
+                 THEN ' contact user' || doc_id || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 < 2
+                 THEN ' call 555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-'
+                      || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 < 1
+                 THEN ' from 10.' || (doc_id % 256) || '.0.'
+                      || ((doc_id * 3) % 256)
+                 ELSE '' END AS pii_text
+  FROM documents),
+cnt AS (
+  SELECT source,
+         CASE WHEN len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) > 0
+              THEN 1 ELSE 0 END AS he,
+         CASE WHEN len(regexp_extract_all(pii_text, '{_PII_PHONE}')) > 0
+              THEN 1 ELSE 0 END AS hp,
+         CASE WHEN len(regexp_extract_all(pii_text, '{_PII_IP}')) > 0
+              THEN 1 ELSE 0 END AS hi
+  FROM planted)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(he) AS BIGINT) AS docs_with_email,
+       CAST(sum(hp) AS BIGINT) AS docs_with_phone,
+       CAST(sum(hi) AS BIGINT) AS docs_with_ip,
+       CAST(sum(CASE WHEN he + hp + hi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_any,
+       CAST((sum(he) * 1000000) // count(*) AS BIGINT) AS email_ppm,
+       CAST((sum(hp) * 1000000) // count(*) AS BIGINT) AS phone_ppm,
+       CAST((sum(hi) * 1000000) // count(*) AS BIGINT) AS ip_ppm
+FROM cnt GROUP BY source
+"""
+
+
+@query("pipeline_pii_incidence", oracle=_pii_incidence_oracle())
+def pipeline_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence matrix — the compliance dashboard next to
+    `pipeline_pii_redaction`'s scrubber: which feeds leak emails / phone
+    numbers / IPv4 addresses and at what document rate (ppm).  The corpus
+    text is synthetic word soup, so PII is PLANTED deterministically on
+    modular doc_id subsets (email on ~3/7 of docs, phone ~2/5, IP ~1/3)
+    and detected back through the SAME regex patterns the redaction pass
+    uses — the detection path, not the plant, is the deliverable.
+
+    Scale: pure narrow per-row regexp detection (JVM `regexp_count`-class
+    expressions, no Python), then the 20-row source rollup."""
+    from iceberg_table_generator_spark.operators.pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 < 3,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 < 2,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 < 1,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 3) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    planted = docs.select("source", pii_text.alias("pii_text"))
+    cnt = planted.select(
+        "source",
+        F.when(
+            F.size(F.regexp_extract_all("pii_text", F.lit(_PII_EMAIL), 0)) > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("he"),
+        F.when(
+            F.size(F.regexp_extract_all("pii_text", F.lit(_PII_PHONE), 0)) > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("hp"),
+        F.when(
+            F.size(F.regexp_extract_all("pii_text", F.lit(_PII_IP), 0)) > 0, 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("he").cast("long").alias("docs_with_email"),
+            F.sum("hp").cast("long").alias("docs_with_phone"),
+            F.sum("hi").cast("long").alias("docs_with_ip"),
+            F.sum(
+                F.when(F.col("he") + F.col("hp") + F.col("hi") > 0, 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_any"),
+            F.expr(
+                "CAST((sum(he) * 1000000) div count(1) AS BIGINT)"
+            ).alias("email_ppm"),
+            F.expr(
+                "CAST((sum(hp) * 1000000) div count(1) AS BIGINT)"
+            ).alias("phone_ppm"),
+            F.expr(
+                "CAST((sum(hi) * 1000000) div count(1) AS BIGINT)"
+            ).alias("ip_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pairwise source Hellinger distance (content-drift matrix, sqrt-exact)
+# --------------------------------------------------------------------------
+_HELLINGER_ORACLE = """
+WITH cells AS (
+  SELECT source, w.w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(lower(text), ' ')) AS w(w)
+  GROUP BY 1, 2),
+per AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source),
+words AS (SELECT DISTINCT word FROM cells),
+grid AS (
+  SELECT pa.source AS src_a, pa.n AS n_a, pb.source AS src_b, pb.n AS n_b
+  FROM per pa JOIN per pb ON pa.source < pb.source),
+terms AS (
+  SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+         CAST(round(sqrt((CAST(COALESCE(ca.c, 0) AS DOUBLE)
+                          * COALESCE(cb.c, 0))
+                         / (CAST(g.n_a AS DOUBLE) * g.n_b))
+                    * 1000000.0, 0) AS BIGINT) AS bc_term
+  FROM grid g CROSS JOIN words w
+  LEFT JOIN cells ca ON ca.source = g.src_a AND ca.word = w.word
+  LEFT JOIN cells cb ON cb.source = g.src_b AND cb.word = w.word)
+SELECT src_a, src_b, n_a AS tokens_a, n_b AS tokens_b,
+       CAST(sum(bc_term) AS BIGINT) AS bc_micro,
+       round(sqrt(greatest(1.0 - CAST(sum(bc_term) AS DOUBLE) / 1000000.0,
+                           0.0)), 6) AS hellinger
+FROM terms GROUP BY src_a, src_b, n_a, n_b
+"""
+
+
+@query("text_source_hellinger", oracle=_HELLINGER_ORACLE)
+def text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger distance between source unigram distributions —
+    the geometric companion to `text_source_unigram_tv`: TV weights every
+    frequency gap linearly (dominated by head words), Hellinger's
+    √(p·q) Bhattacharyya kernel is sensitive to SUPPORT disagreement
+    (tail words one source lacks), so the two matrices disagree exactly
+    when sources share head vocabulary but diverge in the tail — the
+    signature of same-template-different-content scrapes.
+
+    Engine determinism: unlike ln(), IEEE sqrt and division are
+    correctly-rounded on both engines, so each per-word √(c_a·c_b /
+    (n_a·n_b)) term is bit-identical; terms are micro-rounded to BIGINT
+    and summed exactly (order-free), and the final 1−BC√ is one shared
+    double chain rounded once.
+
+    Scale: identical posture to the TV matrix — word cells aggregate
+    map-side, the per-word count MAP meets the 190-row source-pair grid
+    in one vocabulary×pairs pass, and the only join key is the bounded
+    source domain."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = persist_tracked(cells)
+    per = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    wmap = cells.groupBy("word").agg(
+        F.map_from_entries(F.collect_list(F.struct("source", "c"))).alias("m")
+    )
+    pa = per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    grid = pa.join(pb, pa.src_a < pb.src_b)
+    ca = F.coalesce(F.element_at("m", F.col("src_a")), F.lit(0))
+    cb = F.coalesce(F.element_at("m", F.col("src_b")), F.lit(0))
+    terms = wmap.crossJoin(grid).select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.sqrt(
+                (ca.cast("double") * cb)
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("bc_term"),
+    )
+    return (
+        terms.groupBy("src_a", "src_b", "n_a", "n_b")
+        .agg(F.sum("bc_term").cast("long").alias("bc_micro"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").alias("tokens_a"),
+            F.col("n_b").alias("tokens_b"),
+            "bc_micro",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(1.0) - F.col("bc_micro").cast("double") / 1000000.0,
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("hellinger"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinctive terms per source (Dunning log-likelihood keyness)
+# --------------------------------------------------------------------------
+KEYNESS_TOP_K = 5
+
+_KEYNESS_G2 = """2.0 * (
+    CAST(a AS DOUBLE)
+      * ln(CAST(a AS DOUBLE) / (CAST(g AS DOUBLE) * ts / t))
+    + CASE WHEN g - a > 0
+           THEN CAST(g - a AS DOUBLE)
+                * ln(CAST(g - a AS DOUBLE)
+                     / (CAST(g AS DOUBLE) * (t - ts) / t))
+           ELSE 0.0 END
+    + CASE WHEN ts - a > 0
+           THEN CAST(ts - a AS DOUBLE)
+                * ln(CAST(ts - a AS DOUBLE)
+                     / (CAST(t - g AS DOUBLE) * ts / t))
+           ELSE 0.0 END
+    + CASE WHEN t - ts - (g - a) > 0
+           THEN CAST(t - ts - (g - a) AS DOUBLE)
+                * ln(CAST(t - ts - (g - a) AS DOUBLE)
+                     / (CAST(t - g AS DOUBLE) * (t - ts) / t))
+           ELSE 0.0 END)"""
+
+_KEYNESS_ORACLE = f"""
+WITH cells AS (
+  SELECT source, w.w AS word, CAST(count(*) AS BIGINT) AS a
+  FROM documents, unnest(string_split(lower(text), ' ')) AS w(w)
+  GROUP BY 1, 2),
+per AS (SELECT source, CAST(sum(a) AS BIGINT) AS ts FROM cells GROUP BY source),
+ws AS (SELECT word, CAST(sum(a) AS BIGINT) AS g FROM cells GROUP BY word),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM cells),
+base AS (
+  SELECT c.source AS source, c.word AS word, c.a AS a, w.g AS g,
+         p.ts AS ts, tt.t AS t
+  FROM cells c
+  JOIN ws w USING (word)
+  JOIN per p ON p.source = c.source
+  CROSS JOIN tot tt
+  WHERE CAST(c.a AS DECIMAL(38,0)) * tt.t
+        > CAST(w.g AS DECIMAL(38,0)) * p.ts),
+sc AS (
+  SELECT source, word, a, g,
+         CAST(round(({_KEYNESS_G2}) * 1000000.0, 0) AS BIGINT) AS g2_micro
+  FROM base),
+rk AS (
+  SELECT source, word, a, g, g2_micro,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY g2_micro DESC, word) AS INT) AS rank
+  FROM sc)
+SELECT source, word, CAST(a AS BIGINT) AS src_count,
+       CAST(g AS BIGINT) AS corpus_count, g2_micro, rank
+FROM rk WHERE rank <= {KEYNESS_TOP_K}
+"""
+
+
+def keyness_scored_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, word, a, g, raw_g2, g2_micro) for every over-represented
+    (source, word) cell — shared by `text_distinctive_terms` and the
+    rounding-margin guard test."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    cells = persist_tracked(cells)
+    per = cells.groupBy("source").agg(F.sum("a").cast("long").alias("ts"))
+    ws = cells.groupBy("word").agg(F.sum("a").cast("long").alias("g"))
+    tot = cells.agg(F.sum("a").cast("long").alias("t"))
+    joined = (
+        cells.join(ws, "word")
+        # NOTE: no broadcast hint on `per` — its boundedness (one row per
+        # source feed) is a model fact, not a plan-structural one, so the
+        # broadcast-invariant suite would flag it; the source-keyed
+        # shuffle join of a |sources|-row relation is free at any scale.
+        .join(per, "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("a").cast("decimal(38,0)") * F.col("t")
+            > F.col("g").cast("decimal(38,0)") * F.col("ts")
+        )
+    )
+    raw_g2 = F.expr(_KEYNESS_G2)
+    return joined.select(
+        "source",
+        "word",
+        "a",
+        "g",
+        raw_g2.alias("raw_g2"),
+        F.round(raw_g2 * 1000000.0, 0).cast("long").alias("g2_micro"),
+    )
+
+
+@query("text_distinctive_terms", oracle=_KEYNESS_ORACLE)
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYNESS_TOP_K} DISTINCTIVE terms per source by Dunning (1993)
+    log-likelihood keyness: G² of the 2×2 (term, source) contingency
+    table, restricted to over-represented terms (a/ts > g/t by exact
+    integer cross-multiplication) — the corpus-linguistics "what makes
+    this feed different" extractor, sharper than raw tf-idf because it
+    accounts for both corpus sides of the contrast.
+
+    Engine determinism: the G² double chain is shared verbatim between
+    engines (the SQL text IS the Spark expression via `F.expr`) and
+    micro-rounded per (source, word) cell before ranking, so ranks
+    compare identically-rounded integers (ln-ulp absorbed; margin pinned
+    by the guard test).
+
+    Scale: word cells aggregate map-side; g attaches by a word-keyed 1:1
+    join (the tf·idf shape); ts and t attach as broadcasts of the
+    20-row / 1-row relations; the rank window partitions by source over
+    the vocabulary-bounded over-represented subset."""
+    scored = keyness_scored_terms(spark, sf_dir).drop("raw_g2")
+    w = Window.partitionBy("source").orderBy(F.desc("g2_micro"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYNESS_TOP_K)
+        .select(
+            "source",
+            "word",
+            F.col("a").alias("src_count"),
+            F.col("g").alias("corpus_count"),
+            "g2_micro",
+            "rank",
+        )
+    )

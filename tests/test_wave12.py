@@ -195,3 +195,80 @@ def test_outlier_audit_consistent_with_members(spark, sf_small):
         assert 0 <= a.outlier_ppm <= 1_000_000
     # the τ constant must flag a real, nonzero tail on this testdata
     assert total_outliers > 0
+
+
+# --------------------------------------------------------------------------
+# Batch 2: readability / PII incidence / Hellinger / keyness
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("sf_fixture", ["sf_small", "sf_medium"])
+def test_keyness_rounding_margin(spark, sf_fixture, request):
+    """G² keyness ranks identically-rounded micro integers; the ln-ulp
+    absorption needs every raw G²·10⁶ clear of its rounding boundary."""
+    sf_dir = request.getfixturevalue(sf_fixture)
+    scored = wave12.keyness_scored_terms(spark, sf_dir)
+    scaled = F.col("raw_g2") * 1e6
+    min_dist = (
+        scored.select(F.abs(scaled - F.floor(scaled) - 0.5).alias("d"))
+        .agg(F.min("d"))
+        .first()[0]
+    )
+    assert min_dist > 1e-7, min_dist
+
+
+def test_readability_bounds_and_consistency(spark, sf_small):
+    rows = wave12.text_readability_profile(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.min_flesch_micro <= r.avg_flesch_micro <= r.max_flesch_micro
+        assert r.words_per_sentence_milli > 0
+        # vowel-group syllables: at least ~1 per word on word-soup text
+        assert r.syllables_per_word_milli > 500
+        assert r.n_docs > 0
+
+
+def test_pii_incidence_matches_plant_rates(spark, sf_small):
+    """The modular plant puts emails on ~3/7 of docs, phones ~2/5,
+    IPs ~1/3; the regex detections must land near those rates and the
+    ppm columns must be exact integer ratios of the counts."""
+    rows = wave12.pipeline_pii_incidence(spark, sf_small).collect()
+    tot = sum(r.n_docs for r in rows)
+    em = sum(r.docs_with_email for r in rows)
+    ph = sum(r.docs_with_phone for r in rows)
+    ip = sum(r.docs_with_ip for r in rows)
+    assert abs(em / tot - 3 / 7) < 0.1, em / tot
+    assert abs(ph / tot - 2 / 5) < 0.1, ph / tot
+    assert abs(ip / tot - 1 / 3) < 0.1, ip / tot
+    for r in rows:
+        assert r.email_ppm == (r.docs_with_email * 1_000_000) // r.n_docs
+        assert r.docs_with_any <= r.n_docs
+        assert r.docs_with_any >= max(
+            r.docs_with_email, r.docs_with_phone, r.docs_with_ip
+        )
+
+
+def test_hellinger_properties(spark, sf_small):
+    """Metric sanity: distances in [0,1]; identical-source distance isn't
+    produced (grid is strict upper triangle); pairs across languages are
+    farther apart on average than the matrix minimum."""
+    rows = wave12.text_source_hellinger(spark, sf_small).collect()
+    n_sources = len({r.src_a for r in rows} | {r.src_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.hellinger <= 1.0
+        assert 0 <= r.bc_micro <= 1_000_100  # rounding slack
+
+
+def test_distinctive_terms_shape(spark, sf_small):
+    rows = wave12.text_distinctive_terms(spark, sf_small).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert len(rs) <= wave12.KEYNESS_TOP_K
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        scores = [r.g2_micro for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            # over-representation filter: the term must be positively keyed
+            assert r.src_count >= 1 and r.corpus_count >= r.src_count
