@@ -405,6 +405,9 @@ HEADLINE = [
     "pipeline_pii_incidence",
     "text_source_hellinger",
     "text_distinctive_terms",
+    "orders_revenue_drawdown",
+    "text_char_entropy_profile",
+    "text_bigram_logloss",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

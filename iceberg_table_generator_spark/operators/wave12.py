@@ -1017,3 +1017,293 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue max drawdown (time-domain risk curve)
+# --------------------------------------------------------------------------
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) * 100 AS BIGINT)
+             AS rev_cents
+  FROM orders GROUP BY o_orderdate),
+runp AS (
+  SELECT day, rev_cents,
+         CAST(max(rev_cents) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS peak_cents
+  FROM daily),
+dd AS (
+  SELECT day, rev_cents, peak_cents,
+         peak_cents - rev_cents AS dd_cents,
+         CAST(((peak_cents - rev_cents) * 10000) // peak_cents AS BIGINT)
+             AS dd_bp
+  FROM runp),
+mx AS (SELECT CAST(max(dd_cents) AS BIGINT) AS max_dd FROM dd)
+SELECT CAST(d.day AS VARCHAR) AS day, d.rev_cents, d.peak_cents,
+       CAST(d.dd_cents AS BIGINT) AS dd_cents, d.dd_bp,
+       CAST(CASE WHEN d.dd_cents = m.max_dd AND m.max_dd > 0
+                 THEN 1 ELSE 0 END AS INT) AS is_max_drawdown
+FROM dd d CROSS JOIN mx m
+"""
+
+
+@query("orders_revenue_drawdown", oracle=_DRAWDOWN_ORACLE)
+def orders_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue drawdown curve: running peak, absolute and
+    basis-point drawdown per day, and the max-drawdown day(s) — the
+    risk/monitoring view of the revenue series (a deep drawdown is the
+    page that gets ops out of bed; `orders_mom_growth` sees only
+    month-grain first differences).
+
+    Exactness: revenue is DECIMAL-summed to integer cents (repo
+    convention); peak/drawdown/bp are pure integer ops.  Scale: one
+    calendar-bounded daily aggregate, ONE unpartitioned running-max
+    window over the day-domain relation (acknowledged in the window
+    invariant suite: one row per calendar day), and the max flag joins a
+    scalar aggregate back — never a second pass over facts."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "rev_cents",
+        F.max("rev_cents").over(wd).cast("long").alias("peak_cents"),
+    ).select(
+        "day",
+        "rev_cents",
+        "peak_cents",
+        (F.col("peak_cents") - F.col("rev_cents")).cast("long").alias("dd_cents"),
+        F.expr(
+            "CAST(((peak_cents - rev_cents) * 10000) div peak_cents AS BIGINT)"
+        ).alias("dd_bp"),
+    )
+    mx = dd.agg(F.max("dd_cents").cast("long").alias("max_dd"))
+    return dd.crossJoin(F.broadcast(mx)).select(
+        F.col("day").cast("string").alias("day"),
+        "rev_cents",
+        "peak_cents",
+        "dd_cents",
+        "dd_bp",
+        F.when((F.col("dd_cents") == F.col("max_dd")) & (F.col("max_dd") > 0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_max_drawdown"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy profile (encoding-garbage detector)
+# --------------------------------------------------------------------------
+_CHAR_ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT source, c.c AS ch, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(text, '')) AS c(c)
+  GROUP BY 1, 2),
+per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY source),
+terms AS (
+  SELECT cells.source, cells.c,
+         CAST(round((ln(CAST(cells.c AS DOUBLE)) - ln(CAST(per.n AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS lnp_micro
+  FROM cells JOIN per USING (source))
+SELECT t.source, p.n AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST((0 - sum(t.c * t.lnp_micro)) // p.n AS BIGINT) AS entropy_micro
+FROM terms t JOIN per p ON p.source = t.source
+GROUP BY t.source, p.n
+"""
+
+
+def char_lnp_terms(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """((source, ch, c, raw_lnp, lnp_micro), per-source totals): the
+    character-distribution log-probabilities — shared by
+    `text_char_entropy_profile` and the rounding-margin guard test."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = persist_tracked(cells)
+    per = cells.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    raw_lnp = F.log(F.col("c").cast("double")) - F.log(
+        F.col("n").cast("double")
+    )
+    terms = cells.join(per, "source").select(
+        "source",
+        "ch",
+        "c",
+        raw_lnp.alias("raw_lnp"),
+        F.round(raw_lnp * 1000000.0, 0).cast("long").alias("lnp_micro"),
+    )
+    return terms, per
+
+
+@query("text_char_entropy_profile", oracle=_CHAR_ENTROPY_ORACLE)
+def text_char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-distribution Shannon entropy (nats, micro):
+    the Gopher/C4-family encoding-garbage detector — mojibake, base64
+    blobs, and binary-in-text all push character entropy far from a
+    natural language's band, and a per-feed profile catches a bad
+    scraper in one glance.  Also reports the distinct-character count
+    (alphabet width, the cheap script/charset-mix signal).
+
+    Engine determinism: ln p(ch) is micro-rounded per (source, char)
+    CELL (bounded domain: |sources| × alphabet), then H =
+    −Σ c·lnp_micro / n is exact integer arithmetic.
+
+    Scale: the char explode is the `text_fingerprint` pass (narrow,
+    map-side combinable into |alphabet|-bounded cells per source);
+    everything downstream lives on the bounded cell domain."""
+    terms, per = char_lnp_terms(spark, sf_dir)
+    agg = terms.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("lnp_micro")).cast("long").alias("c_lnp"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    return (
+        agg.join(per, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            F.expr("CAST((0 - c_lnp) div n AS BIGINT)").alias(
+                "entropy_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM cross-entropy (sequence-level quality proxy)
+# --------------------------------------------------------------------------
+_BIGRAM_LOGLOSS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM tok WHERE len(ws) >= 2),
+dc AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bi
+  GROUP BY doc_id, bg),
+bgc AS (
+  SELECT bg, string_split(bg, ' ')[1] AS w1,
+         CAST(sum(c) AS BIGINT) AS c12
+  FROM dc GROUP BY bg),
+hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS h FROM bgc GROUP BY w1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS v
+        FROM (SELECT DISTINCT string_split(bg, ' ')[2] FROM bgc)),
+lnp AS (
+  SELECT b.bg,
+         CAST(round((ln(b.c12 + 1.0) - ln(CAST(hi.h + t.v AS DOUBLE)))
+                    * 1000000.0, 0) AS BIGINT) AS lnp_micro
+  FROM bgc b JOIN hist hi USING (w1) CROSS JOIN tot t),
+pd AS (
+  SELECT doc_id,
+         CAST((0 - sum(c * lnp_micro)) // sum(c) AS BIGINT) AS ll_pt_micro,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM dc JOIN lnp USING (bg) GROUP BY doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(p.ll_pt_micro) // count(*) AS BIGINT) AS avg_logloss_micro,
+       CAST(min(p.ll_pt_micro) AS BIGINT) AS min_logloss_micro,
+       CAST(max(p.ll_pt_micro) AS BIGINT) AS max_logloss_micro
+FROM pd p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("text_bigram_logloss", oracle=_BIGRAM_LOGLOSS_ORACLE)
+def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram-LM cross-entropy — the SEQUENCE-level quality
+    proxy next to `text_unigram_logloss`'s bag-of-words one (the KenLM
+    filtering tier): p(w₂|w₁) = (c(w₁w₂)+1)/(h(w₁)+V) with add-one
+    smoothing over the second-word vocabulary, scored per document and
+    profiled per source.  A feed whose bigram logloss exceeds its
+    unigram logloss by an unusual margin is shuffled/templated text —
+    plausible words in implausible orders.
+
+    Engine determinism: per-BIGRAM micro-rounded ln p (BM25 pattern),
+    exact integer accumulation; truncating integer division on
+    all-positive operands.
+
+    Scale: bigrams build IN-ROW (the `pipeline_repetition_stats`
+    transform — no self-join); bigram counts and histories are
+    map-combinable aggregates; the score join attaches per-bigram λ to
+    (doc, bigram) COUNTS, 1:1 multiplicity, AQE-skew-splittable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    bi = tok.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat_ws(' ', ws[i-1], ws[i]))"
+            )
+        ).alias("bg"),
+    )
+    dc = bi.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dc = persist_tracked(dc)
+    bgc = dc.groupBy("bg").agg(F.sum("c").cast("long").alias("c12")).select(
+        "bg", F.split("bg", " ").getItem(0).alias("w1"), "c12"
+    )
+    bgc = persist_tracked(bgc)
+    hist = bgc.groupBy("w1").agg(F.sum("c12").cast("long").alias("h"))
+    tot = (
+        bgc.select(F.split("bg", " ").getItem(1).alias("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    lnp = (
+        bgc.join(hist, "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.round(
+                (
+                    F.log(F.col("c12") + 1.0)
+                    - F.log((F.col("h") + F.col("v")).cast("double"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("lnp_micro"),
+        )
+    )
+    pd = (
+        dc.join(lnp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST((0 - sum(c * lnp_micro)) div sum(c) AS BIGINT)"
+            ).alias("ll_pt_micro"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        pd.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.expr(
+                "CAST(sum(ll_pt_micro) div count(1) AS BIGINT)"
+            ).alias("avg_logloss_micro"),
+            F.min("ll_pt_micro").cast("long").alias("min_logloss_micro"),
+            F.max("ll_pt_micro").cast("long").alias("max_logloss_micro"),
+        )
+        .orderBy("source")
+    )

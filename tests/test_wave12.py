@@ -272,3 +272,61 @@ def test_distinctive_terms_shape(spark, sf_small):
         for r in rs:
             # over-representation filter: the term must be positively keyed
             assert r.src_count >= 1 and r.corpus_count >= r.src_count
+
+
+# --------------------------------------------------------------------------
+# Batch 3: drawdown / char entropy / bigram logloss
+# --------------------------------------------------------------------------
+def test_drawdown_invariants(spark, sf_small):
+    rows = sorted(
+        wave12.orders_revenue_drawdown(spark, sf_small).collect(),
+        key=lambda r: r.day,
+    )
+    peak = 0
+    max_dd = 0
+    for r in rows:
+        peak = max(peak, r.rev_cents)
+        assert r.peak_cents == peak
+        assert r.dd_cents == peak - r.rev_cents
+        assert r.dd_cents >= 0
+        assert r.dd_bp == (r.dd_cents * 10_000) // r.peak_cents
+        max_dd = max(max_dd, r.dd_cents)
+    flagged = [r for r in rows if r.is_max_drawdown]
+    if max_dd > 0:
+        assert flagged and all(r.dd_cents == max_dd for r in flagged)
+    else:
+        assert not flagged
+
+
+def test_char_entropy_bounds(spark, sf_small):
+    import math
+
+    rows = wave12.text_char_entropy_profile(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct_chars >= 2
+        assert 0 <= r.entropy_micro
+        # H <= ln(alphabet size) (plus micro-rounding slack)
+        assert r.entropy_micro <= math.log(r.n_distinct_chars) * 1e6 + 1000
+        assert r.n_chars > r.n_distinct_chars
+
+
+def test_bigram_beats_unigram_on_structure(spark, sf_small):
+    """A bigram LM conditioned on real histories must fit the corpus at
+    least as well per token as the unigram model fits it — on word-soup
+    testdata the margin is small but the SIGN is structural (conditioning
+    can't hurt add-one-smoothed fit here; both are micro-integers)."""
+    uni = {
+        r.source: r.avg_logloss_micro
+        for r in wave12.text_unigram_logloss(spark, sf_small).collect()
+    }
+    release_tracked()
+    bi = {
+        r.source: r.avg_logloss_micro
+        for r in wave12.text_bigram_logloss(spark, sf_small).collect()
+    }
+    assert set(uni) == set(bi)
+    # corpus-level: mean over sources
+    assert sum(bi.values()) / len(bi) < sum(uni.values()) / len(uni) * 1.2
+    for v in bi.values():
+        assert v > 0

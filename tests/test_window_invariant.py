@@ -73,6 +73,13 @@ ACKNOWLEDGED: dict[str, tuple[int, str]] = {
         "is planned twice (anchor join + final join), hence two copies",
     ),
     "orders_mom_growth": (1, "one row per month (time domain)"),
+    "orders_revenue_drawdown": (
+        2,
+        "running-max over the day-level revenue relation: one row per "
+        "calendar day (time domain); planned twice — the scalar "
+        "max-drawdown branch and the output branch both read it "
+        "(the orders_holt_forecast two-copy pattern)",
+    ),
     "orders_survival_hazard": (1, "fixed duration-bucket grid"),
     "stats_runs_test": (
         2,
