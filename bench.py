@@ -408,6 +408,8 @@ HEADLINE = [
     "orders_revenue_drawdown",
     "text_char_entropy_profile",
     "text_bigram_logloss",
+    "similarity_sq8_recall",
+    "dedup_semdedup_incremental",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

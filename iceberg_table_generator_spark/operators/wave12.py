@@ -1307,3 +1307,264 @@ def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 (int8 scalar quantization) ADC search + recall vs exact
+# --------------------------------------------------------------------------
+def _sq8_recall_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _VEC_DIM,
+    )
+
+    dim = _VEC_DIM
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> c.qv[i] * q.vec[i]))"
+    )
+    xdot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> q.vec[i] * c.vec[i]))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+c AS (
+  SELECT vec_id, vec, norm,
+         greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM n),
+cq AS (
+  SELECT vec_id, vec, norm, scale,
+         list_transform(vec, x -> round(x / scale)) AS qv
+  FROM c),
+apx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (c.scale * {dot}) / (q.norm * c.norm) AS sim
+  FROM n q JOIN cq c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+apk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM apx) WHERE rn <= {TOP_K}),
+ext AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {xdot} / (q.norm * c.norm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+epk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM ext) WHERE rn <= {TOP_K}),
+hits AS (
+  SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM epk e LEFT JOIN apk a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, CAST({TOP_K} AS INT) AS k, n_hits,
+       CAST((n_hits * 1000000) // {TOP_K} AS BIGINT) AS recall_ppm
+FROM hits
+"""
+
+
+@query("similarity_sq8_recall", oracle=_sq8_recall_oracle())
+def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 asymmetric-distance (ADC) search + recall@k vs exact: score
+    every query (raw doubles) against the int8-quantized corpus —
+    sim ≈ (scale·Σq̂ᵢxᵢ)/(‖x‖‖c‖) — and report per-query overlap with
+    the exact cosine top-k.  Completes the quantized-search family:
+    IVF (`similarity_ivf_topk` + nprobe recall) prunes CANDIDATES, PQ
+    (`similarity_pq_topk` + distortion) and SQ8 (this + the int8
+    distortion audit) compress the SCORING; SQ8 is the 4×-smaller
+    index tier every production ANN stack offers.
+
+    Engine determinism: the quantizer is `similarity_quantize_int8`'s
+    exact formula (round(x/scale), IEEE ops bit-identical on both
+    engines), the ADC fold is one shared in-row op tree, and ties break
+    on neighbor_id — so approx AND exact rankings are bit-reproducible,
+    making recall an exact integer.
+
+    Scale: the query set broadcasts (N_QUERIES rows); the candidate
+    stream quantizes in-row and never shuffles; both rank windows are
+    (n_queries × k)-bounded."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        similarity_cosine_topk,
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = with_norm(emb)
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("vec", lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / 127.0
+    )
+    cq = cand.withColumn("scale", scale).withColumn(
+        "qv", F.transform("vec", lambda x: F.round(x / F.col("scale")))
+    )
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    apx = (
+        cq.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                (F.col("scale") * _dot("qv", "qvec"))
+                / (F.col("qnorm") * F.col("norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    apk = (
+        apx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    epk = similarity_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        epk.alias("e")
+        .join(
+            apk.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(TOP_K).cast("int").alias("k"),
+        "n_hits",
+        F.expr(f"CAST((n_hits * 1000000) div {TOP_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental SemDeDup (new batch vs stored exemplars)
+# --------------------------------------------------------------------------
+def _semdedup_incremental_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import _VEC_DIM
+    from iceberg_table_generator_spark.operators.wave11 import (
+        SEMDEDUP_TAU,
+        _sql_semdedup_ctes,
+    )
+
+    dim = _VEC_DIM
+    duv = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> u.vec[i] * v.vec[i]))"
+    )
+    return f"""{_sql_semdedup_ctes()},
+old AS (SELECT * FROM m WHERE vec_id % 10 <> 0),
+dold AS (
+  SELECT DISTINCT v.cid, v.vec_id
+  FROM old u JOIN old v ON u.cid = v.cid
+   AND (u.ccos < v.ccos OR (u.ccos = v.ccos AND u.vec_id < v.vec_id))
+  WHERE {duv} / (u.nrm * v.nrm) >= {SEMDEDUP_TAU}),
+kept AS (
+  SELECT o.* FROM old o
+  LEFT JOIN dold d ON d.cid = o.cid AND d.vec_id = o.vec_id
+  WHERE d.vec_id IS NULL),
+newv AS (SELECT * FROM m WHERE vec_id % 10 = 0),
+hits AS (
+  SELECT v.vec_id, u.vec_id AS u_id
+  FROM kept u JOIN newv v ON u.cid = v.cid
+  WHERE {duv} / (u.nrm * v.nrm) >= {SEMDEDUP_TAU}),
+ag AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(min(u_id) AS BIGINT) AS shadow_exemplar
+  FROM hits GROUP BY vec_id)
+SELECT n.vec_id, n.cid,
+       CASE WHEN a.n_hits IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       a.shadow_exemplar
+FROM newv n LEFT JOIN ag a USING (vec_id)
+"""
+
+
+@query("dedup_semdedup_incremental", oracle=_semdedup_incremental_oracle())
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup — the production shape SemDeDup runs in
+    after day one: the STORED exemplar index is the kept set of a
+    SemDeDup pass over the existing corpus (vec_id % 10 ≠ 0 here); each
+    NEWLY INGESTED vector (vec_id % 10 = 0, the bench-fraction split) is
+    dropped iff a same-cluster stored exemplar sits within cosine τ —
+    new data never reshuffles the index, exactly like
+    `dedup_incremental_verdict` for the exact tier.
+
+    Oracle-paired end-to-end on the shared engine-exact k-means member
+    relation; DuckDB replays the old-corpus prefix-dominance pass, the
+    kept-set anti-join, and the new-vs-kept probe with the identical
+    cosine chains.
+
+    Scale: both pair joins are cid-co-partitioned (never broadcast of
+    corpus data), the new batch is a small fraction of the corpus, and
+    the stored side is the POST-dedup exemplar set — the cheapest
+    relation the pipeline owns."""
+    from iceberg_table_generator_spark.operators.similarity import _dot
+    from iceberg_table_generator_spark.operators.wave11 import (
+        SEMDEDUP_TAU,
+        _semdedup_dropped,
+        _semdedup_relation,
+    )
+
+    m = _semdedup_relation(spark, sf_dir)
+    old = m.filter(F.col("vec_id") % 10 != 0)
+    new = m.filter(F.col("vec_id") % 10 == 0)
+    dropped_old = _semdedup_dropped(old)
+    kept = old.join(dropped_old, ["cid", "vec_id"], "left_anti")
+    u = kept.select(
+        "cid",
+        F.col("vec_id").alias("u_id"),
+        F.col("vec").alias("u_vec"),
+        F.col("nrm").alias("u_nrm"),
+    )
+    v = new.select("cid", "vec_id", "vec", "nrm")
+    hits = (
+        u.join(v, "cid")
+        .filter(
+            _dot("u_vec", "vec") / (F.col("u_nrm") * F.col("nrm"))
+            >= SEMDEDUP_TAU
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("u_id").cast("long").alias("shadow_exemplar"),
+        )
+    )
+    return new.select("vec_id", "cid").join(hits, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.when(F.col("n_hits").isNotNull(), "drop")
+        .otherwise("keep")
+        .alias("verdict"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        "shadow_exemplar",
+    )

@@ -330,3 +330,74 @@ def test_bigram_beats_unigram_on_structure(spark, sf_small):
     assert sum(bi.values()) / len(bi) < sum(uni.values()) / len(uni) * 1.2
     for v in bi.values():
         assert v > 0
+
+
+# --------------------------------------------------------------------------
+# Batch 4: SQ8 recall / incremental SemDeDup
+# --------------------------------------------------------------------------
+def test_sq8_recall_bounds_and_quality(spark, sf_small):
+    from iceberg_table_generator_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = wave12.similarity_sq8_recall(spark, sf_small).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r.k == TOP_K
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.recall_ppm == (r.n_hits * 1_000_000) // TOP_K
+    # int8 on 64-dim vectors loses very little: mean recall@5 must be high
+    mean_recall = sum(r.n_hits for r in rows) / (len(rows) * TOP_K)
+    assert mean_recall >= 0.8, mean_recall
+
+
+def test_semdedup_incremental_consistency(spark, sf_small):
+    """Every 'drop' verdict must cite a kept old exemplar in the same
+    cluster above tau; every 'keep' must have none (recomputed in
+    python over the collected member relation)."""
+    from iceberg_table_generator_spark.operators.wave11 import (
+        SEMDEDUP_TAU,
+        _semdedup_dropped,
+        _semdedup_relation,
+    )
+
+    got = {
+        r.vec_id: r
+        for r in wave12.dedup_semdedup_incremental(spark, sf_small).collect()
+    }
+    m = _semdedup_relation(spark, sf_small)
+    old = m.filter(F.col("vec_id") % 10 != 0)
+    dropped_old = {
+        (r.cid, r.vec_id) for r in _semdedup_dropped(old).collect()
+    }
+    members = m.collect()
+    kept = [
+        r
+        for r in members
+        if r.vec_id % 10 != 0 and (r.cid, r.vec_id) not in dropped_old
+    ]
+    new = [r for r in members if r.vec_id % 10 == 0]
+    assert set(got) == {r.vec_id for r in new}
+
+    def cos(u, v):
+        return sum(a * b for a, b in zip(u.vec, v.vec)) / (u.nrm * v.nrm)
+
+    n_drops = 0
+    for v in new:
+        shadows = [
+            u.vec_id
+            for u in kept
+            if u.cid == v.cid and cos(u, v) >= SEMDEDUP_TAU
+        ]
+        r = got[v.vec_id]
+        if shadows:
+            n_drops += 1
+            assert r.verdict == "drop"
+            assert r.n_hits == len(shadows)
+            assert r.shadow_exemplar == min(shadows)
+        else:
+            assert r.verdict == "keep"
+            assert r.n_hits == 0 and r.shadow_exemplar is None
+    # the fixture's planted near-dups must produce at least one drop
+    assert n_drops >= 1
