@@ -410,6 +410,7 @@ HEADLINE = [
     "text_bigram_logloss",
     "similarity_sq8_recall",
     "dedup_semdedup_incremental",
+    "events_markov_attribution",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

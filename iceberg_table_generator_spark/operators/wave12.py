@@ -1568,3 +1568,207 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         "shadow_exemplar",
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (channel value via absorbing walks)
+# --------------------------------------------------------------------------
+ATTR_SCALE = 1_000_000_000_000  # micro-units of probability (1e12)
+ATTR_ITERS = 8
+ATTR_TARGET = 0  # conversion page (the absorption query's landing page)
+ATTR_CHANNELS = 8  # top pages by out-weight get a removal run
+
+
+def _attribution_oracle() -> str:
+    ctes = [
+        "ev AS (SELECT user_id, ts, event_id,"
+        " CAST(props->>'$.k' AS INT) AS k FROM events)",
+        "seq AS (SELECT k AS src, lead(k) OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ev)",
+        "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)",
+        "outw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outw"
+        " FROM edges GROUP BY src)",
+        "er AS (SELECT e.src, e.dst, e.cnt, o.outw"
+        " FROM edges e JOIN outw o USING (src))",
+        "nodes AS (SELECT DISTINCT k AS node FROM ev)",
+        "st AS (SELECT k AS node, CAST(count(*) AS BIGINT) AS sc FROM ("
+        " SELECT user_id, k, row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS rn FROM ev) WHERE rn = 1 GROUP BY k)",
+        f"rems AS (SELECT rem FROM (SELECT CAST(src AS INT) AS rem"
+        f" FROM outw WHERE src <> {ATTR_TARGET}"
+        f" ORDER BY outw DESC, src LIMIT {ATTR_CHANNELS})"
+        f" UNION ALL SELECT -1)",
+        "erx AS (SELECT r.rem, e.src, e.dst, e.cnt, e.outw"
+        " FROM er e CROSS JOIN rems r)",
+        "grid AS (SELECT r.rem, n.node FROM nodes n CROSS JOIN rems r)",
+        f"g0 AS (SELECT rem, node, CAST(CASE WHEN node = {ATTR_TARGET}"
+        f" THEN {ATTR_SCALE} ELSE 0 END AS BIGINT) AS h FROM grid)",
+    ]
+    for i in range(1, ATTR_ITERS + 1):
+        ctes.append(
+            f"g{i} AS (SELECT gr.rem, gr.node,"
+            f" CAST(CASE WHEN gr.node = {ATTR_TARGET} THEN {ATTR_SCALE}"
+            f" WHEN gr.node = gr.rem THEN 0"
+            f" ELSE COALESCE(CAST(sum(CAST(p.cnt AS HUGEINT) * p.h)"
+            f" // any_value(p.outw) AS BIGINT), 0) END AS BIGINT) AS h"
+            f" FROM grid gr LEFT JOIN"
+            f" (SELECT ex.rem, ex.src, ex.cnt, ex.outw, hp.h"
+            f"  FROM erx ex JOIN g{i - 1} hp"
+            f"  ON ex.dst = hp.node AND ex.rem = hp.rem) p"
+            f" ON p.src = gr.node AND p.rem = gr.rem"
+            f" GROUP BY gr.rem, gr.node)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+conv AS (
+  SELECT g.rem, CAST(sum(CAST(s.sc AS HUGEINT) * g.h) AS HUGEINT) AS cv
+  FROM g{ATTR_ITERS} g JOIN st s ON s.node = g.node GROUP BY g.rem),
+tots AS (SELECT CAST(sum(sc) AS BIGINT) AS t FROM st),
+base AS (SELECT cv AS bcv FROM conv WHERE rem = -1)
+SELECT c.rem AS channel, o.outw AS out_visits,
+       CAST(c.cv // t.t AS BIGINT) AS conv_micro,
+       CAST(b.bcv // t.t AS BIGINT) AS base_micro,
+       CAST(CASE WHEN b.bcv > 0
+                 THEN ((b.bcv - c.cv) * 1000000) // b.bcv
+                 ELSE 0 END AS BIGINT) AS removal_effect_ppm
+FROM conv c CROSS JOIN base b CROSS JOIN tots t
+JOIN outw o ON o.src = c.rem
+WHERE c.rem <> -1
+"""
+
+
+@query("events_markov_attribution", oracle=_attribution_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: the value of each major page
+    (top-{ATTR_CHANNELS} by out-weight) = how much the start-weighted
+    probability of reaching the conversion page within {ATTR_ITERS}
+    clicks DROPS when walks through that page are killed — the
+    data-driven alternative to first/last-touch attribution
+    (`events_attribution_first_touch`), built by composing the
+    absorption-probability machinery (`events_absorption_probability`)
+    with a channel-removal grid.  Removal is absorbing-to-null: h(rem)
+    is pinned to 0 every iteration, so any walk entering the removed
+    page never converts.
+
+    Engine-exactness: identical to the absorption query — 128-bit
+    cnt·h products summed exactly, ONE truncating division per (rem,
+    node, iteration); conversion mass start-weights the final h with
+    exact integer session-start counts; DuckDB replays the unrolled
+    (rem × node) CTE chain bit-identically.  Removal effects are
+    non-negative by monotone induction (killing walks can't create
+    conversions).
+
+    Scale: the per-iteration join is O(|E|·(channels+1)) over the
+    persisted model-bounded edge×removal relation; the channel grid is
+    limit-bounded (TakeOrdered); start counts are |V| rows."""
+    D38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    edges = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
+    outw = persist_tracked(outw)
+    er = edges.join(outw, "src")
+    nodes = (
+        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
+    )
+    starts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("k").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sc"))
+    )
+    rems = (
+        outw.filter(F.col("src") != ATTR_TARGET)
+        .orderBy(F.desc("outw"), F.asc("src"))
+        .limit(ATTR_CHANNELS)
+        .select(F.col("src").cast("int").alias("rem"))
+        .union(spark.createDataFrame([(-1,)], "rem int"))
+    )
+    rems = persist_tracked(rems)
+    erx = er.crossJoin(F.broadcast(rems)).transform(persist_tracked)
+    grid = nodes.crossJoin(F.broadcast(rems)).transform(persist_tracked)
+    h = grid.select(
+        "rem",
+        "node",
+        F.when(F.col("node") == ATTR_TARGET, F.lit(ATTR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("h"),
+    )
+    for _ in range(ATTR_ITERS):
+        inc = (
+            erx.join(
+                h.select(
+                    F.col("rem").alias("h_rem"),
+                    F.col("node").alias("h_node"),
+                    "h",
+                ),
+                (F.col("dst") == F.col("h_node"))
+                & (F.col("rem") == F.col("h_rem")),
+            )
+            .select(
+                "rem",
+                "src",
+                (F.col("cnt").cast(D38) * F.col("h")).alias("p"),
+                "outw",
+            )
+            .groupBy("rem", "src")
+            .agg(
+                F.expr("CAST(sum(p) div any_value(outw) AS BIGINT)").alias(
+                    "nh"
+                )
+            )
+        )
+        h = grid.join(
+            inc.select(
+                F.col("rem").alias("i_rem"),
+                F.col("src").alias("i_node"),
+                "nh",
+            ),
+            (grid.node == F.col("i_node")) & (grid.rem == F.col("i_rem")),
+            "left",
+        ).select(
+            "rem",
+            "node",
+            F.when(F.col("node") == ATTR_TARGET, F.lit(ATTR_SCALE))
+            .when(F.col("node") == F.col("rem"), F.lit(0))
+            .otherwise(F.coalesce("nh", F.lit(0)))
+            .cast("long")
+            .alias("h"),
+        )
+    conv = (
+        h.join(starts, "node")
+        .groupBy("rem")
+        .agg(
+            F.sum(F.col("sc").cast(D38) * F.col("h")).cast(D38).alias("cv")
+        )
+    )
+    conv = persist_tracked(conv)
+    tots = starts.agg(F.sum("sc").cast("long").alias("t"))
+    base = conv.filter(F.col("rem") == -1).select(F.col("cv").alias("bcv"))
+    return (
+        conv.filter(F.col("rem") != -1)
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(tots))
+        .join(outw.withColumnRenamed("src", "rem"), "rem")
+        .selectExpr(
+            "rem AS channel",
+            "outw AS out_visits",
+            "CAST(cv div t AS BIGINT) AS conv_micro",
+            "CAST(bcv div t AS BIGINT) AS base_micro",
+            "CAST(CASE WHEN bcv > 0 THEN ((bcv - cv) * 1000000) div bcv "
+            "ELSE 0 END AS BIGINT) AS removal_effect_ppm",
+        )
+    )

@@ -401,3 +401,23 @@ def test_semdedup_incremental_consistency(spark, sf_small):
             assert r.n_hits == 0 and r.shadow_exemplar is None
     # the fixture's planted near-dups must produce at least one drop
     assert n_drops >= 1
+
+
+# --------------------------------------------------------------------------
+# Batch 5: Markov removal-effect attribution
+# --------------------------------------------------------------------------
+def test_markov_attribution_monotone(spark, sf_small):
+    """Killing a channel can never create conversions: conv_micro <=
+    base_micro and removal_effect_ppm in [0, 1e6]; every row shares one
+    baseline; channels are distinct non-target pages."""
+    rows = wave12.events_markov_attribution(spark, sf_small).collect()
+    assert len(rows) == wave12.ATTR_CHANNELS
+    bases = {r.base_micro for r in rows}
+    assert len(bases) == 1
+    channels = [r.channel for r in rows]
+    assert len(set(channels)) == len(channels)
+    assert wave12.ATTR_TARGET not in channels
+    for r in rows:
+        assert 0 <= r.conv_micro <= r.base_micro
+        assert 0 <= r.removal_effect_ppm <= 1_000_000
+        assert r.out_visits > 0
