@@ -1660,10 +1660,16 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-negative by monotone induction (killing walks can't create
     conversions).
 
-    Scale: the per-iteration join is O(|E|·(channels+1)) over the
-    persisted model-bounded edge×removal relation; the channel grid is
-    limit-bounded (TakeOrdered); start counts are |V| rows."""
-    D38 = "decimal(38,0)"
+    Scale: the transition graph is MODEL-BOUNDED (|V|² distinct edges),
+    so per repo policy (the PageRank/harmonic/eccentricity precedent)
+    the (channels+1) × {ATTR_ITERS}-iteration fixed point runs
+    DRIVER-side over one collect() of the edge/start relations — the
+    distributed-iteration version measured 10.5 s of pure Spark
+    job-scheduling constant at sf0.1 for identical results.  The
+    corpus-sized work (events scan → windowed transitions → edge/start
+    aggregates) stays distributed; Python's arbitrary-precision ints
+    subsume the 128-bit products, and `//` on non-negative operands
+    matches both engines' truncating division."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -1675,13 +1681,7 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         seq.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    outw = persist_tracked(outw)
-    er = edges.join(outw, "src")
-    nodes = (
-        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     starts = (
         ev.withColumn("rn", F.row_number().over(w))
@@ -1689,86 +1689,62 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("sc"))
     )
-    rems = (
-        outw.filter(F.col("src") != ATTR_TARGET)
-        .orderBy(F.desc("outw"), F.asc("src"))
-        .limit(ATTR_CHANNELS)
-        .select(F.col("src").cast("int").alias("rem"))
-        .union(spark.createDataFrame([(-1,)], "rem int"))
+    edge_rows = edges.collect()  # |V|²-bounded (model, not corpus)
+    start_rows = starts.collect()  # |V|-bounded
+    nodes = sorted(
+        {r["src"] for r in edge_rows}
+        | {r["dst"] for r in edge_rows}
+        | {r["node"] for r in start_rows}
     )
-    rems = persist_tracked(rems)
-    erx = er.crossJoin(F.broadcast(rems)).transform(persist_tracked)
-    grid = nodes.crossJoin(F.broadcast(rems)).transform(persist_tracked)
-    h = grid.select(
-        "rem",
-        "node",
-        F.when(F.col("node") == ATTR_TARGET, F.lit(ATTR_SCALE))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("h"),
-    )
-    for _ in range(ATTR_ITERS):
-        inc = (
-            erx.join(
-                h.select(
-                    F.col("rem").alias("h_rem"),
-                    F.col("node").alias("h_node"),
-                    "h",
-                ),
-                (F.col("dst") == F.col("h_node"))
-                & (F.col("rem") == F.col("h_rem")),
-            )
-            .select(
-                "rem",
-                "src",
-                (F.col("cnt").cast(D38) * F.col("h")).alias("p"),
-                "outw",
-            )
-            .groupBy("rem", "src")
-            .agg(
-                F.expr("CAST(sum(p) div any_value(outw) AS BIGINT)").alias(
-                    "nh"
-                )
-            )
+    outw: dict[int, int] = {}
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in edge_rows:
+        outw[r["src"]] = outw.get(r["src"], 0) + r["cnt"]
+        adj.setdefault(r["src"], []).append((r["dst"], r["cnt"]))
+    sc = {r["node"]: r["sc"] for r in start_rows}
+    total_starts = sum(sc.values())
+    rems = [
+        s
+        for s, _ in sorted(
+            ((s, o) for s, o in outw.items() if s != ATTR_TARGET),
+            key=lambda t: (-t[1], t[0]),
+        )[:ATTR_CHANNELS]
+    ] + [-1]
+
+    def fixed_point(rem: int) -> dict[int, int]:
+        h = {n: (ATTR_SCALE if n == ATTR_TARGET else 0) for n in nodes}
+        for _ in range(ATTR_ITERS):
+            nh = {}
+            for n in nodes:
+                if n == ATTR_TARGET:
+                    nh[n] = ATTR_SCALE
+                elif n == rem:
+                    nh[n] = 0
+                elif n in adj:
+                    nh[n] = sum(c * h[d] for d, c in adj[n]) // outw[n]
+                else:
+                    nh[n] = 0
+            h = nh
+        return h
+
+    conv = {}
+    for rem in rems:
+        h = fixed_point(rem)
+        conv[rem] = sum(s * h[n] for n, s in sc.items())
+    bcv = conv[-1]
+    rows = [
+        (
+            rem,
+            outw[rem],
+            conv[rem] // total_starts,
+            bcv // total_starts,
+            ((bcv - conv[rem]) * 1_000_000) // bcv if bcv > 0 else 0,
         )
-        h = grid.join(
-            inc.select(
-                F.col("rem").alias("i_rem"),
-                F.col("src").alias("i_node"),
-                "nh",
-            ),
-            (grid.node == F.col("i_node")) & (grid.rem == F.col("i_rem")),
-            "left",
-        ).select(
-            "rem",
-            "node",
-            F.when(F.col("node") == ATTR_TARGET, F.lit(ATTR_SCALE))
-            .when(F.col("node") == F.col("rem"), F.lit(0))
-            .otherwise(F.coalesce("nh", F.lit(0)))
-            .cast("long")
-            .alias("h"),
-        )
-    conv = (
-        h.join(starts, "node")
-        .groupBy("rem")
-        .agg(
-            F.sum(F.col("sc").cast(D38) * F.col("h")).cast(D38).alias("cv")
-        )
-    )
-    conv = persist_tracked(conv)
-    tots = starts.agg(F.sum("sc").cast("long").alias("t"))
-    base = conv.filter(F.col("rem") == -1).select(F.col("cv").alias("bcv"))
-    return (
-        conv.filter(F.col("rem") != -1)
-        .crossJoin(F.broadcast(base))
-        .crossJoin(F.broadcast(tots))
-        .join(outw.withColumnRenamed("src", "rem"), "rem")
-        .selectExpr(
-            "rem AS channel",
-            "outw AS out_visits",
-            "CAST(cv div t AS BIGINT) AS conv_micro",
-            "CAST(bcv div t AS BIGINT) AS base_micro",
-            "CAST(CASE WHEN bcv > 0 THEN ((bcv - cv) * 1000000) div bcv "
-            "ELSE 0 END AS BIGINT) AS removal_effect_ppm",
-        )
+        for rem in rems
+        if rem != -1
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel int, out_visits bigint, conv_micro bigint, "
+        "base_micro bigint, removal_effect_ppm bigint",
     )
