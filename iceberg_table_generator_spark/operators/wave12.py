@@ -266,7 +266,8 @@ def text_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.expr(
-                "CAST(sum(ll_pt_micro) div count(1) AS BIGINT)"
+                "CAST(sum(CAST(ll_pt_micro AS DECIMAL(38,0))) div count(1) "
+                "AS BIGINT)"
             ).alias("avg_logloss_micro"),
             F.min("ll_pt_micro").cast("long").alias("min_logloss_micro"),
             F.max("ll_pt_micro").cast("long").alias("max_logloss_micro"),
@@ -295,7 +296,8 @@ a AS (
   FROM t CROSS JOIN g GROUP BY ctx_len)
 SELECT CAST(ctx_len AS INT) AS ctx_len, n_docs, docs_truncated,
        tokens_total, tokens_lost,
-       CAST((tokens_lost * 1000000) // tokens_total AS BIGINT) AS loss_ppm
+       CAST((CAST(tokens_lost AS HUGEINT) * 1000000) // tokens_total
+            AS BIGINT) AS loss_ppm
 FROM a
 """
 
@@ -341,7 +343,8 @@ def pipeline_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_total",
         "tokens_lost",
         F.expr(
-            "CAST((tokens_lost * 1000000) div tokens_total AS BIGINT)"
+            "CAST((CAST(tokens_lost AS DECIMAL(38,0)) * 1000000) "
+            "div tokens_total AS BIGINT)"
         ).alias("loss_ppm"),
     ).orderBy("ctx_len")
 
@@ -613,17 +616,23 @@ def text_readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr("CAST(sum(fm) div count(1) AS BIGINT)").alias(
-                "avg_flesch_micro"
-            ),
+            # per-source sums accumulate in DECIMAL(38,0) for 100 TB
+            # headroom (matches DuckDB's HUGEINT sum); div truncates
+            # identically on both engines.
+            F.expr(
+                "CAST(sum(CAST(fm AS DECIMAL(38,0))) div count(1) "
+                "AS BIGINT)"
+            ).alias("avg_flesch_micro"),
             F.min("fm").cast("long").alias("min_flesch_micro"),
             F.max("fm").cast("long").alias("max_flesch_micro"),
-            F.expr("CAST((1000 * sum(w)) div sum(s) AS BIGINT)").alias(
-                "words_per_sentence_milli"
-            ),
-            F.expr("CAST((1000 * sum(y)) div sum(w) AS BIGINT)").alias(
-                "syllables_per_word_milli"
-            ),
+            F.expr(
+                "CAST((1000 * sum(CAST(w AS DECIMAL(38,0)))) div sum(s) "
+                "AS BIGINT)"
+            ).alias("words_per_sentence_milli"),
+            F.expr(
+                "CAST((1000 * sum(CAST(y AS DECIMAL(38,0)))) div sum(w) "
+                "AS BIGINT)"
+            ).alias("syllables_per_word_milli"),
         )
         .orderBy("source")
     )
@@ -1113,7 +1122,8 @@ terms AS (
   FROM cells JOIN per USING (source))
 SELECT t.source, p.n AS n_chars,
        CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       CAST((0 - sum(t.c * t.lnp_micro)) // p.n AS BIGINT) AS entropy_micro
+       CAST((0 - sum(CAST(t.c AS HUGEINT) * t.lnp_micro)) // p.n
+            AS BIGINT) AS entropy_micro
 FROM terms t JOIN per p ON p.source = t.source
 GROUP BY t.source, p.n
 """
@@ -1163,8 +1173,12 @@ def text_char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable into |alphabet|-bounded cells per source);
     everything downstream lives on the bounded cell domain."""
     terms, per = char_lnp_terms(spark, sf_dir)
+    # c·lnp accumulates in DECIMAL(38,0): at 100 TB a source's count of a
+    # common character (~1e15) times a micro log-prob (~1e7) exceeds int64.
     agg = terms.groupBy("source").agg(
-        F.sum(F.col("c") * F.col("lnp_micro")).cast("long").alias("c_lnp"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("lnp_micro"))
+        .cast("decimal(38,0)")
+        .alias("c_lnp"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
     )
     return (
@@ -1300,7 +1314,8 @@ def text_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_bigrams").cast("long").alias("n_bigrams"),
             F.expr(
-                "CAST(sum(ll_pt_micro) div count(1) AS BIGINT)"
+                "CAST(sum(CAST(ll_pt_micro AS DECIMAL(38,0))) div count(1) "
+                "AS BIGINT)"
             ).alias("avg_logloss_micro"),
             F.min("ll_pt_micro").cast("long").alias("min_logloss_micro"),
             F.max("ll_pt_micro").cast("long").alias("max_logloss_micro"),
