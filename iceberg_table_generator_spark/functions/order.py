@@ -435,6 +435,11 @@ def with_global_order(
                 "order": [[n, a] for n, a in order],
                 "n_bounds": len(bounds),
                 "n_composite": sum(1 for b in bounds if isinstance(b, tuple)),
+                # `counts` lists only NON-EMPTY buckets (the totals groupBy
+                # can't see empties); `n_buckets` is the true bucket count
+                # the boundary list defines — report both so skew reads as
+                # "k of n populated", not "k buckets".
+                "n_buckets": len(bounds) + 1,
                 "counts": counts,
                 "max_share": round(max(counts) / total, 4) if total else 0.0,
             }

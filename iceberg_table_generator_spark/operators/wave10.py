@@ -1405,29 +1405,29 @@ FROM nodes n LEFT JOIN h ON h.node = n.node
 """
 
 
-@query("events_harmonic_centrality", oracle=_HARMONIC_ORACLE)
-def events_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated harmonic centrality of every page in the undirected
-    transition graph: Σ 1/d(u,v) over nodes reachable within
-    {HC_MAX_HOPS} hops — the centrality that stays well-defined on
-    disconnected graphs (unreachable contributes 0, no infinite
-    distances), completing the graph pack's centrality trio
-    (degree/PageRank/Katz measure flow; harmonic measures PROXIMITY).
-
-    Exactness: distances are integers and every 1/d clears through the
-    lcm(1..{HC_MAX_HOPS}) = {HC_LCM} numerator — harmonic_{HC_LCM} is an
-    exact integer on both engines; the readable value is one division,
-    rounded once.  Scale: the transition graph is MODEL-BOUNDED (|V|²
-    distinct edges, visit-count-independent — the PageRank/BFS premise),
-    so per repo policy the all-pairs BFS runs driver-side over one
-    collect() of the edge set; the corpus-sized work (events scan →
-    distinct edges) stays distributed."""
-    ev = load_table(spark, sf_dir, "events").select(
+def nav_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, ts, event_id, k): the navigation-event frame every
+    transition-graph operator starts from — shared by harmonic
+    centrality (here), eccentricity and Markov attribution (wave12)."""
+    return load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+def undirected_transition_adjacency(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], dict[int, set[int]]]:
+    """(sorted nodes, adjacency sets) of the UNDIRECTED page-transition
+    graph — the shared all-pairs-BFS substrate of harmonic centrality
+    and eccentricity/diameter/radius (wave12).  The corpus-sized work
+    (events scan → per-user windowed transitions → distinct edges) runs
+    distributed; only the |V|²-bounded edge set and the |V|-bounded node
+    domain collect to the driver (repo policy for model-bounded graph
+    iteration)."""
+    ev = nav_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
     und = (
@@ -1444,18 +1444,49 @@ def events_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in edge_rows:
         adj[r["u"]].add(r["v"])
         adj[r["v"]].add(r["u"])
+    return nodes, adj
+
+
+def truncated_bfs_hops(
+    adj: dict[int, set[int]], start: int, max_hops: int
+) -> dict[int, int]:
+    """Hop distances from ``start`` to every node reachable within
+    ``max_hops`` over ``adj`` (start itself maps to 0) — the per-source
+    BFS both harmonic centrality and eccentricity fold over."""
+    hop = {start: 0}
+    frontier = [start]
+    for h in range(1, max_hops + 1):
+        frontier = sorted(
+            {m for f in frontier for m in adj[f] if m not in hop}
+        )
+        for m in frontier:
+            hop[m] = h
+        if not frontier:
+            break
+    return hop
+
+
+@query("events_harmonic_centrality", oracle=_HARMONIC_ORACLE)
+def events_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of every page in the undirected
+    transition graph: Σ 1/d(u,v) over nodes reachable within
+    {HC_MAX_HOPS} hops — the centrality that stays well-defined on
+    disconnected graphs (unreachable contributes 0, no infinite
+    distances), completing the graph pack's centrality trio
+    (degree/PageRank/Katz measure flow; harmonic measures PROXIMITY).
+
+    Exactness: distances are integers and every 1/d clears through the
+    lcm(1..{HC_MAX_HOPS}) = {HC_LCM} numerator — harmonic_{HC_LCM} is an
+    exact integer on both engines; the readable value is one division,
+    rounded once.  Scale: the transition graph is MODEL-BOUNDED (|V|²
+    distinct edges, visit-count-independent — the PageRank/BFS premise),
+    so per repo policy the all-pairs BFS runs driver-side over one
+    collect() of the edge set (`undirected_transition_adjacency`); the
+    corpus-sized work (events scan → distinct edges) stays distributed."""
+    nodes, adj = undirected_transition_adjacency(spark, sf_dir)
     rows = []
     for s in nodes:
-        hop = {s: 0}
-        frontier = [s]
-        for h in range(1, HC_MAX_HOPS + 1):
-            frontier = sorted(
-                {m for f in frontier for m in adj[f] if m not in hop}
-            )
-            for m in frontier:
-                hop[m] = h
-            if not frontier:
-                break
+        hop = truncated_bfs_hops(adj, s, HC_MAX_HOPS)
         dists = [d for n, d in hop.items() if n != s]
         hsum = sum(HC_LCM // d for d in dists)
         rows.append((s, len(dists), hsum, round(hsum / HC_LCM, 6)))

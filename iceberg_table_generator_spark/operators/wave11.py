@@ -115,32 +115,16 @@ def _semdedup_dropped(m: DataFrame) -> DataFrame:
     broadcast of corpus data) and materializes only same-cluster pairs
     — O(Σ c_i²), the algorithm's defining cost; production SemDeDup
     scales k with the corpus (the paper runs k = 50k on LAION) so
-    cluster size — and with it pair count per key — stays bounded."""
-    from iceberg_table_generator_spark.operators.similarity import _dot
+    cluster size — and with it pair count per key — stays bounded.
 
-    u = m.select(
-        "cid",
-        F.col("vec_id").alias("u_id"),
-        F.col("vec").alias("u_vec"),
-        F.col("nrm").alias("u_nrm"),
-        F.col("ccos").alias("u_ccos"),
+    The prefix-dominance pair relation itself is `_semdedup_prior_pairs`
+    (shared with the τ-sweep and shadow map); this is just its τ cut."""
+    return (
+        _semdedup_prior_pairs(m)
+        .filter(F.col("sim") >= SEMDEDUP_TAU)
+        .select("cid", F.col("v_id").alias("vec_id"))
+        .distinct()
     )
-    v = m.select(
-        "cid",
-        F.col("vec_id").alias("v_id"),
-        F.col("vec").alias("v_vec"),
-        F.col("nrm").alias("v_nrm"),
-        F.col("ccos").alias("v_ccos"),
-    )
-    pairs = u.join(v, "cid").filter(
-        (F.col("u_ccos") < F.col("v_ccos"))
-        | ((F.col("u_ccos") == F.col("v_ccos")) & (F.col("u_id") < F.col("v_id")))
-    )
-    hits = pairs.filter(
-        _dot("u_vec", "v_vec") / (F.col("u_nrm") * F.col("v_nrm"))
-        >= SEMDEDUP_TAU
-    )
-    return hits.select("cid", F.col("v_id").alias("vec_id")).distinct()
 
 
 def _sql_semdedup_ctes() -> str:
@@ -323,10 +307,12 @@ _TAU_VALUES_SQL = ", ".join(f"({t})" for t in SEMDEDUP_TAU_GRID)
 
 
 def _semdedup_sweep_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import _VEC_DIM
+
     return f"""{_sql_semdedup_ctes()},
 vmax AS (
   SELECT v.vec_id,
-         max(list_sum(list_transform(generate_series(1, 64),
+         max(list_sum(list_transform(generate_series(1, {_VEC_DIM}),
                                      i -> u.vec[i] * v.vec[i]))
              / (u.nrm * v.nrm)) AS mx
   FROM m u JOIN m v ON u.cid = v.cid
@@ -404,15 +390,17 @@ def dedup_semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_shadow_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import _VEC_DIM
+
     return f"""{_sql_semdedup_ctes()},
 hits AS (
   SELECT v.cid, v.vec_id, u.vec_id AS shadow_id, u.ccos AS u_ccos,
-         list_sum(list_transform(generate_series(1, 64),
+         list_sum(list_transform(generate_series(1, {_VEC_DIM}),
                                  i -> u.vec[i] * v.vec[i]))
            / (u.nrm * v.nrm) AS sim
   FROM m u JOIN m v ON u.cid = v.cid
    AND (u.ccos < v.ccos OR (u.ccos = v.ccos AND u.vec_id < v.vec_id))
-  WHERE list_sum(list_transform(generate_series(1, 64),
+  WHERE list_sum(list_transform(generate_series(1, {_VEC_DIM}),
                                 i -> u.vec[i] * v.vec[i]))
         / (u.nrm * v.nrm) >= {SEMDEDUP_TAU}),
 ranked AS (

@@ -410,42 +410,18 @@ def events_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     0/1 flag — nothing to round.  Scale: the transition graph is
     MODEL-BOUNDED (|V|² distinct edges, visit-count-independent), so per
     repo policy the all-pairs BFS runs driver-side over one collect() of
-    the edge set; the corpus-sized work (events scan → distinct edges)
-    stays distributed."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    the edge set — via the SAME `undirected_transition_adjacency` /
+    `truncated_bfs_hops` substrate as harmonic centrality (wave10); the
+    corpus-sized work (events scan → distinct edges) stays distributed."""
+    from iceberg_table_generator_spark.operators.wave10 import (
+        truncated_bfs_hops,
+        undirected_transition_adjacency,
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-        )
-        .distinct()
-    )
-    edge_rows = und.collect()  # |V|²-bounded (model parameter, not corpus)
-    nodes = sorted(r["k"] for r in ev.select("k").distinct().collect())
-    adj: dict[int, set[int]] = {n: set() for n in nodes}
-    for r in edge_rows:
-        adj[r["u"]].add(r["v"])
-        adj[r["v"]].add(r["u"])
+
+    nodes, adj = undirected_transition_adjacency(spark, sf_dir)
     per_node = []
     for s in nodes:
-        hop = {s: 0}
-        frontier = [s]
-        for h in range(1, ECC_MAX_HOPS + 1):
-            frontier = sorted(
-                {m for f in frontier for m in adj[f] if m not in hop}
-            )
-            for m in frontier:
-                hop[m] = h
-            if not frontier:
-                break
+        hop = truncated_bfs_hops(adj, s, ECC_MAX_HOPS)
         dists = [dd for n, dd in hop.items() if n != s]
         per_node.append((s, len(dists), max(dists) if dists else 0))
     diameter = max((e for _, _, e in per_node), default=0)
@@ -1685,12 +1661,9 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates) stays distributed; Python's arbitrary-precision ints
     subsume the 128-bit products, and `//` on non-negative operands
     matches both engines' truncating division."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
+    from iceberg_table_generator_spark.operators.wave10 import nav_events
+
+    ev = nav_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
     edges = (

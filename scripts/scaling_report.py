@@ -43,6 +43,7 @@ BENCH_FRACTION = re.compile(r"pmod\(doc_id#\d+L?, \d+\) = 0")
 ID_RANGE = re.compile(r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+")
 SCAN = re.compile(r"FileScan parquet \[[^\]]*\].*?\[file:([^\],]+)")
 BUCKET_AGG = re.compile(r"Aggregate\(keys=\[_bkt#\d+")
+LIT_BKT = re.compile(r"\b0 AS _bkt#\d+")  # degenerate single-bucket plan
 MANIFEST = re.compile(r"Scan ExistingRDD\[__file#\d+")
 CLUSTER_PAIRS = re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]")
 CENTROID_ATTACH = re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]")
@@ -71,7 +72,7 @@ def classify(sub: str) -> list[str]:
     # `_bkt` bucket column (r10 deterministic literal-boundary buckets) —
     # <= one row per bucket, bounded by spark.sql.shuffle.partitions
     # (same rule as tests/test_broadcast_invariant.py).
-    if BUCKET_AGG.search(sub) and "CASE WHEN" in sub:
+    if BUCKET_AGG.search(sub) and ("CASE WHEN" in sub or LIT_BKT.search(sub)):
         cats.append("partition-offsets")
     tables = [
         m.group(1).rsplit("/", 1)[-1].removesuffix(".parquet")
@@ -173,9 +174,12 @@ def main() -> None:
         "query construction at sf0.1 (histograms read the ≤ n_buckets-row",
         "totals relation the plan computes anyway).  `bounds` counts",
         "boundary literals (`composite` of them carry a tiebreak);",
-        "`max share` is the worst bucket's row fraction over all calls.",
+        "`max share` is the worst bucket's row fraction over all calls;",
+        "`buckets (populated)` separates the boundary-defined bucket count",
+        "from how many actually received rows (the totals relation can't",
+        "see empties, so equal numbers mean no bucket starved).",
         "",
-        "| query | order calls | bounds (composite) | buckets | max share |",
+        "| query | order calls | bounds (composite) | buckets (populated) | max share |",
         "|---|---|---|---|---|",
     ]
     for name in two_phase:
@@ -186,10 +190,12 @@ def main() -> None:
         calls = len(sink)
         bounds = sum(h["n_bounds"] for h in sink)
         comp = sum(h["n_composite"] for h in sink)
-        buckets = max(len(h["counts"]) for h in sink)
+        buckets = max(h["n_buckets"] for h in sink)
+        populated = max(len(h["counts"]) for h in sink)
         share = max(h["max_share"] for h in sink)
         lines.append(
-            f"| {name} | {calls} | {bounds} ({comp}) | {buckets} | {share} |"
+            f"| {name} | {calls} | {bounds} ({comp}) | "
+            f"{buckets} ({populated}) | {share} |"
         )
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")

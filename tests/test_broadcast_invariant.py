@@ -76,6 +76,10 @@ HEAVY_HITTER = re.compile(r"Filter \(\w+#\d+L? > \d+\)")
 BENCH_FRACTION = re.compile(r"pmod\(doc_id#\d+L?, \d+\) = 0")
 ID_RANGE = re.compile(r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+")
 BUCKET_AGG = re.compile(r"Aggregate\(keys=\[_bkt#\d+")
+# Degenerate single-bucket projection: range_boundaries() returned [] (a
+# <=1-row or empty-sample relation), so _bucket_expr emits `0 AS _bkt` with
+# no CASE tree — still configuration-bounded (exactly one bucket).
+LIT_BKT = re.compile(r"\b0 AS _bkt#\d+")
 SCAN = re.compile(r"FileScan parquet \[[^\]]*\].*?\[file:([^\],]+)")
 
 FIXED_DIMS = {"region", "nation"}
@@ -120,7 +124,9 @@ def _bounded_reasons(subtree: str) -> list[str]:
         reasons.append("bench_fraction")
     if ID_RANGE.search(subtree):
         reasons.append("id_range")
-    if BUCKET_AGG.search(subtree) and "CASE WHEN" in subtree:
+    if BUCKET_AGG.search(subtree) and (
+        "CASE WHEN" in subtree or LIT_BKT.search(subtree)
+    ):
         # `_bkt` is functions/order.py's reserved bucket column — a
         # literal-boundary CASE expression with <= n_buckets+1 distinct
         # values, so an aggregate keyed on it is configuration-bounded.

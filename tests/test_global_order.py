@@ -221,10 +221,11 @@ def test_boundaries_are_bounded_sorted_and_deduped(spark):
             "id", "id % 977 AS v"
         ).persist()
         try:
-            bb = range_boundaries(big, [("v", True), ("id", True)], 32)
+            big_order = [("v", True), ("id", True)]
+            bb = range_boundaries(big, big_order, 32)
             assert 0 < len(bb) <= 31
             for a, b in zip(bb, bb[1:]):
-                assert _cmp_cut(order, _cut_point(a), _cut_point(b)) < 0
+                assert _cmp_cut(big_order, _cut_point(a), _cut_point(b)) < 0
         finally:
             big.unpersist()
         # empty relation ⇒ no boundaries ⇒ single bucket
@@ -267,14 +268,15 @@ def test_tie_heavy_leading_column_keeps_bucket_parallelism(spark):
             == 0
         )
     (h,) = sink
-    n_buckets = len(h["counts"])
     assert h["n_composite"] > 0, h  # ties detected -> composites emitted
-    assert n_buckets >= (h["n_bounds"] + 1) / 2, h
+    assert h["n_buckets"] == h["n_bounds"] + 1, h
+    # `counts` holds only POPULATED buckets (the totals groupBy can't see
+    # empties) — the verdict bar is that at least half the boundary-defined
+    # buckets received rows, i.e. the modal tie block really split.
+    populated = len(h["counts"])
+    assert populated >= h["n_buckets"] / 2, h
     # the modal block must NOT be one bucket: max share well below 50%+
     assert h["max_share"] < 0.30, h
-    # and the non-empty bucket count clears the verdict bar
-    non_empty = sum(1 for c in h["counts"] if c > 0)
-    assert non_empty >= (h["n_bounds"] + 1) / 2, h
 
 
 def test_nan_leading_values_sort_and_bucket_like_spark(spark):
