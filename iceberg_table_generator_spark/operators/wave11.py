@@ -51,30 +51,22 @@ SEMDEDUP_TAU = 0.35
 _MICRO = 1_000_000
 
 
-def _semdedup_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cid, vec_id, vec, nrm, ccos): every vector with its k-means
-    cluster, norm, and cosine-to-centroid — the shared pre-pair relation
-    of the SemDeDup family, persisted because the pair join reads it
-    twice (u and v sides) and the summary reads it again.
-
-    Clustering is the SHARED engine-exact integer k-means index
-    (`similarity.ivf_index`, same cache key as the IVF/PQ/purity
-    queries — a real pipeline builds the cluster model once and serves
-    search AND dedup from it).  Assignment is one narrow pass; the
-    centroid attach is a k-row literal broadcast."""
+def semdedup_members(emb: DataFrame, cents) -> DataFrame:
+    """Assign (vec_id, vec) rows to the given engine-exact k-means
+    centroids → (cid, vec_id, vec, nrm, ccos) — the SemDeDup member
+    relation for ANY input relation (the full-corpus queries pass the
+    testdata embeddings; the streaming sink passes one micro-batch).
+    Assignment is one narrow pass; the centroid attach is a k-row
+    literal broadcast."""
     from iceberg_table_generator_spark.operators.similarity import (
         _d2_structs_int,
         _dot,
         _qint,
         centroids_to_float,
-        ivf_index,
         with_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    )
-    cents = ivf_index(emb, cache_key=sf_dir)
+    spark = emb.sparkSession
     cents_df = spark.createDataFrame(
         [(cid, v) for cid, v in centroids_to_float(cents)],
         schema="cid INT, cent ARRAY<DOUBLE>",
@@ -88,7 +80,7 @@ def _semdedup_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ccos evaluates as  cdot / (nrm * cnrm)  — the oracle writes the
     # IDENTICAL operation tree, so the doubles agree bit-for-bit.
-    m = assigned.join(F.broadcast(cents_df), "cid").select(
+    return assigned.join(F.broadcast(cents_df), "cid").select(
         "cid",
         "vec_id",
         "vec",
@@ -98,7 +90,25 @@ def _semdedup_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nrm") * F.sqrt(_dot("cent", "cent")))
         ).alias("ccos"),
     )
-    return persist_tracked(m)
+
+
+def _semdedup_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, vec_id, vec, nrm, ccos): every vector with its k-means
+    cluster, norm, and cosine-to-centroid — the shared pre-pair relation
+    of the SemDeDup family, persisted because the pair join reads it
+    twice (u and v sides) and the summary reads it again.
+
+    Clustering is the SHARED engine-exact integer k-means index
+    (`similarity.ivf_index`, same cache key as the IVF/PQ/purity
+    queries — a real pipeline builds the cluster model once and serves
+    search AND dedup from it)."""
+    from iceberg_table_generator_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = ivf_index(emb, cache_key=sf_dir)
+    return persist_tracked(semdedup_members(emb, cents))
 
 
 def _semdedup_dropped(m: DataFrame) -> DataFrame:
@@ -125,6 +135,46 @@ def _semdedup_dropped(m: DataFrame) -> DataFrame:
         .select("cid", F.col("v_id").alias("vec_id"))
         .distinct()
     )
+
+
+def semdedup_batch_verdict(
+    batch_m: DataFrame, seen: DataFrame | None
+) -> DataFrame:
+    """(cid, vec_id, keep): the streaming SemDeDup decision for one
+    micro-batch member relation (`semdedup_members` output) against the
+    kept-exemplar store (columns cid, vec_id, vec, nrm; None on the
+    first batch).  Rules, in order:
+
+    1. HISTORY — drop v if ANY stored same-cluster exemplar sits within
+       cosine τ (the `dedup_semdedup_incremental` probe rule).
+    2. IN-BATCH prefix dominance — `_semdedup_dropped` over the batch
+       membership (the batch SemDeDup rule: a history-dropped or
+       in-batch-dropped u still shadows later v).
+
+    Lives here with the rest of the SemDeDup relational algebra (the
+    streaming sink in streaming/semdedup.py is just the store plumbing
+    around it), mirroring dedup.near_dedup_batch_verdict."""
+    from iceberg_table_generator_spark.operators.similarity import _dot
+
+    dropped = _semdedup_dropped(batch_m).select("vec_id")
+    if seen is not None:
+        u = seen.select(
+            "cid",
+            F.col("vec").alias("u_vec"),
+            F.col("nrm").alias("u_nrm"),
+        )
+        hist = (
+            u.join(batch_m, "cid")
+            .filter(
+                _dot("u_vec", "vec") / (F.col("u_nrm") * F.col("nrm"))
+                >= SEMDEDUP_TAU
+            )
+            .select("vec_id")
+        )
+        dropped = dropped.union(hist).distinct()
+    return batch_m.select("cid", "vec_id").join(
+        dropped.withColumn("_drop", F.lit(True)), "vec_id", "left"
+    ).select("cid", "vec_id", F.col("_drop").isNull().alias("keep"))
 
 
 def _sql_semdedup_ctes() -> str:

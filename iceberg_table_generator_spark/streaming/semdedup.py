@@ -1,0 +1,92 @@
+"""Streaming incremental SEMANTIC dedup (SemDeDup) via foreachBatch.
+
+The streaming exact tier (streaming/dedup.py) drops byte-identical
+re-arrivals and the LSH tier (streaming/neardup.py) drops lexical
+near-dups; an embedding-aware ingest stream also needs SAME-MEANING
+re-arrivals (paraphrases, translations-of-boilerplate) filtered against
+the kept-exemplar index.  This is the streaming tier of the batch
+operators `dedup_semdedup_*` / `dedup_semdedup_incremental`
+(operators/wave11.py): the SAME engine-exact k-means assignment
+(`semdedup_members`) and the SAME τ rule, with the kept exemplars of
+every batch accumulated in a store.
+
+Per micro-batch:
+
+  batch → cluster assignment (semdedup_members, broadcast centroids)
+        → drop vectors within cosine τ of ANY stored same-cluster
+          exemplar (the `dedup_semdedup_incremental` probe rule)
+        → in-batch prefix dominance (`_semdedup_dropped` — the batch
+          SemDeDup upper-triangle rule, so two duplicates arriving in
+          one batch keep exactly the centroid-farthest one)
+        → append survivors (cid, vec_id, vec, nrm) to the store
+
+Semantics, stated honestly: the store IS the output (an exemplar index
+— SemDeDup's product is the kept set), decisions are one-pass and not
+transitive across batches (a vector is only ever compared against
+exemplars that were KEPT before it arrived — exactly the day-2 contract
+of `dedup_semdedup_incremental`), and the cluster model is FIXED (fit
+once on the reference corpus; production refits offline and replays).
+
+Scale posture: the store holds one (cid, vec, nrm) row per kept
+exemplar — the post-dedup set, the cheapest relation the pipeline owns;
+the history probe is a cid-co-partitioned pair join (cluster-local,
+never all-pairs), identical to the batch operator's plan.  The same
+non-transactional parquet-append caveat as streaming/dedup.py applies;
+production uses an ACID sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+# The per-batch keep/drop rule lives with the other SemDeDup relational
+# algebra (and its DuckDB-oracle-paired siblings) in operators/wave11.py;
+# re-exported here because it is this sink's decision procedure.
+from iceberg_table_generator_spark.operators.wave11 import (  # noqa: F401
+    semdedup_batch_verdict,
+    semdedup_members,
+)
+
+
+def incremental_semantic_dedup(
+    vec_stream: DataFrame,
+    centroids,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Start the semantic-dedup stream; returns the StreamingQuery.
+
+    `vec_stream` carries (vec_id, embedding) rows; `centroids` is the
+    engine-exact integer k-means index (`similarity.ivf_index` output)
+    the batch SemDeDup family shares — fit once, passed in, broadcast
+    per batch.  The kept-exemplar store at `store_dir` is both history
+    and output."""
+    spark = vec_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        emb = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        # Materialize once: the verdict reads the member relation on
+        # both pair-join sides and the store append must agree with it.
+        m = semdedup_members(emb, centroids).localCheckpoint(eager=True)
+        seen = (
+            spark.read.parquet(store_dir)
+            if os.path.isdir(store_dir)
+            else None
+        )
+        verdict = semdedup_batch_verdict(m, seen)
+        keep_ids = verdict.filter("keep").select("vec_id")
+        kept = m.join(keep_ids, "vec_id").select("cid", "vec_id", "vec", "nrm")
+        kept.write.mode("append").parquet(store_dir)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
