@@ -411,11 +411,30 @@ HEADLINE = [
     "similarity_sq8_recall",
     "dedup_semdedup_incremental",
     "events_markov_attribution",
+    # round-12 additions
+    "dedup_semdedup_by_lang",
+    "dedup_semdedup_lang_cluster_matrix",
+    "dedup_semdedup_cross_lang_shadow",
+    "similarity_ann_ndcg_eval",
+    "text_bm25_ndcg_eval",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal
 # comparability across rounds; see BENCH_NOTES_r6.md).
 OLD_SET = 28
+
+# Session recycling (r11 verdict #1): 346 queries back-to-back in ONE JVM
+# session accumulate cache/GC/codegen-cache pressure that late-running
+# families absorb — by r11 that produced 8 false >1.5× in-bench movers in
+# untouched code and a 24→32 s old_set drift, each needing a manual
+# standalone re-pin.  Recycling the SparkSession every RECYCLE_EVERY
+# queries resets block-manager/codegen/GC state so in-bench numbers
+# converge to standalone pins.  The recycle happens BEFORE a query's cold
+# run and is followed by one untimed warmup, so the cold run still absorbs
+# per-query codegen and the 3 steady runs never straddle a session
+# boundary.  Module caches survive (they hold only scalar model state —
+# IVF centroids / PQ codebooks as Python ints, never DataFrames).
+RECYCLE_EVERY = 50
 
 
 def main() -> None:
@@ -424,12 +443,23 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # Warmup: JVM, codegen, parquet footer caches.
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def warmup() -> None:
+        # JVM, codegen, parquet footer caches.
+        queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_tracked()
+
+    warmup()
 
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i and i % RECYCLE_EVERY == 0:
+            release_tracked()
+            spark.stop()
+            spark = get_spark("bench")
+            warmup()
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)

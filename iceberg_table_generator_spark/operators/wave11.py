@@ -151,6 +151,14 @@ def semdedup_batch_verdict(
        membership (the batch SemDeDup rule: a history-dropped or
        in-batch-dropped u still shadows later v).
 
+    Precondition: `batch_m` carries UNIQUE vec_ids — the keep/drop join
+    is keyed on vec_id, so a duplicated vec_id within one batch would
+    fan out the join and collapse distinct rows into one verdict.  The
+    streaming sink (streaming/semdedup.py) enforces this with a
+    dropDuplicates before assignment; callers composing directly must
+    do the same.  (Cross-BATCH re-arrivals are fine: a kept exemplar
+    re-arriving matches itself in rule 1 at cosine 1.0 ≥ τ.)
+
     Lives here with the rest of the SemDeDup relational algebra (the
     streaming sink in streaming/semdedup.py is just the store plumbing
     around it), mirroring dedup.near_dedup_batch_verdict."""

@@ -783,13 +783,13 @@ terms AS (
          CAST(round(sqrt((CAST(COALESCE(ca.c, 0) AS DOUBLE)
                           * COALESCE(cb.c, 0))
                          / (CAST(g.n_a AS DOUBLE) * g.n_b))
-                    * 1000000.0, 0) AS BIGINT) AS bc_term
+                    * 1000000000.0, 0) AS BIGINT) AS bc_term
   FROM grid g CROSS JOIN words w
   LEFT JOIN cells ca ON ca.source = g.src_a AND ca.word = w.word
   LEFT JOIN cells cb ON cb.source = g.src_b AND cb.word = w.word)
 SELECT src_a, src_b, n_a AS tokens_a, n_b AS tokens_b,
-       CAST(sum(bc_term) AS BIGINT) AS bc_micro,
-       round(sqrt(greatest(1.0 - CAST(sum(bc_term) AS DOUBLE) / 1000000.0,
+       CAST(sum(bc_term) AS BIGINT) AS bc_nano,
+       round(sqrt(greatest(1.0 - CAST(sum(bc_term) AS DOUBLE) / 1000000000.0,
                            0.0)), 6) AS hellinger
 FROM terms GROUP BY src_a, src_b, n_a, n_b
 """
@@ -807,9 +807,14 @@ def text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine determinism: unlike ln(), IEEE sqrt and division are
     correctly-rounded on both engines, so each per-word √(c_a·c_b /
-    (n_a·n_b)) term is bit-identical; terms are micro-rounded to BIGINT
+    (n_a·n_b)) term is bit-identical; terms are NANO-rounded to BIGINT
     and summed exactly (order-free), and the final 1−BC√ is one shared
-    double chain rounded once.
+    double chain rounded once.  Nano (1e9), not micro, units: each
+    rounded term carries ≤ 0.5 units of signed error, so the
+    accumulated bound is |vocab|/2 units — at a production vocabulary
+    of 10^7 words that is ≤ 5e6 nano = 0.005 of the BC mass (vs 5.0 —
+    the whole scale — in micro units; r11 ADVICE).  Headroom is safe:
+    BC ≤ 1 ⟹ the sum is ≤ 1e9 + |vocab|/2 ≪ 2^63.
 
     Scale: identical posture to the TV matrix — word cells aggregate
     map-side, the per-word count MAP meets the 190-row source-pair grid
@@ -844,7 +849,7 @@ def text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (ca.cast("double") * cb)
                 / (F.col("n_a").cast("double") * F.col("n_b"))
             )
-            * 1000000.0,
+            * 1000000000.0,
             0,
         )
         .cast("long")
@@ -852,17 +857,18 @@ def text_source_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         terms.groupBy("src_a", "src_b", "n_a", "n_b")
-        .agg(F.sum("bc_term").cast("long").alias("bc_micro"))
+        .agg(F.sum("bc_term").cast("long").alias("bc_nano"))
         .select(
             "src_a",
             "src_b",
             F.col("n_a").alias("tokens_a"),
             F.col("n_b").alias("tokens_b"),
-            "bc_micro",
+            "bc_nano",
             F.round(
                 F.sqrt(
                     F.greatest(
-                        F.lit(1.0) - F.col("bc_micro").cast("double") / 1000000.0,
+                        F.lit(1.0)
+                        - F.col("bc_nano").cast("double") / 1000000000.0,
                         F.lit(0.0),
                     )
                 ),

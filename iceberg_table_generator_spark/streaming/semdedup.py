@@ -37,8 +37,6 @@ production uses an ACID sink.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -67,18 +65,45 @@ def incremental_semantic_dedup(
     and output."""
     spark = vec_stream.sparkSession
 
+    def _store_exists() -> bool:
+        # Resolve through Hadoop's FileSystem so the existence check works
+        # on ANY configured store scheme (HDFS/S3A/DBFS), not just the
+        # driver-local filesystem (r11 ADVICE: os.path.isdir silently read
+        # a remote store as absent, dropping the cross-batch dedup rule).
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            return False
+        # An existing-but-empty directory (e.g. created by a racing zero-row
+        # append) has no data files and would fail parquet schema inference.
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Empty micro-batches must not touch the store: a zero-row append
+        # can create a data-file-less directory that breaks the next
+        # batch's schema inference (r11 ADVICE).
+        if batch_df.isEmpty():
+            return
         emb = batch_df.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("vec")
         )
+        # A vec_id re-arriving twice WITHIN one micro-batch (duplicate rows
+        # in one file) would fan out the verdict join; the batch verdict's
+        # contract is unique vec_ids per batch (r11 ADVICE), so enforce it
+        # here.  Cross-batch re-arrivals need no special case: a kept
+        # exemplar re-arriving matches itself in the history probe at
+        # cosine 1.0 ≥ τ and is dropped.
+        emb = emb.dropDuplicates(["vec_id"])
         # Materialize once: the verdict reads the member relation on
         # both pair-join sides and the store append must agree with it.
         m = semdedup_members(emb, centroids).localCheckpoint(eager=True)
-        seen = (
-            spark.read.parquet(store_dir)
-            if os.path.isdir(store_dir)
-            else None
-        )
+        seen = spark.read.parquet(store_dir) if _store_exists() else None
         verdict = semdedup_batch_verdict(m, seen)
         keep_ids = verdict.filter("keep").select("vec_id")
         kept = m.join(keep_ids, "vec_id").select("cid", "vec_id", "vec", "nrm")

@@ -198,6 +198,32 @@ def main() -> None:
             f"{buckets} ({populated}) | {share} |"
         )
 
+    # SemDeDup k-scaling: the measured Σcᵢ² at two (N, k ∝ √N) points
+    # (r11 verdict #3 — makes the "k scales with the corpus" posture
+    # empirical; the law assert lives in tests/test_semdedup_scaling.py).
+    from iceberg_table_generator_spark.operators.wave13 import (
+        semdedup_k_scaling_probe,
+    )
+
+    lines += [
+        "",
+        "## SemDeDup k-scaling (synthetic fixture, k ∝ √N)",
+        "",
+        "Measured by `operators/wave13.semdedup_k_scaling_probe` (shared",
+        "with tests/test_semdedup_scaling.py, which asserts the law).  The",
+        "pair join's cost driver Σ cᵢ² should follow N^1.5 when k ∝ √N —",
+        "a 4× corpus step costs ~8× the pair work (fixed k would cost 16×).",
+        "",
+        "| N | k | Σ cᵢ² | prior pairs | step ratio (law 8.0 / fixed-k 16.0) |",
+        "|---|---|---|---|---|",
+    ]
+    prev_c2 = None
+    for n in (512, 2048):
+        k, c2, pairs = semdedup_k_scaling_probe(spark, n)
+        ratio = f"{c2 / prev_c2:.2f}" if prev_c2 else "—"
+        lines.append(f"| {n} | {k} | {c2} | {pairs} | {ratio} |")
+        prev_c2 = c2
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")

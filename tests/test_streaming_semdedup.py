@@ -121,3 +121,53 @@ def test_streaming_semdedup_matches_batch_rules(spark, sf_small, tmp_path):
     # the fixture's planted near-dups must actually exercise the drops
     assert len(store) < len(emb_pd)
     release_tracked()
+
+
+def test_streaming_semdedup_empty_batch_and_in_batch_duplicates(
+    spark, sf_small, tmp_path
+):
+    """r11 ADVICE hardening: (a) an EMPTY micro-batch must not append a
+    zero-row store directory (which would break the next batch's schema
+    inference), and (b) a vec_id arriving TWICE in one micro-batch must
+    collapse to one verdict / one store row instead of fanning out the
+    keep-join."""
+    emb = spark.read.parquet(table_path(sf_small, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    sample_pd = emb.limit(8).toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # arrival 1: EMPTY file (schema only) — the batch body must no-op
+    pq.write_table(
+        pa.Table.from_pandas(sample_pd.iloc[0:0]), landing / "arrival_1.parquet"
+    )
+    # arrival 2: every row duplicated (same vec_id twice in one batch)
+    import pandas as pd
+
+    dup_pd = pd.concat([sample_pd, sample_pd], ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(dup_pd), landing / "arrival_2.parquet")
+
+    cents = ivf_index(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        ),
+        cache_key=sf_small,
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    store_dir = tmp_path / "store"
+    q = incremental_semantic_dedup(
+        stream, cents, store_dir=str(store_dir), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(str(store_dir)).collect()
+    ids = [r.vec_id for r in rows]
+    # each kept vec_id appears exactly once despite the in-batch duplicate
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= set(sample_pd.vec_id)
+    assert len(ids) >= 1
+    release_tracked()

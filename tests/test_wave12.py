@@ -256,7 +256,7 @@ def test_hellinger_properties(spark, sf_small):
     for r in rows:
         assert r.src_a < r.src_b
         assert 0.0 <= r.hellinger <= 1.0
-        assert 0 <= r.bc_micro <= 1_000_100  # rounding slack
+        assert 0 <= r.bc_nano <= 1_000_100_000  # rounding slack
 
 
 def test_distinctive_terms_shape(spark, sf_small):
