@@ -417,6 +417,17 @@ HEADLINE = [
     "dedup_semdedup_cross_lang_shadow",
     "similarity_ann_ndcg_eval",
     "text_bm25_ndcg_eval",
+    "pipeline_gopher_quality_rules",
+    "pipeline_unimax_mixing",
+    "similarity_bq_recall",
+    "similarity_matryoshka_recall",
+    "text_mattr_diversity",
+    "dedup_minhash_band_sweep",
+    "similarity_rrf_fusion_eval",
+    "meta_expire_snapshots_plan",
+    "similarity_ivfpq_recall",
+    "dedup_tier_overlap_matrix",
+    "multimodal_text_embedding_alignment",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

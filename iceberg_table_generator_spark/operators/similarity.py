@@ -900,37 +900,42 @@ def _pq_query_table(vec_col: str | Column, books: Codebooks) -> Column:
     )
 
 
-def _sql_pq_fit_ctes(m: int, k: int, iters: int, sd: int) -> str:
+def _sql_pq_fit_ctes(m: int, k: int, iters: int, sd: int, prefix: str = "") -> str:
     """PQ per-subspace integer codebook fit as a CTE chain (ts, c0..c{iters})
-    — shared by the PQ top-k oracle and the distortion audit."""
+    — shared by the PQ top-k oracle and the distortion audit.  `prefix`
+    renames every CTE (ts → {prefix}ts, c{n} → {prefix}c{n}, …) so the
+    chain can coexist with the IVF fit chain (which owns the unprefixed
+    a{n}/u{n}/c{n} names) in one composed oracle
+    (wave16.similarity_ivfpq_recall)."""
+    x = prefix
     parts = [f""",
-ts AS (
+{x}ts AS (
   SELECT t.vec_id, t.h, g.j,
          list_transform(generate_series(1, {sd}), i -> t.qv[g.j*{sd}+i]) AS sv
   FROM train t, generate_series(0, {m - 1}) g(j)),
-c0 AS (
+{x}c0 AS (
   SELECT j, cid, sv AS cv FROM (
     SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY h, vec_id)
                    AS INT) - 1 AS cid, sv
-    FROM ts) WHERE cid < {k})"""]
+    FROM {x}ts) WHERE cid < {k})"""]
     for n in range(1, iters + 1):
         p = n - 1
         parts.append(f""",
-a{n} AS (
+{x}a{n} AS (
   SELECT ts.vec_id, ts.j, ts.sv, c.cid,
          row_number() OVER (PARTITION BY ts.vec_id, ts.j
              ORDER BY {_sql_d2_int('ts.sv', 'c.cv', sd)}, c.cid) AS rn
-  FROM ts JOIN c{p} c ON c.j = ts.j),
-u{n} AS (
+  FROM {x}ts ts JOIN {x}c{p} c ON c.j = ts.j),
+{x}u{n} AS (
   SELECT j, cid, g.i, sv[g.i] AS x
-  FROM a{n}, generate_series(1, {sd}) g(i) WHERE rn = 1),
-nc{n} AS (
+  FROM {x}a{n}, generate_series(1, {sd}) g(i) WHERE rn = 1),
+{x}nc{n} AS (
   SELECT j, cid, list(cx ORDER BY i) AS cv FROM (
     SELECT j, cid, i, {_SQL_MEAN} AS cx
-    FROM u{n} GROUP BY j, cid, i) GROUP BY j, cid),
-c{n} AS (
+    FROM {x}u{n} GROUP BY j, cid, i) GROUP BY j, cid),
+{x}c{n} AS (
   SELECT p.j, p.cid, COALESCE(w.cv, p.cv) AS cv
-  FROM c{p} p LEFT JOIN nc{n} w ON w.j = p.j AND w.cid = p.cid)""")
+  FROM {x}c{p} p LEFT JOIN {x}nc{n} w ON w.j = p.j AND w.cid = p.cid)""")
     return "".join(parts)
 
 

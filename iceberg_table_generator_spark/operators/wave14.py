@@ -1,0 +1,945 @@
+"""Round-12 second wave: corpus-curation operators from the published
+LLM-data playbooks that the surface still lacked.
+
+* **Gopher quality rules** (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+  rule-based document filter every web-scale pipeline starts from,
+  as a per-source pass-rate matrix.
+* **UniMax language-budget allocation** (Chung et al. 2023, "UniMax:
+  Fairer and More Effective Language Sampling for Large-Scale
+  Multilingual Pretraining") — epoch-capped water-filling over language
+  token counts; the principled successor to temperature sampling
+  (`pipeline_source_mixing_weights` is the temperature tier).
+* **Binary (1-bit) quantization recall** — completes the quantized
+  search family (IVF prunes candidates; PQ/SQ8/BQ compress scoring at
+  8×/4×/64× — BQ is the modern in-memory prefilter tier, cf. RaBitQ /
+  Milvus BQ).
+* **Matryoshka truncated-dimension recall** (Kusupati et al. 2022,
+  "Matryoshka Representation Learning") — how much top-k agreement
+  survives scoring on the first d′ of d dimensions; the eval behind
+  every "shorten the embedding to cut the index 8×" decision.
+* **MATTR lexical diversity** (Covington & McFall 2010) — the
+  windowed type-token ratio that, unlike raw TTR (`text_ttr_by_length`
+  hits its length confound directly), is length-invariant by
+  construction; computed via an exact per-occurrence closed form, no
+  per-window pass.
+* **MinHash LSH band-configuration sweep** — candidate volume,
+  precision, and recall of 8×8 / 16×4 / 32×2 band plans side by side;
+  the planning query a 100 TB dedup run executes on a sample BEFORE
+  committing a banding (the τ-sweep idiom of `dedup_semdedup_tau_sweep`
+  applied to the lexical tier).
+
+Exactness policy (repo convention): thresholds that involve division
+are restated as integer cross-multiplications (mean-word-length, the
+repetition cap); pow-derived banding thresholds are Python-computed
+literals injected into BOTH engines' texts; everything else is integer
+counts, shared double op trees, or micro-scaled integer division.
+
+Reference parity note: the reference is a table generator with no
+curation surface (`IcebergTableGenerator.java:54-88` writes tables);
+this module extends SURVEY.md §2.8's LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table
+
+_MICRO = 1_000_000
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (per-source pass-rate matrix)
+# --------------------------------------------------------------------------
+#: Rule parameters.  Gopher's published web-corpus values (word count in
+#: [50, 100k], mean word length in [3, 10], ≥ 2 stop words, repetition
+#: caps) are retuned to this fixture's 10-99-word documents so every rule
+#: exercises both outcomes; a production run passes the paper's values.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL = 4  # mean word length lower bound
+GOPHER_MAX_MWL = 6  # upper bound (fixture tokens are short English words)
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that")
+GOPHER_MIN_STOP_HITS = 2
+#: max single-token share: 8·max_count ≤ word_count  (≤ 12.5%) — the
+#: fixture-scale analog of Gopher's top-n-gram character-fraction caps.
+GOPHER_REP_DEN = 8
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+def gopher_rule_flags(d: DataFrame, keep: list[str]) -> DataFrame:
+    """(keep…, wc_ok, mwl_ok, stop_ok, rep_ok) 0/1 flags for each
+    document in `d` (any relation with a `text` column) — the rule
+    projection shared by the batch audit (`pipeline_gopher_quality_rules`)
+    and the streaming quality gate (streaming/quality.py), so the two
+    tiers can never disagree on a verdict.
+
+    All four rules evaluate IN-ROW with higher-order array functions (one
+    codegen'd projection; the repetition mode scan is O(wc²) per doc with
+    wc bounded by the document, not the corpus)."""
+    ws = F.split(F.lower("text"), " ")
+    base = d.select(*keep, ws.alias("ws"))
+    wc = F.size("ws")
+    chars = F.aggregate(
+        F.transform("ws", F.length), F.lit(0), lambda a, x: a + x
+    )
+    stop_hits = F.size(F.filter("ws", lambda w: w.isin(*GOPHER_STOPWORDS)))
+    max_tok = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda dtok: F.size(F.filter("ws", lambda w: w == dtok)),
+        )
+    )
+    ok = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return base.select(
+        *keep,
+        ok(wc.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("wc_ok"),
+        ok(
+            (chars >= GOPHER_MIN_MWL * wc) & (chars <= GOPHER_MAX_MWL * wc)
+        ).alias("mwl_ok"),
+        ok(stop_hits >= GOPHER_MIN_STOP_HITS).alias("stop_ok"),
+        ok(GOPHER_REP_DEN * max_tok <= wc).alias("rep_ok"),
+    )
+
+_GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+m AS (
+  SELECT source,
+         len(ws) AS wc,
+         list_sum(list_transform(ws, w -> len(w))) AS chars,
+         len(list_filter(ws, w -> w IN ({_SQL_STOPLIST}))) AS stop_hits,
+         list_max(list_transform(list_distinct(ws),
+                  d -> len(list_filter(ws, w -> w = d)))) AS max_tok
+  FROM d),
+r AS (
+  SELECT source,
+         CASE WHEN wc BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS wc_ok,
+         CASE WHEN chars >= {GOPHER_MIN_MWL} * wc
+               AND chars <= {GOPHER_MAX_MWL} * wc THEN 1 ELSE 0 END AS mwl_ok,
+         CASE WHEN stop_hits >= {GOPHER_MIN_STOP_HITS} THEN 1 ELSE 0 END
+           AS stop_ok,
+         CASE WHEN {GOPHER_REP_DEN} * max_tok <= wc THEN 1 ELSE 0 END
+           AS rep_ok
+  FROM m)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wc_ok) AS BIGINT) AS n_wordcount_ok,
+       CAST(sum(mwl_ok) AS BIGINT) AS n_meanwordlen_ok,
+       CAST(sum(stop_ok) AS BIGINT) AS n_stopword_ok,
+       CAST(sum(rep_ok) AS BIGINT) AS n_repetition_ok,
+       CAST(sum(wc_ok * mwl_ok * stop_ok * rep_ok) AS BIGINT) AS n_all_pass,
+       CAST((sum(wc_ok * mwl_ok * stop_ok * rep_ok) * {_MICRO}) // count(*)
+            AS BIGINT) AS all_pass_ppm
+FROM r GROUP BY source
+"""
+
+
+@query("pipeline_gopher_quality_rules", oracle=_GOPHER_ORACLE)
+def pipeline_gopher_quality_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gopher rule-based quality filter as a per-source audit matrix:
+    word-count bounds, mean-word-length bounds, minimum stop-word hits,
+    and a max-single-token-share repetition cap — each rule's pass count
+    per source plus the all-rules pass rate, the report a curation run
+    reads before committing thresholds (Rae et al. 2021 §A1.1; see the
+    parameter block for the fixture-scale retuning).
+
+    Exactness: the two ratio rules are integer cross-multiplications
+    (chars ∈ [4·wc, 6·wc]; 8·max_tok ≤ wc) so no division ever happens;
+    everything else is integer counts.
+
+    Scale: every rule evaluates IN-ROW with higher-order array functions
+    (one codegen'd projection over the scan — the repetition mode scan is
+    O(wc²) per doc on ≤ 100-token fixtures and stays in-row at any corpus
+    size since wc is capped by the document, not the corpus); the only
+    shuffle is the sources-bounded final aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    r = gopher_rule_flags(d, keep=["source"])
+    allp = F.col("wc_ok") * F.col("mwl_ok") * F.col("stop_ok") * F.col("rep_ok")
+    return (
+        r.withColumn("all_ok", allp)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wc_ok").cast("long").alias("n_wordcount_ok"),
+            F.sum("mwl_ok").cast("long").alias("n_meanwordlen_ok"),
+            F.sum("stop_ok").cast("long").alias("n_stopword_ok"),
+            F.sum("rep_ok").cast("long").alias("n_repetition_ok"),
+            F.sum("all_ok").cast("long").alias("n_all_pass"),
+            F.expr(f"(sum(all_ok) * {_MICRO}) div count(*)")
+            .cast("long")
+            .alias("all_pass_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# UniMax language-budget allocation (epoch-capped water filling)
+# --------------------------------------------------------------------------
+#: Training budget as a fraction of the corpus (numerator/denominator —
+#: kept integer so the budget itself is exact), and the per-language
+#: epoch cap (UniMax's N: no language repeats more than N epochs).
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2
+UNIMAX_EPOCH_CAP = 2
+
+_UNIMAX_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+        FROM cnt),
+base AS (
+  SELECT lang, c,
+         row_number() OVER (ORDER BY c, lang) AS i,
+         (SELECT n FROM tot) AS n,
+         (SELECT (t * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN} FROM tot)
+           AS budget
+  FROM cnt),
+alloc AS (
+  SELECT i, lang, c, n, budget,
+         least({UNIMAX_EPOCH_CAP} * c, budget // n) AS a,
+         budget - least({UNIMAX_EPOCH_CAP} * c, budget // n) AS rem
+  FROM base WHERE i = 1
+  UNION ALL
+  SELECT b.i, b.lang, b.c, b.n, b.budget,
+         least({UNIMAX_EPOCH_CAP} * b.c, al.rem // (b.n - al.i)),
+         al.rem - least({UNIMAX_EPOCH_CAP} * b.c, al.rem // (b.n - al.i))
+  FROM base b JOIN alloc al ON b.i = al.i + 1)
+SELECT lang, c AS lang_tokens, CAST(a AS BIGINT) AS alloc_tokens,
+       CAST((a * {_MICRO}) // c AS BIGINT) AS epochs_micro,
+       CAST(CASE WHEN a = {UNIMAX_EPOCH_CAP} * c THEN 1 ELSE 0 END AS INT)
+         AS capped
+FROM alloc
+"""
+
+
+@query("pipeline_unimax_mixing", oracle=_UNIMAX_ORACLE)
+def pipeline_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling: allocate a token budget over languages
+    by water filling under an epoch cap — visit languages in ascending
+    token count; each takes min(cap·tokens, remaining_budget/remaining_
+    languages) — the allocation that maximizes the minimum share without
+    repeating any low-resource language past the cap (Chung et al. 2023;
+    the principled successor to the √-temperature weights of
+    `pipeline_source_mixing_weights`).
+
+    The fold is SEQUENTIAL in the language order (each step's fair share
+    depends on what earlier languages drained), so per the repo's
+    |model|²-bounded fixed-point policy (events_markov_attribution
+    precedent) it runs driver-side over the collected languages-bounded
+    count relation — ONE distributed token pass, then O(langs) integer
+    arithmetic; the oracle replays the identical integer fold as a
+    recursive CTE.  All quantities are integers (budget = tokens·1/2,
+    shares by integer division), so both engines agree exactly."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    cnt = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rows = sorted((r.lang, r.c) for r in cnt.collect())
+    rows.sort(key=lambda lc: (lc[1], lc[0]))
+    total = sum(c for _, c in rows)
+    budget = (total * UNIMAX_BUDGET_NUM) // UNIMAX_BUDGET_DEN
+    out = []
+    remaining, n = budget, len(rows)
+    for i, (lang, c) in enumerate(rows):
+        share = remaining // (n - i)
+        a = min(UNIMAX_EPOCH_CAP * c, share)
+        remaining -= a
+        out.append(
+            (
+                lang,
+                c,
+                a,
+                (a * _MICRO) // c,
+                1 if a == UNIMAX_EPOCH_CAP * c else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "lang string, lang_tokens long, alloc_tokens long, "
+        "epochs_micro long, capped int",
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit) quantization ADC recall
+# --------------------------------------------------------------------------
+def _bq_recall_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        _VEC_DIM,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    dim = _VEC_DIM
+    sgn_dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (CASE WHEN c.vec[i] >= 0 THEN 1.0 ELSE -1.0 END) * q.vec[i]))"
+    )
+    xdot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> q.vec[i] * c.vec[i]))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                      i -> vec[i] * vec[i]))) AS norm
+  FROM v),
+apx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sgn_dot} / (q.norm * {float(dim) ** 0.5!r}) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+apk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM apx) WHERE rn <= {TOP_K}),
+ext AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {xdot} / (q.norm * c.norm) AS sim
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+epk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM ext) WHERE rn <= {TOP_K}),
+hits AS (
+  SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM epk e LEFT JOIN apk a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, CAST({TOP_K} AS INT) AS k, n_hits,
+       CAST((n_hits * {_MICRO}) // {TOP_K} AS BIGINT) AS recall_ppm
+FROM hits
+"""
+
+
+@query("similarity_bq_recall", oracle=_bq_recall_oracle())
+def similarity_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization (1-bit) ADC search + recall@k vs exact: each
+    corpus vector compresses to its SIGN pattern (64 dims → 8 bytes —
+    a 64× smaller index than raw doubles), queries score against the
+    ±1 pattern with raw-precision values (asymmetric distance), and the
+    per-query overlap with the exact cosine top-k is reported.  Completes
+    the quantized-search ladder — IVF prunes candidates; PQ (8×) / SQ8
+    (4×) / BQ (64×, this query) compress scoring — BQ being the modern
+    in-memory prefilter tier (RaBitQ, Milvus BQ, SimHash-style sketches)
+    that a rerank pass then corrects.
+
+    Engine determinism: the quantizer is a sign test (x ≥ 0 → +1 — no
+    rounding at all), the ADC fold is one shared in-row op tree divided
+    by the exact constant ‖q‖·√dim, ties break on neighbor_id; recall is
+    an exact integer.
+
+    Scale: identical posture to `similarity_sq8_recall` — queries
+    broadcast (N_QUERIES rows), candidates quantize in-row and never
+    shuffle, rank windows are (n_queries × k)-bounded."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        _VEC_DIM,
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        similarity_cosine_topk,
+        with_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cand = emb.select(
+        "vec_id",
+        F.transform(
+            "vec", lambda x: F.when(x >= 0, 1.0).otherwise(-1.0)
+        ).alias("sv"),
+    )
+    qry = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    apx = (
+        cand.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("sv", "qvec") / (F.col("qnorm") * float(_VEC_DIM) ** 0.5)).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    apk = (
+        apx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    epk = similarity_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        epk.alias("e")
+        .join(
+            apk.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(TOP_K).cast("int").alias("k"),
+        "n_hits",
+        F.expr(f"CAST((n_hits * {_MICRO}) div {TOP_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncated-dimension recall
+# --------------------------------------------------------------------------
+#: Truncation points evaluated against the full-dimension exact ranking.
+MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_recall_oracle() -> str:
+    from iceberg_table_generator_spark.operators.similarity import (
+        _VEC_DIM,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    full = _VEC_DIM
+    parts = []
+    for d in MRL_DIMS:
+        tdot = (
+            f"list_sum(list_transform(generate_series(1, {d}), "
+            "i -> q.vec[i] * c.vec[i]))"
+        )
+        tnrm_q = (
+            f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+            "i -> q.vec[i] * q.vec[i])))"
+        )
+        tnrm_c = (
+            f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+            "i -> c.vec[i] * c.vec[i])))"
+        )
+        parts.append(
+            f"""
+  SELECT {d} AS dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {tdot} / ({tnrm_q} * {tnrm_c}) AS sim
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}"""
+        )
+    apx = "\n  UNION ALL".join(parts)
+    xdot = (
+        f"list_sum(list_transform(generate_series(1, {full}), "
+        "i -> q.vec[i] * c.vec[i]))"
+    )
+    xn = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {full}), "
+        "i -> {v}.vec[i] * {v}.vec[i])))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+apx AS ({apx}),
+apk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT dim, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY dim, query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM apx) WHERE rn <= {TOP_K}),
+ext AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {xdot} / ({xn.format(v='q')} * {xn.format(v='c')}) AS sim
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}),
+epk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id) AS rn
+    FROM ext) WHERE rn <= {TOP_K}),
+grid AS (SELECT DISTINCT a.dim, e.query_id, e.neighbor_id
+         FROM epk e CROSS JOIN (SELECT DISTINCT dim FROM apk) a),
+hits AS (
+  SELECT g.dim, g.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM grid g LEFT JOIN apk a
+    ON a.dim = g.dim AND a.query_id = g.query_id
+   AND a.neighbor_id = g.neighbor_id
+  GROUP BY g.dim, g.query_id)
+SELECT CAST(dim AS INT) AS dim, query_id, n_hits,
+       CAST((n_hits * {_MICRO}) // {TOP_K} AS BIGINT) AS recall_ppm
+FROM hits
+"""
+
+
+@query("similarity_matryoshka_recall", oracle=_mrl_recall_oracle())
+def similarity_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka (truncated-dimension) recall: score every query on only
+    the FIRST d′ ∈ {MRL_DIMS} of the 64 embedding dimensions and report
+    per-(d′, query) overlap with the full-dimension exact top-k — the
+    evaluation behind MRL-style "shorten the embedding, shrink the index
+    d/d′ ×" deployments (Kusupati et al. 2022; OpenAI/Nomic ship exactly
+    this knob).  Complements the quantization ladder: BQ/SQ8/PQ compress
+    PRECISION, truncation compresses DIMENSION; real stacks stack both.
+
+    Engine determinism: prefix slices, one shared dot/norm op tree per
+    d′, neighbor_id tiebreaks — recall is an exact integer on both
+    engines.  Scale: queries broadcast; candidates never shuffle; the
+    per-d′ rank windows are (dims × n_queries × k)-bounded."""
+    from iceberg_table_generator_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        similarity_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    per_dim = []
+    for d in MRL_DIMS:
+        sl = F.slice("vec", 1, d)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(sl, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        per_dim.append(
+            emb.select(
+                F.lit(d).cast("int").alias("dim"),
+                "vec_id",
+                sl.alias("tv"),
+                nrm.alias("tn"),
+            )
+        )
+    cand = per_dim[0]
+    for p in per_dim[1:]:
+        cand = cand.unionByName(p)
+    qry = cand.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("dim").alias("qdim"),
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qv"),
+        F.col("tn").alias("qn"),
+    )
+    apx = (
+        cand.join(
+            F.broadcast(qry),
+            (F.col("dim") == F.col("qdim"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "dim",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("qv", "tv") / (F.col("qn") * F.col("tn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    apk = (
+        apx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    epk = similarity_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    dims = spark.createDataFrame([(d,) for d in MRL_DIMS], "dim int")
+    grid = epk.crossJoin(F.broadcast(dims))
+    hits = (
+        grid.alias("g")
+        .join(
+            apk.alias("a"),
+            (F.col("g.dim") == F.col("a.dim"))
+            & (F.col("g.query_id") == F.col("a.query_id"))
+            & (F.col("g.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("g.dim").alias("dim"), F.col("g.query_id").alias("query_id")
+        )
+        .agg(F.count(F.col("a.neighbor_id")).cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "dim",
+        "query_id",
+        "n_hits",
+        F.expr(f"CAST((n_hits * {_MICRO}) div {TOP_K} AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# MATTR lexical diversity (windowed type-token ratio, exact closed form)
+# --------------------------------------------------------------------------
+#: Window width.  Covington & McFall's canonical 50 exceeds many fixture
+#: documents (10-99 words); 25 keeps most in scope.  Documents shorter
+#: than the window are excluded (standard MATTR practice).
+MATTR_W = 25
+
+_MATTR_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, source, ws[t.i] AS w, t.i - 1 AS pos, len(ws) AS L
+  FROM ws, unnest(generate_series(1, len(ws))) AS t(i)),
+g AS (
+  SELECT doc_id, source, pos, L,
+         coalesce(pos - lag(pos) OVER (PARTITION BY doc_id, w ORDER BY pos),
+                  pos + 1) AS gap
+  FROM tok),
+contrib AS (
+  SELECT doc_id, source, L,
+         greatest(0, least(pos, L - {MATTR_W})
+                     - greatest(pos - {MATTR_W} + 1, pos - gap + 1, 0) + 1)
+           AS c
+  FROM g WHERE L >= {MATTR_W}),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST((sum(c) * {_MICRO}) // ((max(L) - {MATTR_W} + 1) * {MATTR_W})
+              AS BIGINT) AS mattr_micro
+  FROM contrib GROUP BY doc_id, source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_eval,
+       CAST(sum(mattr_micro) // count(*) AS BIGINT) AS avg_mattr_micro,
+       CAST(min(mattr_micro) AS BIGINT) AS min_mattr_micro,
+       CAST(max(mattr_micro) AS BIGINT) AS max_mattr_micro
+FROM per_doc GROUP BY source
+"""
+
+
+@query("text_mattr_diversity", oracle=_MATTR_ORACLE)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity per source: the mean type-token ratio over
+    every complete {MATTR_W}-token sliding window of each document
+    (Covington & McFall 2010) — the length-INVARIANT diversity measure
+    (raw TTR falls with length by Heaps' law, the confound
+    `text_ttr_by_length` measures directly; MATTR is the fix, and the
+    repetitive-template detector template-aware dedup runs first).
+
+    Exact closed form, no per-window pass: a token occurrence at `pos`
+    with gap g to its previous same-word occurrence is the window-FIRST
+    occurrence for exactly the windows starting in (pos−min(g,W), pos]
+    clipped to the valid range, so Σ window-distinct-counts =
+    Σ_occurrences max(0, min(pos, L−W) − max(pos−W+1, pos−g+1, 0) + 1) —
+    ONE lag window partitioned by (doc, word) and integer arithmetic;
+    MATTR = that sum / ((L−W+1)·W), micro-scaled integer division on
+    both engines.
+
+    Scale: the only shuffle is the (doc_id, word)-keyed lag (doc-bounded
+    partitions — the substring-dedup skew rule) plus the doc- and
+    source-bounded aggregates."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("ws")
+    )
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size("ws").alias("L"),
+        F.posexplode("ws").alias("pos", "w"),
+    ).filter(F.col("L") >= MATTR_W)
+    wlag = Window.partitionBy("doc_id", "w").orderBy("pos")
+    g = tok.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("pos") - F.lag("pos").over(wlag), F.col("pos") + 1
+        ),
+    )
+    contrib = g.select(
+        "doc_id",
+        "source",
+        "L",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("pos"), F.col("L") - MATTR_W)
+            - F.greatest(
+                F.col("pos") - MATTR_W + 1,
+                F.col("pos") - F.col("gap") + 1,
+                F.lit(0),
+            )
+            + 1,
+        ).alias("c"),
+    )
+    per_doc = contrib.groupBy("doc_id", "source").agg(
+        F.expr(
+            f"CAST((sum(c) * {_MICRO}) div "
+            f"((max(L) - {MATTR_W} + 1) * {MATTR_W}) AS BIGINT)"
+        ).alias("mattr_micro")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_eval"),
+        F.expr("CAST(sum(mattr_micro) div count(*) AS BIGINT)").alias(
+            "avg_mattr_micro"
+        ),
+        F.min("mattr_micro").cast("long").alias("min_mattr_micro"),
+        F.max("mattr_micro").cast("long").alias("max_mattr_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH band-configuration sweep
+# --------------------------------------------------------------------------
+#: Swept plans over the shared 64-slot signature: (bands, rows-per-band).
+BAND_SWEEP = ((8, 8), (16, 4), (32, 2))
+#: Ground-truth threshold: exact shingle Jaccard ≥ 1/2 is a "true" pair
+#: (the 16×4 default's S-curve midpoint — dedup_minhash_lsh's own τ).
+SWEEP_JACCARD_NUM, SWEEP_JACCARD_DEN = 1, 2
+#: The S-curve midpoint (1/b)^(1/r) per plan, micro-scaled — computed
+#: ONCE in Python and injected as literals into BOTH engines (pow is not
+#: correctly rounded, so neither engine computes it).
+_SWEEP_THRESH_MICRO = {
+    (b, r): round((1.0 / b) ** (1.0 / r) * _MICRO) for b, r in BAND_SWEEP
+}
+
+
+def _band_sweep_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import (
+        _SQL_SHINGLES,
+        _sql_md5_60,
+        MH_A,
+        MH_B,
+        MH_P,
+        N_PERM,
+    )
+
+    # shingle + signature CTEs: the dedup_minhash_lsh oracle idiom
+    # (`_SQL_BANDS_CTE`), kept in the long (doc_id, i, m) layout so each
+    # swept plan re-bands the SAME signatures with its own i // r cut;
+    # the band key is the identical base-31 fold (`_band_fold` twin).
+    perms = ", ".join(f"({i}, {MH_A[i]}, {MH_B[i]})" for i in range(N_PERM))
+    cand_parts = []
+    for b, r in BAND_SWEEP:
+        band = f"""(SELECT doc_id, i // {r} AS band_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        list(m ORDER BY i)),
+                           (acc, x) -> (acc * 31 + x) % {MH_P}) AS bk
+        FROM mh GROUP BY doc_id, i // {r})"""
+        cand_parts.append(
+            f"""
+  SELECT {b} AS n_bands, {r} AS rows_per_band,
+         x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM {band} x
+  JOIN {band} y
+    ON x.band_id = y.band_id AND x.bk = y.bk AND x.doc_id < y.doc_id"""
+        )
+    cands = "\n  UNION ALL".join(cand_parts)
+    thresh_vals = ", ".join(
+        f"({b}, {r}, {_SWEEP_THRESH_MICRO[(b, r)]})" for b, r in BAND_SWEEP
+    )
+    jn, jd = SWEEP_JACCARD_NUM, SWEEP_JACCARD_DEN
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+docs AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sset FROM tok WHERE len(ws) >= 3),
+sh AS (
+  SELECT doc_id, {_sql_md5_60("s.s")} % {MH_P} AS h
+  FROM docs, unnest(sset) AS s(s)),
+perms AS (SELECT * FROM (VALUES {perms}) t(i, a, b)),
+mh AS (
+  SELECT doc_id, p.i, min((p.a * h + p.b) % {MH_P}) AS m
+  FROM sh CROSS JOIN perms p GROUP BY doc_id, p.i),
+cand AS (SELECT DISTINCT * FROM ({cands})),
+pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+cnt AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM docs),
+jac AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS shared,
+         ca.n + cb.n - len(list_intersect(a.sset, b.sset)) AS uni
+  FROM pairs p
+  JOIN docs a ON a.doc_id = p.doc_a
+  JOIN docs b ON b.doc_id = p.doc_b
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b),
+truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE shared * {jd} >= uni * {jn}),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+th(n_bands, rows_per_band, thresh_micro) AS (VALUES {thresh_vals}),
+per AS (
+  SELECT c.n_bands, c.rows_per_band,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_found
+  FROM cand c LEFT JOIN truth t
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY c.n_bands, c.rows_per_band)
+SELECT p.n_bands, p.rows_per_band,
+       CAST(th.thresh_micro AS BIGINT) AS thresh_micro,
+       p.n_candidates, p.n_true_found,
+       CAST(tt.n_truth AS BIGINT) AS n_truth,
+       CAST((p.n_true_found * {_MICRO}) // p.n_candidates AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN tt.n_truth = 0 THEN {_MICRO}
+                 ELSE (p.n_true_found * {_MICRO}) // tt.n_truth END AS BIGINT)
+         AS recall_ppm
+FROM per p
+JOIN th ON th.n_bands = p.n_bands AND th.rows_per_band = p.rows_per_band
+CROSS JOIN tt
+"""
+
+
+@query("dedup_minhash_band_sweep", oracle=_band_sweep_oracle())
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding-plan sweep: candidate volume, precision, and
+    recall of the 8×8 / 16×4 / 32×2 plans over the SAME 64-slot
+    signature, against exact-Jaccard ≥ 1/2 truth — the planning query a
+    100 TB dedup run executes on a sample BEFORE committing a banding
+    (more bands ⟹ lower S-curve midpoint ⟹ more candidates, higher
+    recall, lower precision; this emits the measured trade-off next to
+    each plan's analytic (1/b)^(1/r) midpoint).  The τ-sweep idiom
+    (`dedup_semdedup_tau_sweep`) applied to the lexical tier.
+
+    Truth is banding-reachable truth: exact Jaccard evaluated on the
+    UNION of all swept plans' candidates (the 8×8 plan's ≈ 0.77 midpoint
+    means the union is a strict superset of every plan's own reach —
+    standard sweep practice; all-pairs truth would be the O(n²) join the
+    family exists to avoid).  Integer exactness: the Jaccard cut is a
+    cross-multiplication (shared·2 ≥ union·1), precision/recall are
+    micro-integer divisions, and the pow-derived midpoints are Python
+    literals injected into both engines.
+
+    Scale: ONE signature pass (the shared 64-minima aggregation), three
+    band self-joins each bounded by its bucket sizes, and exact verify
+    only on the union candidate set."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        _band_fold,
+        _md5_60,
+        MH_P,
+        minhash_signatures,
+        shingles,
+        tokenize,
+    )
+    from iceberg_table_generator_spark.sources.tables import spread
+
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
+    sset = d.select("doc_id", F.array_distinct("shingles").alias("sset"))
+    sset = persist_tracked(sset)
+    sh = sset.select(
+        "doc_id",
+        F.explode(F.transform("sset", lambda s: _md5_60(s) % MH_P)).alias("h"),
+    )
+    sig = minhash_signatures(sh).transform(persist_tracked)
+
+    cand_parts = []
+    for b, r in BAND_SWEEP:
+        band_cols = [
+            _band_fold([F.col(f"mh_{bb * r + i}") for i in range(r)]).alias(
+                f"band_{bb}"
+            )
+            for bb in range(b)
+        ]
+        bands = sig.select("doc_id", *band_cols).selectExpr(
+            "doc_id",
+            "stack({}, {}) AS (band_id, band_hash)".format(
+                b, ", ".join(f"{bb}, band_{bb}" for bb in range(b))
+            ),
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand_parts.append(
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    cand = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand = cand.unionByName(p)
+    cand = persist_tracked(cand)
+
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    sa = sset.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    sb = sset.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    jn, jd = SWEEP_JACCARD_NUM, SWEEP_JACCARD_DEN
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("shared"),
+            (
+                F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+            )
+            .cast("long")
+            .alias("uni"),
+        )
+    )
+    truth = jac.filter(F.col("shared") * jd >= F.col("uni") * jn).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    truth = persist_tracked(truth)
+    n_truth = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    per = (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("long").alias(
+                "n_true_found"
+            ),
+        )
+    )
+    th = spark.createDataFrame(
+        [(b, r, _SWEEP_THRESH_MICRO[(b, r)]) for b, r in BAND_SWEEP],
+        "n_bands int, rows_per_band int, thresh_micro long",
+    )
+    return (
+        per.join(F.broadcast(th), ["n_bands", "rows_per_band"])
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_bands",
+            "rows_per_band",
+            "thresh_micro",
+            "n_candidates",
+            "n_true_found",
+            "n_truth",
+            F.expr(f"(n_true_found * {_MICRO}) div n_candidates")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.expr(
+                f"CASE WHEN n_truth = 0 THEN {_MICRO} "
+                f"ELSE (n_true_found * {_MICRO}) div n_truth END"
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

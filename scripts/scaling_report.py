@@ -49,6 +49,10 @@ CLUSTER_PAIRS = re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]")
 CENTROID_ATTACH = re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]")
 TAU_GRID = re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]")
 CTX_GRID = re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]")
+DIM_GRID = re.compile(r"Scan ExistingRDD\[dim#\d+\]")
+BAND_GRID = re.compile(
+    r"Scan ExistingRDD\[n_bands#\d+, ?rows_per_band#\d+, ?thresh_micro#\d+"
+)
 
 FIXED_DIMS = {"region", "nation"}
 SCALING_DIMS = {"part", "supplier", "customer", "partsupp"}
@@ -92,6 +96,10 @@ def classify(sub: str) -> list[str]:
         cats.append("threshold-grid")
     if CTX_GRID.search(sub):
         cats.append("context-length-grid")
+    if DIM_GRID.search(sub):
+        cats.append("dim-grid")
+    if BAND_GRID.search(sub):
+        cats.append("banding-plan-grid")
     return cats or ["UNBOUNDED?"]
 
 

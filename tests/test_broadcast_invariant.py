@@ -100,6 +100,12 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]"),
      "context-length grid: |TRUNC_GRID| driver-literal rows "
      "(wave12.pipeline_truncation_loss)"),
+    (re.compile(r"Scan ExistingRDD\[dim#\d+\]"),
+     "truncation-dimension grid: |MRL_DIMS| driver-literal rows "
+     "(wave14.similarity_matryoshka_recall)"),
+    (re.compile(r"Scan ExistingRDD\[n_bands#\d+, ?rows_per_band#\d+, ?thresh_micro#\d+"),
+     "banding-plan grid: |BAND_SWEEP| driver-literal rows "
+     "(wave14.dedup_minhash_band_sweep)"),
 ]
 
 
