@@ -428,6 +428,8 @@ HEADLINE = [
     "similarity_ivfpq_recall",
     "dedup_tier_overlap_matrix",
     "multimodal_text_embedding_alignment",
+    "similarity_compression_frontier",
+    "pipeline_source_ablation_matrix",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

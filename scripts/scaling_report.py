@@ -53,6 +53,7 @@ DIM_GRID = re.compile(r"Scan ExistingRDD\[dim#\d+\]")
 BAND_GRID = re.compile(
     r"Scan ExistingRDD\[n_bands#\d+, ?rows_per_band#\d+, ?thresh_micro#\d+"
 )
+METHOD_GRID = re.compile(r"Scan ExistingRDD\[method#\d+, ?bytes_per_vec#\d+")
 
 FIXED_DIMS = {"region", "nation"}
 SCALING_DIMS = {"part", "supplier", "customer", "partsupp"}
@@ -100,6 +101,8 @@ def classify(sub: str) -> list[str]:
         cats.append("dim-grid")
     if BAND_GRID.search(sub):
         cats.append("banding-plan-grid")
+    if METHOD_GRID.search(sub):
+        cats.append("method-bytes-grid")
     return cats or ["UNBOUNDED?"]
 
 

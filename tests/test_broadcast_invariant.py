@@ -106,6 +106,9 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[n_bands#\d+, ?rows_per_band#\d+, ?thresh_micro#\d+"),
      "banding-plan grid: |BAND_SWEEP| driver-literal rows "
      "(wave14.dedup_minhash_band_sweep)"),
+    (re.compile(r"Scan ExistingRDD\[method#\d+, ?bytes_per_vec#\d+"),
+     "method-bytes grid: |_METHOD_BYTES| driver-literal rows "
+     "(wave17.similarity_compression_frontier)"),
 ]
 
 
