@@ -430,6 +430,9 @@ HEADLINE = [
     "multimodal_text_embedding_alignment",
     "similarity_compression_frontier",
     "pipeline_source_ablation_matrix",
+    "pipeline_quality_ablation_curve",
+    "dedup_semdedup_lang_tau_sweep",
+    "similarity_bq_rerank_recall",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -105,11 +105,15 @@ def gopher_rule_flags(d: DataFrame, keep: list[str]) -> DataFrame:
         ok(GOPHER_REP_DEN * max_tok <= wc).alias("rep_ok"),
     )
 
-_GOPHER_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+def _sql_rule_flags(keep: str) -> str:
+    """The d/m/r CTE chain computing the four 0/1 rule flags at document
+    grain, carrying the `keep` column list through — the SQL twin of
+    `gopher_rule_flags`, shared by the per-source matrix oracle and the
+    ablation-curve oracle (wave18)."""
+    return f"""d AS (
+  SELECT {keep}, string_split(lower(text), ' ') AS ws FROM documents),
 m AS (
-  SELECT source,
+  SELECT {keep},
          len(ws) AS wc,
          list_sum(list_transform(ws, w -> len(w))) AS chars,
          len(list_filter(ws, w -> w IN ({_SQL_STOPLIST}))) AS stop_hits,
@@ -117,7 +121,7 @@ m AS (
                   d -> len(list_filter(ws, w -> w = d)))) AS max_tok
   FROM d),
 r AS (
-  SELECT source,
+  SELECT {keep}, wc,
          CASE WHEN wc BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
               THEN 1 ELSE 0 END AS wc_ok,
          CASE WHEN chars >= {GOPHER_MIN_MWL} * wc
@@ -126,7 +130,11 @@ r AS (
            AS stop_ok,
          CASE WHEN {GOPHER_REP_DEN} * max_tok <= wc THEN 1 ELSE 0 END
            AS rep_ok
-  FROM m)
+  FROM m)"""
+
+
+_GOPHER_ORACLE = f"""
+WITH {_sql_rule_flags("source")}
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(wc_ok) AS BIGINT) AS n_wordcount_ok,

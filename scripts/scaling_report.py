@@ -47,13 +47,14 @@ LIT_BKT = re.compile(r"\b0 AS _bkt#\d+")  # degenerate single-bucket plan
 MANIFEST = re.compile(r"Scan ExistingRDD\[__file#\d+")
 CLUSTER_PAIRS = re.compile(r"Scan ExistingRDD\[ca#\d+, ?cb#\d+\]")
 CENTROID_ATTACH = re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]")
-TAU_GRID = re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]")
+TAU_GRID = re.compile(r"Scan ExistingRDD\[tau_micro#\d+L?\]")
 CTX_GRID = re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]")
 DIM_GRID = re.compile(r"Scan ExistingRDD\[dim#\d+\]")
 BAND_GRID = re.compile(
     r"Scan ExistingRDD\[n_bands#\d+, ?rows_per_band#\d+, ?thresh_micro#\d+"
 )
 METHOD_GRID = re.compile(r"Scan ExistingRDD\[method#\d+, ?bytes_per_vec#\d+")
+RULES_GRID = re.compile(r"Scan ExistingRDD\[min_rules#\d+\]")
 
 FIXED_DIMS = {"region", "nation"}
 SCALING_DIMS = {"part", "supplier", "customer", "partsupp"}
@@ -103,6 +104,8 @@ def classify(sub: str) -> list[str]:
         cats.append("banding-plan-grid")
     if METHOD_GRID.search(sub):
         cats.append("method-bytes-grid")
+    if RULES_GRID.search(sub):
+        cats.append("strictness-grid")
     return cats or ["UNBOUNDED?"]
 
 

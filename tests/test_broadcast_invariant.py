@@ -94,9 +94,9 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[cid#\d+, ?cent#\d+\]"),
      "k-means centroid attach: exactly k rows of model state "
      "(the SemDeDup ccos join, wave11._semdedup_relation)"),
-    (re.compile(r"Scan ExistingRDD\[tau_micro#\d+\]"),
+    (re.compile(r"Scan ExistingRDD\[tau_micro#\d+L?\]"),
      "threshold grid: |SEMDEDUP_TAU_GRID| driver-literal rows "
-     "(wave11.dedup_semdedup_tau_sweep)"),
+     "(wave11.dedup_semdedup_tau_sweep, wave18 per-language sweep)"),
     (re.compile(r"Scan ExistingRDD\[ctx_len#\d+\]"),
      "context-length grid: |TRUNC_GRID| driver-literal rows "
      "(wave12.pipeline_truncation_loss)"),
@@ -109,6 +109,9 @@ ACKNOWLEDGED = [
     (re.compile(r"Scan ExistingRDD\[method#\d+, ?bytes_per_vec#\d+"),
      "method-bytes grid: |_METHOD_BYTES| driver-literal rows "
      "(wave17.similarity_compression_frontier)"),
+    (re.compile(r"Scan ExistingRDD\[min_rules#\d+\]"),
+     "strictness grid: 5 driver-literal rows "
+     "(wave18.pipeline_quality_ablation_curve)"),
 ]
 
 
