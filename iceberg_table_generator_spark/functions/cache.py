@@ -25,12 +25,43 @@ again performance-only and recompute-safe.
 from __future__ import annotations
 
 import contextlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+#: Evaluation-scoped shared-relation memo (r12 verdict #1).  Some queries
+#: COMPOSE other registered queries (`similarity_compression_frontier`
+#: runs eight ranking pipelines, four of which each rebuild the exact-
+#: cosine ground truth internally) — without sharing, the same bounded
+#: relation is recomputed per composition arm.  `memo_relation` builds it
+#: once per harness-timed evaluation; the memo is cleared by
+#: `release_tracked`/`tracked_scope`, so sharing NEVER crosses a query
+#: boundary — standalone pins and in-bench timings stay honest (the first
+#: and only toucher inside one evaluation pays the full build).
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memo_relation(
+    key: tuple,
+    builder: Callable[[], DataFrame],
+    level: StorageLevel = StorageLevel.DISK_ONLY,
+) -> DataFrame:
+    """Build-once-per-evaluation shared relation.
+
+    `key` must identify the relation AND its inputs (include the session's
+    applicationId and sf_dir).  The built frame is persisted through
+    :func:`persist_tracked`, so release semantics are unchanged: after
+    `release_tracked` the memo is empty and a later evaluation rebuilds.
+    Only deterministic relations may be memoized (same contract as
+    re-execution after executor loss)."""
+    if key in _MEMO:
+        return _MEMO[key]
+    df = persist_tracked(builder(), level)
+    _MEMO[key] = df
+    return df
 
 
 def persist_tracked(
@@ -51,6 +82,7 @@ def release_tracked() -> int:
         except Exception:  # noqa: BLE001 — a dead session must not mask others
             pass
     _TRACKED.clear()
+    _MEMO.clear()
     return n
 
 
@@ -83,3 +115,7 @@ def tracked_scope() -> Iterator[None]:
                 df.unpersist()
             except Exception:  # noqa: BLE001 — same contract as release_tracked
                 pass
+        # Memo entries may reference frames released above; entries created
+        # before the scope are dropped too — a later rebuild just re-persists
+        # (wasted-but-correct, same recompute contract as release_tracked).
+        _MEMO.clear()

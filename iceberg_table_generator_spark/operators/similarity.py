@@ -34,7 +34,10 @@ import json
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
-from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.functions.cache import (
+    memo_relation,
+    persist_tracked,
+)
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -104,7 +107,22 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by a per-partition heap + global merge (see topk_local_global).
 
     `list_sum` in the oracle and `aggregate` here both fold sequentially
-    over the same double arrays → bit-identical sims on both engines."""
+    over the same double arrays → bit-identical sims on both engines.
+
+    Memoized per harness evaluation (`memo_relation`, r12 verdict #1):
+    this relation is THE shared ground truth of the whole recall family,
+    and composite evals (`similarity_compression_frontier` runs eight
+    arms, four of which rebuild it internally) otherwise recompute the
+    same scan+rank up to five times in one evaluation.  The result is
+    (n_queries × k)-bounded and deterministic (ties broken by
+    neighbor_id), so reuse is semantics-free."""
+    return memo_relation(
+        (spark.sparkContext.applicationId, sf_dir, "similarity_gold"),
+        lambda: _cosine_topk_build(spark, sf_dir),
+    )
+
+
+def _cosine_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )

@@ -847,49 +847,70 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iceberg_table_generator_spark.sources.tables import spread
 
+    # NOT persisted: the shingle arrays are the corpus's full text re-cut —
+    # a DISK_ONLY round-trip of them costs more than the in-row
+    # tokenize→shingle recompute on each of the three uses (measured r13:
+    # the persist was 2.7 s of the 4.66 s pin; `dedup_minhash_lsh` made the
+    # same call).  Only the compact relations (signatures, candidates) are
+    # persisted.
     d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
     sset = d.select("doc_id", F.array_distinct("shingles").alias("sset"))
-    sset = persist_tracked(sset)
     sh = sset.select(
         "doc_id",
         F.explode(F.transform("sset", lambda s: _md5_60(s) % MH_P)).alias("h"),
     )
     sig = minhash_signatures(sh).transform(persist_tracked)
+    # Eager materialization (r13): the final plan reads `sig` from several
+    # parallel branches (the band stack, via cand, twice more via verify);
+    # within ONE job Spark may schedule those branches concurrently and
+    # compute a persisted-but-unmaterialized relation more than once.  One
+    # cheap count pins the signature pass to exactly one execution — the
+    # same contract as the CC iteration's eager localCheckpoint
+    # (dedup.py:344).
+    sig.count()
 
-    cand_parts = []
+    # ALL three plans' band keys in ONE stacked relation and ONE self-join
+    # (r13, the 4 s protocol): the join key (n_bands, band_id, band_hash)
+    # already identifies the plan, so one exchange + one sort-merge join
+    # replaces three of each — 8+16+32 = 56 rows per doc in one stack.
+    stack_args = []
     for b, r in BAND_SWEEP:
-        band_cols = [
-            _band_fold([F.col(f"mh_{bb * r + i}") for i in range(r)]).alias(
-                f"band_{bb}"
+        for bb in range(b):
+            key = _band_fold([F.col(f"mh_{bb * r + i}") for i in range(r)])
+            stack_args.append((F.lit(b), F.lit(r), F.lit(bb), key))
+    rows = F.array(
+        *[
+            F.struct(
+                b.alias("n_bands"),
+                r.alias("rows_per_band"),
+                bb.alias("band_id"),
+                key.alias("band_hash"),
             )
-            for bb in range(b)
+            for b, r, bb, key in stack_args
         ]
-        bands = sig.select("doc_id", *band_cols).selectExpr(
-            "doc_id",
-            "stack({}, {}) AS (band_id, band_hash)".format(
-                b, ", ".join(f"{bb}, band_{bb}" for bb in range(b))
-            ),
+    )
+    bands = sig.select("doc_id", F.explode(rows).alias("e")).select(
+        "doc_id", "e.n_bands", "e.rows_per_band", "e.band_id", "e.band_hash"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.n_bands") == F.col("y.n_bands"))
+            & (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        x, y = bands.alias("x"), bands.alias("y")
-        cand_parts.append(
-            x.join(
-                y,
-                (F.col("x.band_id") == F.col("y.band_id"))
-                & (F.col("x.band_hash") == F.col("y.band_hash"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.lit(b).alias("n_bands"),
-                F.lit(r).alias("rows_per_band"),
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        .select(
+            F.col("x.n_bands").alias("n_bands"),
+            F.col("x.rows_per_band").alias("rows_per_band"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
         )
-    cand = cand_parts[0]
-    for p in cand_parts[1:]:
-        cand = cand.unionByName(p)
+        .distinct()
+    )
     cand = persist_tracked(cand)
+    cand.count()  # same eager-pin rationale as `sig` above (read 3×)
 
     pairs = cand.select("doc_a", "doc_b").distinct()
     sa = sset.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
@@ -913,6 +934,7 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     truth = persist_tracked(truth)
+    truth.count()  # eager-pin: read by n_truth AND the per-plan join
     n_truth = truth.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_truth")
     )
