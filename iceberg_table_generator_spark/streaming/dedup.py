@@ -11,19 +11,46 @@ relational algebra:
 
 Scale posture: the store holds 16-byte keys only (not documents); the
 anti-join shuffles on the key hash; at 100 TB of history the store is a
-key-bucketed table so the anti-join co-partitions.  NOTE: parquet append is
-not transactional with the checkpoint — a retried batch could double-append.
-Production uses an ACID sink (Iceberg MERGE) for exactly-once; the
-algorithm is unchanged.
+key-bucketed table so the anti-join co-partitions.  Writes are replay-safe
+(streaming/store.py): each batch overwrites its own batch_id partition in
+BOTH the output and the key store, and the history read excludes that
+partition, so a crash-replay converges instead of double-appending (r12
+verdict #4).  An ACID sink (Iceberg MERGE) subsumes the partition trick;
+the algorithm is unchanged.
 """
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+from iceberg_table_generator_spark.streaming.store import read_store, write_batch
+
+
+def dedup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the exact-dedup sink (module-level for the
+    replay test).  Replay-safe: the history read excludes this batch's
+    own partition (the half-written keys must not anti-join away their
+    own rows), and both writes overwrite only this batch's partition."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    keyed = batch_df.withColumn(
+        "content_key", F.md5(F.lower(F.col(text_col)))
+    ).dropDuplicates(["content_key"])
+    seen = read_store(spark, store_dir, exclude_batch_id=batch_id)
+    fresh = keyed.join(seen, "content_key", "left_anti") if seen is not None else keyed
+    # Materialize once: the two writes below must see the same rows.
+    fresh = fresh.localCheckpoint(eager=True)
+    write_batch(fresh.drop("content_key"), out_dir, batch_id)
+    write_batch(fresh.select("content_key"), store_dir, batch_id)
 
 
 def incremental_dedup(
@@ -34,21 +61,8 @@ def incremental_dedup(
     text_col: str = "text",
 ) -> StreamingQuery:
     """Start the dedup stream; returns the StreamingQuery handle."""
-    spark = docs_stream.sparkSession
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.withColumn(
-            "content_key", F.md5(F.lower(F.col(text_col)))
-        ).dropDuplicates(["content_key"])
-        if os.path.isdir(store_dir):
-            seen = spark.read.parquet(store_dir)
-            fresh = keyed.join(seen, "content_key", "left_anti")
-        else:
-            fresh = keyed
-        # Materialize once: the two writes below must see the same rows.
-        fresh = fresh.localCheckpoint(eager=True)
-        fresh.drop("content_key").write.mode("append").parquet(out_dir)
-        fresh.select("content_key").write.mode("append").parquet(store_dir)
+        dedup_process_batch(batch_df, batch_id, store_dir, out_dir, text_col)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

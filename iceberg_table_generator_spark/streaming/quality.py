@@ -13,8 +13,9 @@ gate needs none, which is exactly why production pipelines run it FIRST
 
 Scale posture: the rule projection is one codegen'd in-row pass per
 micro-batch (no shuffle at all — the gate adds zero exchanges to the
-ingest stream); the store append is the usual non-transactional parquet
-caveat (production uses an ACID sink).
+ingest stream); verdict writes are replay-safe (streaming/store.py):
+each batch overwrites its own batch_id partition, so a crash-replay
+rewrites the same verdicts instead of duplicating them (r12 verdict #4).
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from iceberg_table_generator_spark.operators.wave14 import gopher_rule_flags
+from iceberg_table_generator_spark.streaming.store import write_batch
 
 
 def quality_verdicts(batch_df: DataFrame) -> DataFrame:
@@ -40,6 +42,19 @@ def quality_verdicts(batch_df: DataFrame) -> DataFrame:
     return flags.withColumn("keep", keep)
 
 
+def quality_process_batch(
+    batch_df: DataFrame, batch_id: int, verdict_dir: str
+) -> None:
+    """One micro-batch of the quality gate (module-level for the replay
+    test).  Stateless rules ⇒ a replay recomputes identical verdicts; the
+    batch_id-partition overwrite makes the rewrite idempotent."""
+    # An empty micro-batch must not create a data-file-less store
+    # directory (the streaming/semdedup.py lesson).
+    if batch_df.isEmpty():
+        return
+    write_batch(quality_verdicts(batch_df), verdict_dir, batch_id)
+
+
 def streaming_quality_gate(
     doc_stream: DataFrame, verdict_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
@@ -47,11 +62,7 @@ def streaming_quality_gate(
     arriving document to `verdict_dir`."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # An empty micro-batch must not create a data-file-less store
-        # directory (the streaming/semdedup.py lesson).
-        if batch_df.isEmpty():
-            return
-        quality_verdicts(batch_df).write.mode("append").parquet(verdict_dir)
+        quality_process_batch(batch_df, batch_id, verdict_dir)
 
     return (
         doc_stream.writeStream.foreachBatch(process_batch)

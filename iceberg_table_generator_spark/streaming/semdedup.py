@@ -30,9 +30,11 @@ once on the reference corpus; production refits offline and replays).
 Scale posture: the store holds one (cid, vec, nrm) row per kept
 exemplar — the post-dedup set, the cheapest relation the pipeline owns;
 the history probe is a cid-co-partitioned pair join (cluster-local,
-never all-pairs), identical to the batch operator's plan.  The same
-non-transactional parquet-append caveat as streaming/dedup.py applies;
-production uses an ACID sink.
+never all-pairs), identical to the batch operator's plan.  Store writes
+are replay-safe (streaming/store.py): each batch overwrites its own
+batch_id partition, and the history read excludes that partition, so a
+crash-replay of a batch converges to the same store contents instead of
+double-appending (r12 verdict #4).
 """
 
 from __future__ import annotations
@@ -48,6 +50,43 @@ from iceberg_table_generator_spark.operators.wave11 import (  # noqa: F401
     semdedup_batch_verdict,
     semdedup_members,
 )
+from iceberg_table_generator_spark.streaming.store import read_store, write_batch
+
+
+def semdedup_process_batch(
+    batch_df: DataFrame, batch_id: int, centroids, store_dir: str
+) -> None:
+    """One micro-batch of the semantic-dedup sink (module-level so the
+    replay test can re-execute a batch exactly as a crash-recovery would).
+
+    Replay-safe by construction: the history read EXCLUDES this batch's
+    own partition (on a crash-replay the half-written partition must not
+    condemn its own rows — a kept exemplar matches itself at cosine 1.0),
+    and the write overwrites ONLY this batch's partition."""
+    # Empty micro-batches must not touch the store: a zero-row write can
+    # create a data-file-less directory that breaks the next batch's
+    # schema inference (r11 ADVICE).
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    emb = batch_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # A vec_id re-arriving twice WITHIN one micro-batch (duplicate rows
+    # in one file) would fan out the verdict join; the batch verdict's
+    # contract is unique vec_ids per batch (r11 ADVICE), so enforce it
+    # here.  Cross-batch re-arrivals need no special case: a kept
+    # exemplar re-arriving matches itself in the history probe at
+    # cosine 1.0 ≥ τ and is dropped.
+    emb = emb.dropDuplicates(["vec_id"])
+    # Materialize once: the verdict reads the member relation on both
+    # pair-join sides and the store write must agree with it.
+    m = semdedup_members(emb, centroids).localCheckpoint(eager=True)
+    seen = read_store(spark, store_dir, exclude_batch_id=batch_id)
+    verdict = semdedup_batch_verdict(m, seen)
+    keep_ids = verdict.filter("keep").select("vec_id")
+    kept = m.join(keep_ids, "vec_id").select("cid", "vec_id", "vec", "nrm")
+    write_batch(kept, store_dir, batch_id)
 
 
 def incremental_semantic_dedup(
@@ -63,51 +102,8 @@ def incremental_semantic_dedup(
     the batch SemDeDup family shares — fit once, passed in, broadcast
     per batch.  The kept-exemplar store at `store_dir` is both history
     and output."""
-    spark = vec_stream.sparkSession
-
-    def _store_exists() -> bool:
-        # Resolve through Hadoop's FileSystem so the existence check works
-        # on ANY configured store scheme (HDFS/S3A/DBFS), not just the
-        # driver-local filesystem (r11 ADVICE: os.path.isdir silently read
-        # a remote store as absent, dropping the cross-batch dedup rule).
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = path.getFileSystem(hconf)
-        if not fs.exists(path):
-            return False
-        # An existing-but-empty directory (e.g. created by a racing zero-row
-        # append) has no data files and would fail parquet schema inference.
-        it = fs.listFiles(path, True)
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                return True
-        return False
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Empty micro-batches must not touch the store: a zero-row append
-        # can create a data-file-less directory that breaks the next
-        # batch's schema inference (r11 ADVICE).
-        if batch_df.isEmpty():
-            return
-        emb = batch_df.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-        )
-        # A vec_id re-arriving twice WITHIN one micro-batch (duplicate rows
-        # in one file) would fan out the verdict join; the batch verdict's
-        # contract is unique vec_ids per batch (r11 ADVICE), so enforce it
-        # here.  Cross-batch re-arrivals need no special case: a kept
-        # exemplar re-arriving matches itself in the history probe at
-        # cosine 1.0 ≥ τ and is dropped.
-        emb = emb.dropDuplicates(["vec_id"])
-        # Materialize once: the verdict reads the member relation on
-        # both pair-join sides and the store append must agree with it.
-        m = semdedup_members(emb, centroids).localCheckpoint(eager=True)
-        seen = spark.read.parquet(store_dir) if _store_exists() else None
-        verdict = semdedup_batch_verdict(m, seen)
-        keep_ids = verdict.filter("keep").select("vec_id")
-        kept = m.join(keep_ids, "vec_id").select("cid", "vec_id", "vec", "nrm")
-        kept.write.mode("append").parquet(store_dir)
+        semdedup_process_batch(batch_df, batch_id, centroids, store_dir)
 
     return (
         vec_stream.writeStream.foreachBatch(process_batch)

@@ -20,8 +20,13 @@ when the delta count grows.  At 100 TB the delta per batch is
 vocabulary-of-the-batch-sized, and the read-side merge is one shuffle on
 the term key.
 
-Same non-transactional parquet-append caveat as the other streaming
-sinks; production uses an ACID table.
+Delta writes are replay-safe (streaming/store.py): each batch's deltas
+land in their own batch_id partition with dynamic overwrite, so a
+crash-replay rewrites the same deltas instead of double-counting (r12
+verdict #4).  Compaction folds the log into the reserved batch_id=-1
+"base" partition with a STATIC overwrite (truncate-and-write), keeping
+the directory layout uniformly partitioned; it is an offline maintenance
+pass, run only while the stream is stopped.
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+
+from iceberg_table_generator_spark.streaming.store import BATCH_COL, write_batch
 
 
 def _batch_deltas(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -51,6 +58,20 @@ def _batch_deltas(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return df_delta, scalar_delta
 
 
+def textstats_process_batch(
+    batch_df: DataFrame, batch_id: int, stats_dir: str
+) -> None:
+    """One micro-batch of the stats-maintenance sink (module-level for
+    the replay test).  Deltas are pure functions of the batch, so a
+    replay recomputes identical deltas; the batch_id-partition overwrite
+    makes the rewrite idempotent."""
+    if batch_df.isEmpty():
+        return
+    df_delta, scalar_delta = _batch_deltas(batch_df)
+    write_batch(df_delta, os.path.join(stats_dir, "df"), batch_id)
+    write_batch(scalar_delta, os.path.join(stats_dir, "scalars"), batch_id)
+
+
 def incremental_text_stats(
     docs_stream: DataFrame,
     stats_dir: str,
@@ -62,9 +83,7 @@ def incremental_text_stats(
     scalar_dir = os.path.join(stats_dir, "scalars")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        df_delta, scalar_delta = _batch_deltas(batch_df)
-        df_delta.write.mode("append").parquet(df_dir)
-        scalar_delta.write.mode("append").parquet(scalar_dir)
+        textstats_process_batch(batch_df, batch_id, stats_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
@@ -78,11 +97,13 @@ def read_text_stats(spark: SparkSession, stats_dir: str):
     """Merge-on-read view of the stats log: (df relation, scalars row)."""
     df = (
         spark.read.parquet(os.path.join(stats_dir, "df"))
+        .drop(BATCH_COL)
         .groupBy("w")
         .agg(F.sum("df").alias("df"))
     )
     scalars = (
         spark.read.parquet(os.path.join(stats_dir, "scalars"))
+        .drop(BATCH_COL)
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_dl").cast("long").alias("total_dl"),
@@ -100,7 +121,20 @@ def compact_stats(spark: SparkSession, stats_dir: str) -> None:
     scalar_dir = os.path.join(stats_dir, "scalars")
     df, scalars = read_text_stats(spark, stats_dir)
     merged = df.localCheckpoint(eager=True)  # vocabulary-sized, read twice
-    merged.write.mode("overwrite").parquet(df_dir)
-    spark.createDataFrame(
-        [(scalars.n_docs, scalars.total_dl)], "n_docs long, total_dl long"
-    ).write.mode("overwrite").parquet(scalar_dir)
+    # STATIC overwrite into the reserved base partition: truncates every
+    # delta partition and leaves one uniformly-partitioned layout.
+    (
+        merged.withColumn(BATCH_COL, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(df_dir)
+    )
+    (
+        spark.createDataFrame(
+            [(scalars.n_docs, scalars.total_dl)], "n_docs long, total_dl long"
+        )
+        .withColumn(BATCH_COL, F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy(BATCH_COL)
+        .parquet(scalar_dir)
+    )
