@@ -433,6 +433,9 @@ HEADLINE = [
     "pipeline_quality_ablation_curve",
     "dedup_semdedup_lang_tau_sweep",
     "similarity_bq_rerank_recall",
+    # round-13 additions
+    "text_subword_fertility",
+    "text_tokenizer_vocab_sweep",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -1,0 +1,346 @@
+"""Round-13 wave: subword tokenizer-fertility audit (r12 verdict #5).
+
+The existing `text_tokenizer_fertility` (operators/text.py) measures the
+WHITESPACE level only — chars per word.  What a multilingual pipeline
+actually decides on is the SUBWORD level: TOKENIZER CHOICE.  Multilingual pipelines read a fertility matrix — per-language
+tokens-per-word, bytes-per-token, and OOV rate under a candidate
+vocabulary — before fixing a tokenizer, because a vocabulary fit to the
+head language inflates token counts (and training cost, and effective
+context shrinkage) for the tail languages.
+
+Tokenizer proxy, chosen for engine-exactness (the repo's integer-exact
+closed-form idiom): a frequency-built whole-word vocabulary of the top-V
+corpus words (ties broken by word — deterministic on both engines), with
+a character-chunk fallback: an in-vocab word costs 1 token, an OOV word
+costs ceil(len/4) tokens (the BPE-ish "word decomposes into ~4-char
+subword pieces" shape).  This is the standard first-screen proxy — real
+BPE merges need the trained merge table, but vocabulary COVERAGE is what
+drives cross-language fertility differences, and coverage is exactly
+what this measures.  All ratios are micro-scaled integer divisions, so
+both engines agree bit-for-bit.
+
+Scale posture: ONE token pass over the corpus (the same exploded-token
+relation every text operator uses), a vocab-bounded (top-V ≤ 1024 rows,
+limit-k) broadcast join, and a languages-bounded output.  No UDFs, no
+driver loops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from iceberg_table_generator_spark.registry import query
+from iceberg_table_generator_spark.sources.tables import load_table, spread
+
+_MICRO = 1_000_000
+
+#: Vocabulary size of the headline fertility matrix.
+FERTILITY_V = 256
+#: OOV fallback: an out-of-vocabulary word costs ceil(len / SUBWORD_LEN)
+#: tokens — the "decomposes into ~4-char pieces" BPE proxy.
+SUBWORD_LEN = 4
+#: Vocabulary sizes swept by `text_tokenizer_vocab_sweep` (the curve a
+#: pipeline reads to pick V; must be ascending, max bounds the broadcast).
+VOCAB_SWEEP = (64, 256, 1024)
+
+
+def _tok_sql() -> str:
+    """Shared DuckDB CTE prefix: exploded lowercase tokens with byte and
+    char lengths (strlen = UTF-8 bytes in DuckDB; Spark's octet_length is
+    its twin), empty tokens dropped (double-space artifacts)."""
+    return """
+tok AS (
+  SELECT doc_id, lang, w, strlen(w) AS bytes, length(w) AS chars
+  FROM (SELECT doc_id, lang,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+rnk AS (
+  SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM cnt)"""
+
+
+_FERTILITY_ORACLE = f"""
+WITH {_tok_sql()},
+vocab AS (SELECT w FROM rnk WHERE r <= {FERTILITY_V}),
+scored AS (
+  SELECT t.lang, t.bytes, t.chars,
+         CASE WHEN v.w IS NOT NULL THEN 1
+              ELSE (t.chars + {SUBWORD_LEN - 1}) // {SUBWORD_LEN} END AS toks,
+         CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY lang)
+SELECT s.lang,
+       nd.n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.toks) AS BIGINT) AS n_tokens,
+       CAST(sum(s.oov) AS BIGINT) AS n_oov_words,
+       CAST(sum(s.bytes) AS BIGINT) AS n_bytes,
+       CAST((sum(s.toks) * {_MICRO}) // count(*) AS BIGINT)
+         AS fertility_micro,
+       CAST((sum(s.bytes) * {_MICRO}) // sum(s.toks) AS BIGINT)
+         AS bytes_per_token_micro,
+       CAST((sum(s.chars) * {_MICRO}) // sum(s.toks) AS BIGINT)
+         AS chars_per_token_micro,
+       CAST((sum(s.oov) * {_MICRO}) // count(*) AS BIGINT) AS oov_ppm
+FROM scored s JOIN nd ON nd.lang = s.lang
+GROUP BY s.lang, nd.n_docs
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded lowercase tokens with byte/char lengths (Spark twin of
+    `_tok_sql`'s `tok` CTE)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            F.octet_length("w").cast("long").alias("bytes"),
+            F.length("w").cast("long").alias("chars"),
+        )
+    )
+
+
+def _vocab_ranks(tok: DataFrame, max_v: int) -> DataFrame:
+    """(w, r) for the top `max_v` corpus words by (count desc, word asc)
+    — the deterministic frequency-built vocabulary, engine-exact (the
+    oracle's row_number uses the identical total order).  limit-k bounded
+    ⇒ broadcastable at any corpus size."""
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    # row_number over an unpartitioned window would single-task the whole
+    # vocabulary; orderBy+limit keeps the top-k distributed (TakeOrdered).
+    return (
+        cnt.orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_v)
+        .withColumn("r", F.row_number().over(w))
+        .select("w", "r")
+    )
+
+
+@query("text_subword_fertility", oracle=_FERTILITY_ORACLE)
+def text_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility matrix under the top-{FERTILITY_V}
+    frequency vocabulary: tokens-per-word (fertility), bytes/chars per
+    token, and OOV rate — the table a multilingual pipeline reads before
+    fixing a tokenizer (a head-language vocabulary inflates tail-language
+    token counts; this quantifies by how much, per language).
+
+    Engine-exact: the vocabulary is a deterministic top-V (count desc,
+    word asc), the OOV fallback is integer ceil-division, and every ratio
+    is a micro-scaled integer division.  Scale: one token pass, one
+    limit-k-bounded broadcast (the vocabulary), languages-bounded output.
+    """
+    tok = _tokens(spark, sf_dir)
+    vocab = _vocab_ranks(tok, FERTILITY_V).select(
+        "w", F.lit(1).alias("in_vocab")
+    )
+    scored = tok.join(F.broadcast(vocab), "w", "left").select(
+        "lang",
+        "bytes",
+        "chars",
+        F.when(F.col("in_vocab").isNotNull(), F.lit(1))
+        .otherwise(
+            F.expr(f"(chars + {SUBWORD_LEN - 1}) div {SUBWORD_LEN}")
+        )
+        .cast("long")
+        .alias("toks"),
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    nd = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    per = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov_words"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.sum("chars").cast("long").alias("_chars"),
+    )
+    return (
+        per.join(F.broadcast(nd), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_oov_words",
+            "n_bytes",
+            F.expr(f"(n_tokens * {_MICRO}) div n_words")
+            .cast("long")
+            .alias("fertility_micro"),
+            F.expr(f"(n_bytes * {_MICRO}) div n_tokens")
+            .cast("long")
+            .alias("bytes_per_token_micro"),
+            F.expr(f"(_chars * {_MICRO}) div n_tokens")
+            .cast("long")
+            .alias("chars_per_token_micro"),
+            F.expr(f"(n_oov_words * {_MICRO}) div n_words")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+def _vocab_sweep_oracle() -> str:
+    grid = ", ".join(f"({v})" for v in VOCAB_SWEEP)
+    return f"""
+WITH {_tok_sql()},
+vs(vocab_size) AS (VALUES {grid}),
+scored AS (
+  SELECT vs.vocab_size, t.lang, t.bytes,
+         CASE WHEN r.r IS NOT NULL AND r.r <= vs.vocab_size THEN 1
+              ELSE (t.chars + {SUBWORD_LEN - 1}) // {SUBWORD_LEN} END AS toks,
+         CASE WHEN r.r IS NOT NULL AND r.r <= vs.vocab_size THEN 0
+              ELSE 1 END AS oov
+  FROM tok t
+  LEFT JOIN (SELECT * FROM rnk WHERE r <= {max(VOCAB_SWEEP)}) r
+    ON r.w = t.w
+  CROSS JOIN vs)
+SELECT vocab_size, lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST((sum(toks) * {_MICRO}) // count(*) AS BIGINT)
+         AS fertility_micro,
+       CAST((sum(bytes) * {_MICRO}) // sum(toks) AS BIGINT)
+         AS bytes_per_token_micro,
+       CAST((sum(oov) * {_MICRO}) // count(*) AS BIGINT) AS oov_ppm
+FROM scored GROUP BY vocab_size, lang
+"""
+
+
+@query("text_tokenizer_vocab_sweep", oracle=_vocab_sweep_oracle())
+def text_tokenizer_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-vs-vocabulary-size curve, per language, over the swept
+    sizes {VOCAB_SWEEP}: how much fertility (and OOV) improves as the
+    vocabulary grows — the trade-off curve read against memory/embedding
+    budget when choosing V.  The τ-sweep idiom applied to tokenizer
+    choice: rank the vocabulary ONCE (top max(V), engine-exact total
+    order), then every swept size is a rank cut, so the sweep costs one
+    token pass + a |grid|-bounded cross join — not |grid| passes.
+
+    Scale: the rank relation is limit-k bounded (≤ max(V) rows,
+    broadcast); output is |grid| × languages."""
+    tok = _tokens(spark, sf_dir)
+    ranks = _vocab_ranks(tok, max(VOCAB_SWEEP))
+    vs = spark.createDataFrame(
+        [(v,) for v in VOCAB_SWEEP], "vocab_size int"
+    )
+    scored = (
+        tok.join(F.broadcast(ranks), "w", "left")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "vocab_size",
+            "lang",
+            "bytes",
+            F.when(
+                F.col("r").isNotNull() & (F.col("r") <= F.col("vocab_size")),
+                F.lit(1),
+            )
+            .otherwise(
+                F.expr(f"(chars + {SUBWORD_LEN - 1}) div {SUBWORD_LEN}")
+            )
+            .cast("long")
+            .alias("toks"),
+            F.when(
+                F.col("r").isNotNull() & (F.col("r") <= F.col("vocab_size")),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("oov"),
+        )
+    )
+    return scored.groupBy("vocab_size", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.expr(f"(sum(toks) * {_MICRO}) div count(*)")
+        .cast("long")
+        .alias("fertility_micro"),
+        F.expr(f"(sum(bytes) * {_MICRO}) div sum(toks)")
+        .cast("long")
+        .alias("bytes_per_token_micro"),
+        F.expr(f"(sum(oov) * {_MICRO}) div count(*)")
+        .cast("long")
+        .alias("oov_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidate-growth probe (r12 verdict #3)
+# --------------------------------------------------------------------------
+#: Words per synthetic document and the planted-duplicate period: every
+#: doc with doc_id ≡ PERIOD-1 (mod PERIOD) is an exact copy of its
+#: predecessor — a FIXED duplicate rate at every N.
+_PROBE_WORDS = 12
+_PROBE_PERIOD = 10
+
+
+def _synth_docs(spark: SparkSession, n: int):
+    """(doc_id, text): deterministic synthetic corpus with a fixed
+    duplicate rate (the `semdedup_k_scaling_probe` fixture pattern — no
+    RNG).  Non-duplicate docs draw words from a ~10⁶ token space via an
+    integer hash, so accidental shingle collisions between distinct docs
+    are negligible and every LSH candidate pair is a planted duplicate."""
+    base = F.when(
+        F.col("id") % _PROBE_PERIOD == _PROBE_PERIOD - 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(_PROBE_WORDS - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            (
+                (base * F.lit(2654435761) + j * F.lit(40503) + F.lit(7))
+                % F.lit(1000003)
+            ).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def minhash_candidate_scaling_probe(
+    spark: SparkSession, n: int
+) -> tuple[int, int]:
+    """(planted duplicate pairs, realized LSH candidate pairs) for the
+    production 16×4 banding plan over the synthetic corpus — the lexical
+    tier's twin of `semdedup_k_scaling_probe` (r12 verdict #3).
+
+    The claim it makes empirical: at a FIXED duplicate rate, LSH
+    candidates grow LINEARLY in N (each planted pair collides in its
+    bands; unrelated docs share no shingles so they share no band keys)
+    — not quadratically, which is the whole point of banding over the
+    all-pairs join.  Asserted at two N values in
+    tests/test_minhash_scaling.py; published in SCALING.md."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        minhash_band_keys,
+    )
+
+    docs = _synth_docs(spark, n)
+    bands = minhash_band_keys(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .count()
+    )
+    planted = n // _PROBE_PERIOD
+    return planted, cand

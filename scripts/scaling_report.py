@@ -238,6 +238,87 @@ def main() -> None:
         lines.append(f"| {n} | {k} | {c2} | {pairs} | {ratio} |")
         prev_c2 = c2
 
+    # MinHash-LSH candidate growth: the lexical twin of the SemDeDup law
+    # (r12 verdict #3) — candidates under the production 16×4 banding
+    # plan grow ~linearly in N at fixed duplicate rate.  The law assert
+    # lives in tests/test_minhash_scaling.py.
+    from iceberg_table_generator_spark.operators.wave19 import (
+        minhash_candidate_scaling_probe,
+    )
+
+    lines += [
+        "",
+        "## MinHash-LSH candidate growth (synthetic fixture, fixed dup rate)",
+        "",
+        "Measured by `operators/wave19.minhash_candidate_scaling_probe`",
+        "(shared with tests/test_minhash_scaling.py, which asserts the",
+        "law).  At a fixed duplicate rate, band-bucket collisions bound",
+        "candidates to ~linear growth — a 4× corpus step costs ~4× the",
+        "candidate pairs (the all-pairs join the family avoids would cost",
+        "16×).",
+        "",
+        "| N | planted dup pairs | LSH candidate pairs | step ratio (linear 4.0 / quadratic 16.0) |",
+        "|---|---|---|---|",
+    ]
+    prev_c = None
+    for n in (800, 3200):
+        planted, cand = minhash_candidate_scaling_probe(spark, n)
+        ratio = f"{cand / prev_c:.2f}" if prev_c else "—"
+        lines.append(f"| {n} | {planted} | {cand} | {ratio} |")
+        prev_c = cand
+
+    # Measured runtime-scaling exponents (r12 verdict #2): plan shapes are
+    # static guarantees; the exponent is the empirical check that no query
+    # is accidentally super-linear inside bounded shapes.  Inputs are the
+    # committed per-SF timing files from scripts/time_queries.py.
+    import json
+    import math
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    t_small_path = os.path.join(root, "TIMINGS_sf0.01.json")
+    t_big_path = os.path.join(root, "TIMINGS_sf0.1.json")
+    if os.path.exists(t_small_path) and os.path.exists(t_big_path):
+        with open(t_small_path) as f:
+            t_small = json.load(f)["queries"]
+        with open(t_big_path) as f:
+            t_big = json.load(f)["queries"]
+        MIN_SECS = 1.0  # below this, JVM/job fixed overhead dominates
+        measurable = sorted(
+            (
+                (
+                    round(math.log10(t_big[n] / t_small[n]), 2),
+                    n,
+                    t_small[n],
+                    t_big[n],
+                )
+                for n in t_big
+                if n in t_small and t_big[n] >= MIN_SECS and t_small[n] > 0
+            ),
+            reverse=True,
+        )
+        n_flag = sum(1 for e, *_ in measurable if e > 1.3)
+        lines += [
+            "",
+            "## Measured runtime-scaling exponents (sf0.01 → sf0.1)",
+            "",
+            "From `scripts/time_queries.py` runs at both SFs (min of 2 warm",
+            "noop-write runs each; Spark side only, no oracle contention).",
+            "`exp` = log10(t(sf0.1)/t(sf0.01)) over a 10× data step: ≈1.0 is",
+            "linear, <1 is overhead-dominated, >1.3 is flagged as possibly",
+            "super-linear and must carry a rationale in",
+            "`tests/test_runtime_scaling.py` (the guard that re-derives this",
+            f"table).  Queries with t(sf0.1) < {MIN_SECS} s are omitted —",
+            "fixed overhead swamps the slope there.",
+            "",
+            f"{len(measurable)} measurable queries, {n_flag} flagged > 1.3.",
+            "",
+            "| query | t(sf0.01) s | t(sf0.1) s | exp | |",
+            "|---|---|---|---|---|",
+        ]
+        for e, n, ts, tb in measurable:
+            mark = "⚠" if e > 1.3 else ""
+            lines.append(f"| {n} | {ts} | {tb} | {e} | {mark} |")
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
