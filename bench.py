@@ -436,6 +436,7 @@ HEADLINE = [
     # round-13 additions
     "text_subword_fertility",
     "text_tokenizer_vocab_sweep",
+    "text_ccnet_perplexity_buckets",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

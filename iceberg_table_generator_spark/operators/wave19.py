@@ -169,8 +169,11 @@ def text_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("long").alias("n_bytes"),
         F.sum("chars").cast("long").alias("_chars"),
     )
+    # no broadcast hint: both sides are lang-keyed aggregates (a handful
+    # of rows post-shuffle); the invariant suite only certifies broadcasts
+    # it can prove bounded, and a tiny SMJ costs nothing here
     return (
-        per.join(F.broadcast(nd), "lang")
+        per.join(nd, "lang")
         .select(
             "lang",
             "n_docs",
@@ -235,8 +238,13 @@ def text_tokenizer_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast); output is |grid| × languages."""
     tok = _tokens(spark, sf_dir)
     ranks = _vocab_ranks(tok, max(VOCAB_SWEEP))
-    vs = spark.createDataFrame(
-        [(v,) for v in VOCAB_SWEEP], "vocab_size int"
+    # range+explode literal (not createDataFrame): plans as Range → the
+    # broadcast invariant's driver-literal category (the
+    # lineitem_global_quantiles idiom)
+    vs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in VOCAB_SWEEP])).alias(
+            "vocab_size"
+        )
     )
     scored = (
         tok.join(F.broadcast(ranks), "w", "left")
@@ -344,3 +352,137 @@ def minhash_candidate_scaling_probe(
     )
     planted = n // _PROBE_PERIOD
     return planted, cand
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail per language)
+# --------------------------------------------------------------------------
+_BUCKET_NAMES = ("head", "middle", "tail")
+
+
+def _ccnet_oracle() -> str:
+    from iceberg_table_generator_spark.operators.wave12 import (
+        _LOGLOSS_ORACLE,
+    )
+
+    # Reuse the registered per-doc scoring CTEs verbatim (everything in
+    # text_unigram_logloss's oracle up to the per-doc relation `pd`).
+    pd_ctes = _LOGLOSS_ORACLE.split("\nSELECT d.source")[0].strip()
+    assert pd_ctes.startswith("WITH "), "logloss oracle shape changed"
+    return f"""{pd_ctes},
+sd AS (
+  SELECT p.doc_id, p.ll_pt_micro, p.n_tokens, d.lang
+  FROM pd p JOIN documents d USING (doc_id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ll_pt_micro, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM sd),
+b AS (
+  SELECT lang, ll_pt_micro, n_tokens,
+         CASE ((rk - 1) * 3) // nl
+           WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM r)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(ll_pt_micro) AS BIGINT) AS min_logloss_micro,
+       CAST(max(ll_pt_micro) AS BIGINT) AS max_logloss_micro,
+       CAST(sum(ll_pt_micro) // count(*) AS BIGINT) AS avg_logloss_micro
+FROM b GROUP BY lang, bucket
+"""
+
+
+@query("text_ccnet_perplexity_buckets", oracle=_ccnet_oracle())
+def text_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing, per language: score
+    every document with the corpus-fit add-one unigram LM (the SAME
+    per-doc relation as `text_unigram_logloss` — composed, not re-
+    derived), rank within its language by per-token logloss, and cut
+    into exact terciles — head = lowest perplexity.  CCNet keeps head
+    (and usually middle) per language; this emits the doc and token mass
+    each retention choice keeps, per (language, bucket).
+
+    Exact terciles WITHOUT a per-language corpus window (the scale-killer
+    `test_window_invariant.py` guards against): the two-phase distributed
+    order assigns global positions over (lang, logloss, doc_id); per-
+    language ranks are global positions minus the preceding-language
+    offsets, which come from a languages-bounded collect (the UniMax
+    model-bounded-collect policy) re-emitted as a driver-literal
+    broadcast (the `lineitem_global_quantiles` idiom, classifiable by
+    the broadcast invariant).  Bucket = ((rank-1)·3) div n_lang — pure
+    integer arithmetic, identical in the oracle's row_number form."""
+    from iceberg_table_generator_spark.functions.order import (
+        with_global_order,
+    )
+    from iceberg_table_generator_spark.operators.wave12 import (
+        unigram_lnp_terms,
+    )
+
+    lnp, dc = unigram_lnp_terms(spark, sf_dir)
+    pd_df = (
+        dc.join(lnp.drop("raw_lnp"), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST((0 - sum(c * lnp_micro)) div sum(c) AS BIGINT)"
+            ).alias("ll_pt_micro"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = pd_df.join(d, "doc_id")
+    ordered = with_global_order(
+        scored,
+        [("lang", True), ("ll_pt_micro", True), ("doc_id", True)],
+        pos="pos",
+    )
+    # languages-bounded collect (|langs| rows — model-sized, the UniMax
+    # policy), folded into (lang, offset, n) literals
+    counts = sorted(
+        (r["lang"], r["n"])
+        for r in scored.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    offs, acc = [], 0
+    for lang, n in counts:
+        offs.append((lang, acc, n))
+        acc += n
+    off = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("lang"),
+                        F.lit(o).alias("off"),
+                        F.lit(n).alias("nl"),
+                    )
+                    for lang, o, n in offs
+                ]
+            )
+        ).alias("e")
+    ).select("e.lang", "e.off", "e.nl")
+    bucketed = ordered.join(F.broadcast(off), "lang").select(
+        "lang",
+        "ll_pt_micro",
+        "n_tokens",
+        F.expr(f"""
+          CASE ((pos - off - 1) * 3) div nl
+            WHEN 0 THEN '{_BUCKET_NAMES[0]}'
+            WHEN 1 THEN '{_BUCKET_NAMES[1]}'
+            ELSE '{_BUCKET_NAMES[2]}' END
+        """).alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("ll_pt_micro").cast("long").alias("min_logloss_micro"),
+        F.max("ll_pt_micro").cast("long").alias("max_logloss_micro"),
+        F.expr("CAST(sum(ll_pt_micro) div count(1) AS BIGINT)").alias(
+            "avg_logloss_micro"
+        ),
+    )
