@@ -437,6 +437,7 @@ HEADLINE = [
     "text_subword_fertility",
     "text_tokenizer_vocab_sweep",
     "text_ccnet_perplexity_buckets",
+    "meta_expire_retention_sweep",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -210,3 +210,120 @@ def meta_expire_snapshots_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removable"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Expire-snapshots retention sweep (retain_last grid)
+# --------------------------------------------------------------------------
+#: Retention policies swept (must each be ≤ the fixture's snapshot count).
+EXPIRE_SWEEP = (1, 2, 4)
+
+
+def _expire_sweep_oracle() -> str:
+    from iceberg_table_generator_spark.operators.metadata_tables import (
+        _META_JSON,
+    )
+
+    grid = ", ".join(f"({n})" for n in EXPIRE_SWEEP)
+    return f"""
+WITH m AS (SELECT * FROM read_json('{_META_JSON}', format='array')),
+g(retain_last) AS (VALUES {grid}),
+snaps AS (
+  SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+         row_number() OVER (ORDER BY snapshot_id DESC) AS rdesc
+  FROM m),
+cut AS (
+  SELECT g.retain_last, s.snapshot_id AS min_retained
+  FROM g JOIN snaps s ON s.rdesc = g.retain_last),
+entries AS (
+  SELECT CAST(snapshot_id AS INT) AS snapshot_id, 'data' AS content,
+         CAST(e[1]->>'$' AS VARCHAR) AS file_path
+  FROM (SELECT snapshot_id, unnest(data_files) AS e FROM m)
+  UNION ALL
+  SELECT CAST(snapshot_id AS INT) AS snapshot_id,
+         CAST(e[3]->>'$' AS VARCHAR) AS content,
+         CAST(e[1]->>'$' AS VARCHAR) AS file_path
+  FROM (SELECT snapshot_id, unnest(delete_files) AS e FROM m)),
+per_file AS (
+  SELECT c.retain_last, e.file_path, e.content,
+         max(CASE WHEN e.snapshot_id >= c.min_retained THEN 1 ELSE 0 END)
+           AS retained
+  FROM entries e CROSS JOIN cut c
+  GROUP BY c.retain_last, e.file_path, e.content)
+SELECT CAST(retain_last AS INT) AS retain_last,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(1 - retained) AS BIGINT) AS n_removable,
+       CAST(sum(CASE WHEN retained = 0 AND content = 'data'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removable_data,
+       CAST(sum(CASE WHEN retained = 0 AND content <> 'data'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removable_deletes
+FROM per_file GROUP BY retain_last
+"""
+
+
+@query("meta_expire_retention_sweep", oracle=_expire_sweep_oracle())
+def meta_expire_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy sweep over the ExpireSnapshots dry run: for each
+    retain_last ∈ {EXPIRE_SWEEP}, how many files (data vs delete) become
+    physically removable — the table-maintenance trade-off curve
+    (aggressive retention reclaims more files but shortens the
+    time-travel window) read before committing an expiry policy, the
+    lifecycle twin of the banding-plan / τ / vocabulary sweeps.
+
+    Grid-composes the registered `meta_expire_snapshots_plan` algebra:
+    the per-(policy, file) retained flag is the same set test, evaluated
+    once per grid cell on the metadata-sized entry relation (never
+    data).  The policy grid is a driver-literal; output is |grid| rows."""
+    from iceberg_table_generator_spark.operators.metadata_tables import (
+        _fixture_table,
+    )
+
+    t = _fixture_table(spark, sf_dir)
+    files = t.all_files_table()
+    snaps = sorted(
+        r.snapshot_id
+        for r in files.select("snapshot_id").distinct().collect()
+    )
+    # snapshot-count-bounded collect (the expire plan's own idiom); the
+    # per-policy cut is a |grid|-row literal
+    cuts = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("retain_last"),
+                        F.lit(snaps[-n]).alias("min_retained"),
+                    )
+                    for n in EXPIRE_SWEEP
+                ]
+            )
+        ).alias("e")
+    ).select("e.retain_last", "e.min_retained")
+    per_file = (
+        files.crossJoin(F.broadcast(cuts))
+        .groupBy("retain_last", "file_path", "content")
+        .agg(
+            F.max(
+                F.when(F.col("snapshot_id") >= F.col("min_retained"), 1)
+                .otherwise(0)
+            ).alias("retained")
+        )
+    )
+    return per_file.groupBy("retain_last").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(1 - F.col("retained")).cast("long").alias("n_removable"),
+        F.sum(
+            F.when(
+                (F.col("retained") == 0) & (F.col("content") == "data"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removable_data"),
+        F.sum(
+            F.when(
+                (F.col("retained") == 0) & (F.col("content") != "data"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removable_deletes"),
+    )

@@ -72,3 +72,30 @@ def test_expire_plan_safety_invariants(spark, sf_small):
     all_entries = {(r.file_path, r.content) for r in files.collect()}
     assert {(r.file_path, r.content) for r in rows} == all_entries
     release_tracked()
+
+
+def test_expire_retention_sweep_monotone(spark, sf_small):
+    """Retaining MORE snapshots can only protect more files: n_removable
+    is non-increasing in retain_last, every count is consistent
+    (removable = data + deletes ≤ files), and the retain_last =
+    EXPIRE_RETAIN_LAST row agrees with the single-policy plan's
+    removable count."""
+    rows = {
+        r.retain_last: r
+        for r in wave15.meta_expire_retention_sweep(spark, sf_small).collect()
+    }
+    assert set(rows) == set(wave15.EXPIRE_SWEEP)
+    n_files = {r.n_files for r in rows.values()}
+    assert len(n_files) == 1  # the file universe is policy-independent
+    for r in rows.values():
+        assert r.n_removable == r.n_removable_data + r.n_removable_deletes
+        assert 0 <= r.n_removable <= r.n_files
+    swept = sorted(rows)
+    for a, b in zip(swept, swept[1:]):
+        assert rows[b].n_removable <= rows[a].n_removable, (a, b, rows)
+    if wave15.EXPIRE_RETAIN_LAST in rows:
+        plan_removable = sum(
+            r.removable
+            for r in wave15.meta_expire_snapshots_plan(spark, sf_small).collect()
+        )
+        assert rows[wave15.EXPIRE_RETAIN_LAST].n_removable == plan_removable
