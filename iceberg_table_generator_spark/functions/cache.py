@@ -56,10 +56,18 @@ def memo_relation(
     :func:`persist_tracked`, so release semantics are unchanged: after
     `release_tracked` the memo is empty and a later evaluation rebuilds.
     Only deterministic relations may be memoized (same contract as
-    re-execution after executor loss)."""
+    re-execution after executor loss).
+
+    Materialized EAGERLY (one count): a memoized relation exists to be
+    read by several branches of the consumer's final job, and Spark can
+    compute a persisted-but-unmaterialized relation once per concurrent
+    branch — the eager pin guarantees exactly one execution (the
+    wave14 band-sweep lesson).  Memoize only bounded relations; the
+    count is then metadata-cheap."""
     if key in _MEMO:
         return _MEMO[key]
     df = persist_tracked(builder(), level)
+    df.count()
     _MEMO[key] = df
     return df
 

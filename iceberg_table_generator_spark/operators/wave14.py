@@ -834,9 +834,12 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-integer divisions, and the pow-derived midpoints are Python
     literals injected into both engines.
 
-    Scale: ONE signature pass (the shared 64-minima aggregation), three
-    band self-joins each bounded by its bucket sizes, and exact verify
-    only on the union candidate set."""
+    Scale: ONE signature pass (the shared 64-minima aggregation), ONE
+    self-join over all three plans' stacked band keys (the plan id is in
+    the join key, so buckets never mix across plans and candidate volume
+    is bounded by each plan's own bucket sizes — r13 fused the three
+    per-plan joins into one exchange), and exact verify only on the
+    union candidate set."""
     from iceberg_table_generator_spark.operators.dedup import (
         _band_fold,
         _md5_60,
