@@ -438,6 +438,7 @@ HEADLINE = [
     "text_tokenizer_vocab_sweep",
     "text_ccnet_perplexity_buckets",
     "meta_expire_retention_sweep",
+    "dedup_cross_source_matrix",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -486,3 +486,77 @@ def text_ccnet_perplexity_buckets(
             "avg_logloss_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source near-dup contamination matrix (mirror detection)
+# --------------------------------------------------------------------------
+def _cross_source_oracle() -> str:
+    from iceberg_table_generator_spark.operators.dedup import _MINHASH_ORACLE
+
+    return f"""
+WITH lex AS ({_MINHASH_ORACLE}),
+p AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(round(l.jaccard * {_MICRO}, 0) AS BIGINT) AS j_micro
+  FROM lex l
+  JOIN documents da ON da.doc_id = l.doc_a
+  JOIN documents db ON db.doc_id = l.doc_b)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(j_micro) // count(*) AS BIGINT) AS avg_jaccard_micro,
+       CAST(max(j_micro) AS BIGINT) AS max_jaccard_micro,
+       CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS INT)
+         AS within_source
+FROM p GROUP BY source_a, source_b
+"""
+
+
+@query("dedup_cross_source_matrix", oracle=_cross_source_oracle())
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which feeds mirror which: the verified MinHash near-dup pairs
+    (the registered `dedup_minhash_lsh` output, composed unchanged)
+    attributed to their source feeds and aggregated per unordered source
+    pair — off-diagonal cells are CROSS-source near-duplicates
+    (re-crawls, templated mirrors, syndicated boilerplate), the audit a
+    corpus steward reads before ingesting a "new" feed that is largely a
+    mirror of an existing one.  The lexical twin of
+    `dedup_semdedup_cross_lang_shadow`'s attribution idiom.
+
+    Exactness: the verified Jaccard is the registered query's own
+    round-6 double, micro-scaled per pair before integer aggregation.
+    Scale: pair-set-sized input (LSH-bounded), two id-keyed joins to the
+    source column, |sources|²-bounded output."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    lex = dedup_minhash_lsh(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    p = (
+        lex.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.round(F.col("jaccard") * _MICRO, 0).cast("long").alias("j_micro"),
+        )
+    )
+    return p.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(j_micro) div count(1) AS BIGINT)").alias(
+            "avg_jaccard_micro"
+        ),
+        F.max("j_micro").cast("long").alias("max_jaccard_micro"),
+        F.when(F.col("source_a") == F.col("source_b"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("within_source"),
+    )

@@ -86,3 +86,23 @@ def test_ccnet_buckets_are_exact_terciles(spark, sf_small):
         ), (lang, b)
         assert b["head"].max_logloss_micro <= b["middle"].min_logloss_micro
         assert b["middle"].max_logloss_micro <= b["tail"].min_logloss_micro
+
+
+def test_cross_source_matrix_accounts_for_all_pairs(spark, sf_small):
+    """Every verified near-dup pair lands in exactly one matrix cell:
+    Σ n_pairs over cells = |dedup_minhash_lsh| pairs, and the
+    within_source flag matches the cell's diagonal position."""
+    from iceberg_table_generator_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from iceberg_table_generator_spark.operators.wave19 import (
+        dedup_cross_source_matrix,
+    )
+
+    total = dedup_minhash_lsh(spark, sf_small).count()
+    rows = dedup_cross_source_matrix(spark, sf_small).collect()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.within_source == (1 if r.source_a == r.source_b else 0)
+        assert 0 < r.avg_jaccard_micro <= r.max_jaccard_micro <= 1_000_000
