@@ -53,57 +53,53 @@ def profile_band_sweep(spark, sf_dir):
     from iceberg_table_generator_spark.functions.cache import persist_tracked
     from iceberg_table_generator_spark.sources.tables import load_table, spread
 
-    print("dedup_minhash_band_sweep stages:")
+    print("dedup_minhash_band_sweep stages (r13 fused-join shape):")
     d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
     sset = d.select("doc_id", F.array_distinct("shingles").alias("sset"))
-    sset = persist_tracked(sset)
-    timed("shingle sets (persist+count)", sset.count)
     sh = sset.select(
         "doc_id",
         F.explode(F.transform("sset", lambda s: _md5_60(s) % MH_P)).alias("h"),
     )
-    sig = minhash_signatures(sh)
-    sig = persist_tracked(sig)
+    sig = persist_tracked(minhash_signatures(sh))
     timed("minhash signatures (persist+count)", sig.count)
-
-    cands = {}
+    stack_args = []
     for b, r in BAND_SWEEP:
-        band_cols = [
-            _band_fold([F.col(f"mh_{bb * r + i}") for i in range(r)]).alias(
-                f"band_{bb}"
+        for bb in range(b):
+            key = _band_fold([F.col(f"mh_{bb * r + i}") for i in range(r)])
+            stack_args.append((F.lit(b), F.lit(r), F.lit(bb), key))
+    rows = F.array(
+        *[
+            F.struct(
+                b.alias("n_bands"),
+                r.alias("rows_per_band"),
+                bb.alias("band_id"),
+                key.alias("band_hash"),
             )
-            for bb in range(b)
+            for b, r, bb, key in stack_args
         ]
-        bands = sig.select("doc_id", *band_cols).selectExpr(
-            "doc_id",
-            "stack({}, {}) AS (band_id, band_hash)".format(
-                b, ", ".join(f"{bb}, band_{bb}" for bb in range(b))
-            ),
+    )
+    bands = sig.select("doc_id", F.explode(rows).alias("e")).select(
+        "doc_id", "e.n_bands", "e.rows_per_band", "e.band_id", "e.band_hash"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.n_bands") == F.col("y.n_bands"))
+            & (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        x, y = bands.alias("x"), bands.alias("y")
-        c = (
-            x.join(
-                y,
-                (F.col("x.band_id") == F.col("y.band_id"))
-                & (F.col("x.band_hash") == F.col("y.band_hash"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.lit(b).alias("n_bands"),
-                F.lit(r).alias("rows_per_band"),
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        .select(
+            F.col("x.n_bands").alias("n_bands"),
+            F.col("x.rows_per_band").alias("rows_per_band"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
         )
-        c = persist_tracked(c)
-        timed(f"band join {b}x{r} candidates", c.count)
-        cands[(b, r)] = c
-    cand = None
-    for c in cands.values():
-        cand = c if cand is None else cand.unionByName(c)
+        .distinct()
+    )
     cand = persist_tracked(cand)
-    timed("union candidates (persist+count)", cand.count)
+    timed("fused band self-join, all 3 plans", cand.count)
     pairs = cand.select("doc_a", "doc_b").distinct()
     sa = sset.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
     sb = sset.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
@@ -184,10 +180,10 @@ def profile_frontier(spark, sf_dir):
         ("lsh", similarity_ann_lsh),
         ("ivf", similarity_ivf_topk),
         ("pq", similarity_pq_topk),
-        ("sq8_recall (recomputes gold)", similarity_sq8_recall),
-        ("bq_recall (recomputes gold)", similarity_bq_recall),
-        ("ivfpq_recall (recomputes gold)", similarity_ivfpq_recall),
-        ("matryoshka_recall (recomputes gold)", similarity_matryoshka_recall),
+        ("sq8_recall (gold via memo since r13)", similarity_sq8_recall),
+        ("bq_recall (gold via memo since r13)", similarity_bq_recall),
+        ("ivfpq_recall (gold via memo since r13)", similarity_ivfpq_recall),
+        ("matryoshka_recall (gold via memo since r13)", similarity_matryoshka_recall),
     ]:
         timed(label, fn(spark, sf_dir).count)
         release_tracked()
