@@ -439,6 +439,8 @@ HEADLINE = [
     "text_ccnet_perplexity_buckets",
     "meta_expire_retention_sweep",
     "dedup_cross_source_matrix",
+    "pipeline_quality_filter_agreement",
+    "text_crosslingual_vocab_transfer",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

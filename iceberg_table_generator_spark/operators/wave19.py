@@ -360,7 +360,11 @@ def minhash_candidate_scaling_probe(
 _BUCKET_NAMES = ("head", "middle", "tail")
 
 
-def _ccnet_oracle() -> str:
+def _ccnet_doc_ctes() -> str:
+    """CTE chain ending in `bkt` = (doc_id, lang, ll_pt_micro, n_tokens,
+    bucket) — the per-doc bucketed relation, shared by the registered
+    ccnet oracle and the filter-agreement oracle.  CTE names avoid the
+    gopher chain's d/m/r so the two compose in one WITH."""
     from iceberg_table_generator_spark.operators.wave12 import (
         _LOGLOSS_ORACLE,
     )
@@ -369,52 +373,41 @@ def _ccnet_oracle() -> str:
     # text_unigram_logloss's oracle up to the per-doc relation `pd`).
     pd_ctes = _LOGLOSS_ORACLE.split("\nSELECT d.source")[0].strip()
     assert pd_ctes.startswith("WITH "), "logloss oracle shape changed"
-    return f"""{pd_ctes},
+    return f"""{pd_ctes.removeprefix("WITH ")},
 sd AS (
-  SELECT p.doc_id, p.ll_pt_micro, p.n_tokens, d.lang
-  FROM pd p JOIN documents d USING (doc_id)),
-r AS (
+  SELECT p.doc_id, p.ll_pt_micro, p.n_tokens, dd.lang
+  FROM pd p JOIN documents dd USING (doc_id)),
+rnkl AS (
   SELECT *,
          row_number() OVER (PARTITION BY lang
                             ORDER BY ll_pt_micro, doc_id) AS rk,
          count(*) OVER (PARTITION BY lang) AS nl
   FROM sd),
-b AS (
-  SELECT lang, ll_pt_micro, n_tokens,
+bkt AS (
+  SELECT doc_id, lang, ll_pt_micro, n_tokens,
          CASE ((rk - 1) * 3) // nl
            WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
-  FROM r)
+  FROM rnkl)"""
+
+
+def _ccnet_oracle() -> str:
+    return f"""
+WITH {_ccnet_doc_ctes()}
 SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        CAST(min(ll_pt_micro) AS BIGINT) AS min_logloss_micro,
        CAST(max(ll_pt_micro) AS BIGINT) AS max_logloss_micro,
        CAST(sum(ll_pt_micro) // count(*) AS BIGINT) AS avg_logloss_micro
-FROM b GROUP BY lang, bucket
+FROM bkt GROUP BY lang, bucket
 """
 
 
-@query("text_ccnet_perplexity_buckets", oracle=_ccnet_oracle())
-def text_ccnet_perplexity_buckets(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """CCNet's head/middle/tail quality bucketing, per language: score
-    every document with the corpus-fit add-one unigram LM (the SAME
-    per-doc relation as `text_unigram_logloss` — composed, not re-
-    derived), rank within its language by per-token logloss, and cut
-    into exact terciles — head = lowest perplexity.  CCNet keeps head
-    (and usually middle) per language; this emits the doc and token mass
-    each retention choice keeps, per (language, bucket).
-
-    Exact terciles WITHOUT a per-language corpus window (the scale-killer
-    `test_window_invariant.py` guards against): the two-phase distributed
-    order assigns global positions over (lang, logloss, doc_id); per-
-    language ranks are global positions minus the preceding-language
-    offsets, which come from a languages-bounded collect (the UniMax
-    model-bounded-collect policy) re-emitted as a driver-literal
-    broadcast (the `lineitem_global_quantiles` idiom, classifiable by
-    the broadcast invariant).  Bucket = ((rank-1)·3) div n_lang — pure
-    integer arithmetic, identical in the oracle's row_number form."""
+def ccnet_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ll_pt_micro, n_tokens, bucket): every document with
+    its per-language exact-tercile perplexity bucket — the per-doc
+    relation under `text_ccnet_perplexity_buckets`, exposed for
+    composition (`pipeline_quality_filter_agreement`)."""
     from iceberg_table_generator_spark.functions.order import (
         with_global_order,
     )
@@ -466,7 +459,8 @@ def text_ccnet_perplexity_buckets(
             )
         ).alias("e")
     ).select("e.lang", "e.off", "e.nl")
-    bucketed = ordered.join(F.broadcast(off), "lang").select(
+    return ordered.join(F.broadcast(off), "lang").select(
+        "doc_id",
         "lang",
         "ll_pt_micro",
         "n_tokens",
@@ -477,6 +471,30 @@ def text_ccnet_perplexity_buckets(
             ELSE '{_BUCKET_NAMES[2]}' END
         """).alias("bucket"),
     )
+
+
+@query("text_ccnet_perplexity_buckets", oracle=_ccnet_oracle())
+def text_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing, per language: score
+    every document with the corpus-fit add-one unigram LM (the SAME
+    per-doc relation as `text_unigram_logloss` — composed, not re-
+    derived), rank within its language by per-token logloss, and cut
+    into exact terciles — head = lowest perplexity.  CCNet keeps head
+    (and usually middle) per language; this emits the doc and token mass
+    each retention choice keeps, per (language, bucket).
+
+    Exact terciles WITHOUT a per-language corpus window (the scale-killer
+    `test_window_invariant.py` guards against): the two-phase distributed
+    order assigns global positions over (lang, logloss, doc_id); per-
+    language ranks are global positions minus the preceding-language
+    offsets, which come from a languages-bounded collect (the UniMax
+    model-bounded-collect policy) re-emitted as a driver-literal
+    broadcast (the `lineitem_global_quantiles` idiom, classifiable by
+    the broadcast invariant).  Bucket = ((rank-1)·3) div n_lang — pure
+    integer arithmetic, identical in the oracle's row_number form."""
+    bucketed = ccnet_doc_buckets(spark, sf_dir)
     return bucketed.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -559,4 +577,181 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("within_source"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-filter agreement matrix (Gopher rules × perplexity buckets)
+# --------------------------------------------------------------------------
+def _filter_agreement_oracle() -> str:
+    from iceberg_table_generator_spark.operators.wave14 import (
+        _sql_rule_flags,
+    )
+
+    return f"""
+WITH {_ccnet_doc_ctes()},
+{_sql_rule_flags("doc_id")},
+gk AS (
+  SELECT doc_id, wc_ok * mwl_ok * stop_ok * rep_ok AS gopher_keep FROM r)
+SELECT b.bucket, CAST(g.gopher_keep AS INT) AS gopher_keep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens
+FROM bkt b JOIN gk g USING (doc_id)
+GROUP BY b.bucket, g.gopher_keep
+"""
+
+
+@query("pipeline_quality_filter_agreement", oracle=_filter_agreement_oracle())
+def pipeline_quality_filter_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Do the two quality filters agree?  Every document classified by
+    BOTH quality tiers the repo implements — the Gopher rule gate
+    (all-four-rules keep, the cheap stateless first stage) and the CCNet
+    perplexity tercile (the LM-based second stage) — aggregated to the
+    bucket × keep grid.  The cells to read: (head, 0) = docs the LM
+    likes but the rules reject (rules too strict / rule blind spots),
+    (tail, 1) = docs the rules pass but the LM flags (gibberish with
+    plausible surface statistics).  Filter-ensemble correlation is what
+    decides whether a second filter stage adds information or re-rejects
+    the same mass — the audit run before paying for the LM pass at
+    100 TB.
+
+    Pure composition: the per-doc bucket relation is
+    `ccnet_doc_buckets` (shared with the registered tercile query), the
+    rule flags are the SHARED `gopher_rule_flags` projection (batch
+    audit + streaming gate), and both oracle CTE chains are the
+    registered oracles' own text.  Output ≤ 6 rows."""
+    from iceberg_table_generator_spark.operators.wave14 import (
+        gopher_rule_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs, keep=["doc_id"])
+    gk = flags.select(
+        "doc_id",
+        (
+            F.col("wc_ok") * F.col("mwl_ok") * F.col("stop_ok") * F.col("rep_ok")
+        )
+        .cast("int")
+        .alias("gopher_keep"),
+    )
+    b = ccnet_doc_buckets(spark, sf_dir)
+    return (
+        b.join(gk, "doc_id")
+        .groupBy("bucket", "gopher_keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-lingual vocabulary-transfer matrix
+# --------------------------------------------------------------------------
+#: Per-language vocabulary size for the transfer matrix (each fit
+#: language contributes its own top-V word list).
+TRANSFER_V = 256
+
+
+def _vocab_transfer_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT lang, w, length(w) AS chars
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''),
+cnt AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, w),
+rnk AS (
+  SELECT lang, w,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+  FROM cnt),
+vocab AS (SELECT lang AS fit_lang, w FROM rnk WHERE r <= {TRANSFER_V}),
+langs AS (SELECT DISTINCT lang AS fit_lang FROM documents),
+scored AS (
+  SELECT l.fit_lang, t.lang AS eval_lang,
+         CASE WHEN v.w IS NOT NULL THEN 1
+              ELSE (t.chars + {SUBWORD_LEN - 1}) // {SUBWORD_LEN} END AS toks,
+         CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t
+  CROSS JOIN langs l
+  LEFT JOIN vocab v ON v.fit_lang = l.fit_lang AND v.w = t.w)
+SELECT fit_lang, eval_lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST((sum(toks) * {_MICRO}) // count(*) AS BIGINT)
+         AS fertility_micro,
+       CAST((sum(oov) * {_MICRO}) // count(*) AS BIGINT) AS oov_ppm
+FROM scored GROUP BY fit_lang, eval_lang
+"""
+
+
+@query("text_crosslingual_vocab_transfer", oracle=_vocab_transfer_oracle())
+def text_crosslingual_vocab_transfer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-transfer matrix: for every (fit language, eval language)
+    pair, the fertility and OOV rate of eval-language text under a
+    top-{TRANSFER_V} vocabulary fit ONLY on the fit language — the
+    |langs|² audit behind "can these languages share a tokenizer?"
+    (diagonal = each language under its own vocabulary; a row with flat
+    off-diagonal fertility shares surface vocabulary with everything, a
+    column that spikes under every foreign fit needs its own budget —
+    `text_subword_fertility`'s question, asked across language pairs).
+
+    Engine-exact: per-language vocabularies are deterministic top-V
+    (count desc, word asc, row_number PARTITIONED by language — a
+    vocabulary-sized window, never corpus-sized); OOV fallback and all
+    ratios are the fertility family's integer forms.  Scale: one token
+    pass, a |langs|-bounded grid explode (|langs|× the token stream),
+    one vocab-keyed join; no corpus window, no unbounded broadcast —
+    the vocab join is w-keyed (vocab-bounded shuffle, the text-family
+    posture)."""
+    tok = _tokens(spark, sf_dir).select("lang", "w", "chars")
+    cnt = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TRANSFER_V)
+        .select(F.col("lang").alias("fit_lang"), "w", F.lit(1).alias("iv"))
+    )
+    # |langs|-bounded collect (model-sized, the UniMax policy) → literal grid
+    langs = sorted(
+        r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in langs])).alias("fit_lang")
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(grid))
+        .join(vocab, ["fit_lang", "w"], "left")
+        .select(
+            "fit_lang",
+            F.col("lang").alias("eval_lang"),
+            F.when(F.col("iv").isNotNull(), F.lit(1))
+            .otherwise(
+                F.expr(f"(chars + {SUBWORD_LEN - 1}) div {SUBWORD_LEN}")
+            )
+            .cast("long")
+            .alias("toks"),
+            F.when(F.col("iv").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("fit_lang", "eval_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.expr(f"(sum(toks) * {_MICRO}) div count(*)")
+        .cast("long")
+        .alias("fertility_micro"),
+        F.expr(f"(sum(oov) * {_MICRO}) div count(*)")
+        .cast("long")
+        .alias("oov_ppm"),
     )

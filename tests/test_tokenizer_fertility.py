@@ -106,3 +106,57 @@ def test_cross_source_matrix_accounts_for_all_pairs(spark, sf_small):
         assert r.source_a <= r.source_b
         assert r.within_source == (1 if r.source_a == r.source_b else 0)
         assert 0 < r.avg_jaccard_micro <= r.max_jaccard_micro <= 1_000_000
+
+
+def test_filter_agreement_marginals(spark, sf_small):
+    """The agreement grid's marginals must equal each filter's own
+    totals: Σ over keep = the bucket relation's per-bucket doc counts;
+    Σ over buckets = the Gopher gate's keep/reject split."""
+    from iceberg_table_generator_spark.operators.wave14 import (
+        gopher_rule_flags,
+    )
+    from iceberg_table_generator_spark.operators.wave19 import (
+        ccnet_doc_buckets,
+        pipeline_quality_filter_agreement,
+    )
+    from iceberg_table_generator_spark.sources.tables import load_table
+
+    rows = pipeline_quality_filter_agreement(spark, sf_small).collect()
+    bucket_marg: dict[str, int] = {}
+    keep_marg: dict[int, int] = {}
+    for r in rows:
+        bucket_marg[r.bucket] = bucket_marg.get(r.bucket, 0) + r.n_docs
+        keep_marg[r.gopher_keep] = keep_marg.get(r.gopher_keep, 0) + r.n_docs
+    b = ccnet_doc_buckets(spark, sf_small)
+    expect_buckets = {
+        r.bucket: r.c
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert bucket_marg == expect_buckets
+    docs = load_table(spark, sf_small, "documents")
+    flags = gopher_rule_flags(docs, keep=["doc_id"]).collect()
+    n_keep = sum(
+        1 for r in flags if r.wc_ok * r.mwl_ok * r.stop_ok * r.rep_ok == 1
+    )
+    assert keep_marg.get(1, 0) == n_keep
+    assert sum(keep_marg.values()) == len(flags)
+
+
+def test_vocab_transfer_diagonal_dominates(spark, sf_small):
+    """A language is never tokenized better by a FOREIGN vocabulary than
+    by its own: for each eval language, the diagonal cell has the
+    minimum OOV rate (ties allowed — shared surface vocabulary)."""
+    from iceberg_table_generator_spark.operators.wave19 import (
+        text_crosslingual_vocab_transfer,
+    )
+
+    rows = text_crosslingual_vocab_transfer(spark, sf_small).collect()
+    langs = {r.eval_lang for r in rows}
+    assert len(rows) == len(langs) ** 2
+    by_eval: dict[str, list] = {}
+    for r in rows:
+        by_eval.setdefault(r.eval_lang, []).append(r)
+    for lang, rs in by_eval.items():
+        diag = next(r for r in rs if r.fit_lang == lang)
+        assert diag.oov_ppm == min(r.oov_ppm for r in rs), (lang, rs)
+        assert diag.fertility_micro == min(r.fertility_micro for r in rs)
