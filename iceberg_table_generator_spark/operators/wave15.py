@@ -264,7 +264,7 @@ FROM per_file GROUP BY retain_last
 @query("meta_expire_retention_sweep", oracle=_expire_sweep_oracle())
 def meta_expire_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-policy sweep over the ExpireSnapshots dry run: for each
-    retain_last ∈ {EXPIRE_SWEEP}, how many files (data vs delete) become
+    retain_last ∈ EXPIRE_SWEEP (1/2/4), how many files (data vs delete) become
     physically removable — the table-maintenance trade-off curve
     (aggressive retention reclaims more files but shortens the
     time-travel window) read before committing an expiry policy, the

@@ -130,8 +130,8 @@ def _vocab_ranks(tok: DataFrame, max_v: int) -> DataFrame:
 
 @query("text_subword_fertility", oracle=_FERTILITY_ORACLE)
 def text_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenizer-fertility matrix under the top-{FERTILITY_V}
-    frequency vocabulary: tokens-per-word (fertility), bytes/chars per
+    """Per-language tokenizer-fertility matrix under the top-FERTILITY_V
+    (256) frequency vocabulary: tokens-per-word (fertility), bytes/chars per
     token, and OOV rate — the table a multilingual pipeline reads before
     fixing a tokenizer (a head-language vocabulary inflates tail-language
     token counts; this quantifies by how much, per language).
@@ -227,7 +227,7 @@ FROM scored GROUP BY vocab_size, lang
 @query("text_tokenizer_vocab_sweep", oracle=_vocab_sweep_oracle())
 def text_tokenizer_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fertility-vs-vocabulary-size curve, per language, over the swept
-    sizes {VOCAB_SWEEP}: how much fertility (and OOV) improves as the
+    sizes VOCAB_SWEEP (64/256/1024): how much fertility (and OOV) improves as the
     vocabulary grows — the trade-off curve read against memory/embedding
     budget when choosing V.  The τ-sweep idiom applied to tokenizer
     choice: rank the vocabulary ONCE (top max(V), engine-exact total
@@ -694,7 +694,7 @@ def text_crosslingual_vocab_transfer(
 ) -> DataFrame:
     """Tokenizer-transfer matrix: for every (fit language, eval language)
     pair, the fertility and OOV rate of eval-language text under a
-    top-{TRANSFER_V} vocabulary fit ONLY on the fit language — the
+    top-TRANSFER_V (256) vocabulary fit ONLY on the fit language — the
     |langs|² audit behind "can these languages share a tokenizer?"
     (diagonal = each language under its own vocabulary; a row with flat
     off-diagonal fertility shares surface vocabulary with everything, a
