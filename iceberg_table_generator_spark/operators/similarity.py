@@ -115,10 +115,34 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms, four of which rebuild it internally) otherwise recompute the
     same scan+rank up to five times in one evaluation.  The result is
     (n_queries × k)-bounded and deterministic (ties broken by
-    neighbor_id), so reuse is semantics-free."""
+    neighbor_id), so reuse is semantics-free.  First-reader-lazy
+    (r13 verdict #1): a sole consumer composes the relation inline at
+    zero memo cost; the persist+pin only happens at the second hit.
+    Consumers that read the gold in MORE THAN ONE branch of their own
+    job must call :func:`cosine_topk_gold_pinned` instead."""
     return memo_relation(
-        (spark.sparkContext.applicationId, sf_dir, "similarity_gold"),
+        _GOLD_KEY(spark, sf_dir),
         lambda: _cosine_topk_build(spark, sf_dir),
+    )
+
+
+def _GOLD_KEY(spark: SparkSession, sf_dir: str) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir, "similarity_gold")
+
+
+def cosine_topk_gold_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same memoized gold, persisted+pinned on FIRST hit.
+
+    For consumers whose own plan fans the gold into multiple branches of
+    one job (`_ranking_quality` reads it for both the gain join and the
+    iDCG denominator): an unpersisted shared subtree would be computed
+    once per concurrent branch (the wave14 band-sweep lesson), so these
+    callers pay the eager pin that plain `similarity_cosine_topk` now
+    skips for sole readers."""
+    return memo_relation(
+        _GOLD_KEY(spark, sf_dir),
+        lambda: _cosine_topk_build(spark, sf_dir),
+        eager=True,
     )
 
 

@@ -472,12 +472,14 @@ def similarity_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micro-rounded per-position terms, integer nDCG/RR divisions)."""
     from iceberg_table_generator_spark.operators.similarity import (
         TOP_K,
+        cosine_topk_gold_pinned,
         similarity_ann_lsh,
-        similarity_cosine_topk,
         similarity_ivf_topk,
     )
 
-    exact = similarity_cosine_topk(spark, sf_dir).select(
+    # Pinned accessor: _ranking_quality reads the gold in TWO branches
+    # (gain join + iDCG denominator) — see cosine_topk_gold_pinned.
+    exact = cosine_topk_gold_pinned(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("item"), F.col("rank").alias("r")
     )
     lsh = similarity_ann_lsh(spark, sf_dir).select(

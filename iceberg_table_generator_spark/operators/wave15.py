@@ -91,15 +91,16 @@ def similarity_rrf_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ranking-quality SQL, so the eval cannot drift."""
     from iceberg_table_generator_spark.operators.similarity import (
         TOP_K,
+        cosine_topk_gold_pinned,
         similarity_ann_lsh,
-        similarity_cosine_topk,
         similarity_ivf_topk,
     )
     from iceberg_table_generator_spark.operators.wave13 import (
         _ranking_quality,
     )
 
-    exact = similarity_cosine_topk(spark, sf_dir).select(
+    # Pinned accessor: _ranking_quality fans the gold into two branches.
+    exact = cosine_topk_gold_pinned(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("item"), F.col("rank").alias("r")
     )
     pool = (

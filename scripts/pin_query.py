@@ -10,6 +10,7 @@ Usage: python scripts/pin_query.py [sf_dir] query [query ...]
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
@@ -24,8 +25,20 @@ from iceberg_table_generator_spark.functions.cache import (  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.1"
+    # A leading existing-directory argument (absolute OR relative) is the
+    # sf_dir; everything else must be a registered query name (r13 advice:
+    # "testdata/sf0.1" was silently treated as a query and KeyError'd).
+    sf_dir = (
+        args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    )
     queries = all_queries()
+    unknown = [a for a in args if a not in queries]
+    if not args or unknown:
+        sys.exit(
+            f"usage: pin_query.py [sf_dir] query [query ...]\n"
+            f"unknown queries: {unknown or '(none given)'} — "
+            f"registry has {len(queries)} names (see REGISTRY.md)"
+        )
     spark = get_spark("pin_query")
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
