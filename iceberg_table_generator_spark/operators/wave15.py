@@ -281,12 +281,21 @@ def meta_expire_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _fixture_table(spark, sf_dir)
     files = t.all_files_table()
+    # Rank over the SNAPSHOTS metadata relation — the same source as the
+    # oracle's `m` CTE (r13 advice): deriving the cut from distinct
+    # snapshot_ids in file entries would desynchronize the engines on a
+    # snapshot with zero file entries.  Snapshot-count-bounded collect
+    # (the expire plan's own idiom); the per-policy cut is a |grid|-row
+    # literal.
     snaps = sorted(
         r.snapshot_id
-        for r in files.select("snapshot_id").distinct().collect()
+        for r in t.snapshots_table().select("snapshot_id").collect()
     )
-    # snapshot-count-bounded collect (the expire plan's own idiom); the
-    # per-policy cut is a |grid|-row literal
+    if len(snaps) < max(EXPIRE_SWEEP):
+        raise ValueError(
+            f"retention sweep needs ≥{max(EXPIRE_SWEEP)} snapshots "
+            f"(retain_last grid {EXPIRE_SWEEP}); fixture has {len(snaps)}"
+        )
     cuts = spark.range(1).select(
         F.explode(
             F.array(

@@ -22,7 +22,7 @@ the algorithm is unchanged.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from iceberg_table_generator_spark.streaming.store import read_store, write_batch
@@ -34,17 +34,30 @@ def dedup_process_batch(
     store_dir: str,
     out_dir: str,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> None:
     """One micro-batch of the exact-dedup sink (module-level for the
     replay test).  Replay-safe: the history read excludes this batch's
     own partition (the half-written keys must not anti-join away their
-    own rows), and both writes overwrite only this batch's partition."""
+    own rows), and both writes overwrite only this batch's partition.
+
+    The in-batch representative is DETERMINISTIC — min `id_col` per
+    content key (r13 advice): `dropDuplicates` keeps an arbitrary row,
+    so a crash-replay of a batch holding two distinct rows with the
+    same lowercased text could overwrite partition N with a different
+    surviving row than the original run, breaking the byte-for-byte
+    replay contract store.py promises (the neardup sink's F.min(doc_id)
+    idiom, applied here)."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    keyed = batch_df.withColumn(
-        "content_key", F.md5(F.lower(F.col(text_col)))
-    ).dropDuplicates(["content_key"])
+    w = Window.partitionBy("content_key").orderBy(F.asc(id_col))
+    keyed = (
+        batch_df.withColumn("content_key", F.md5(F.lower(F.col(text_col))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     seen = read_store(spark, store_dir, exclude_batch_id=batch_id)
     fresh = keyed.join(seen, "content_key", "left_anti") if seen is not None else keyed
     # Materialize once: the two writes below must see the same rows.

@@ -113,28 +113,69 @@ def read_text_stats(spark: SparkSession, stats_dir: str):
     return df, scalars
 
 
-def compact_stats(spark: SparkSession, stats_dir: str) -> None:
+def _last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest batch id the Structured Streaming checkpoint has COMMITTED
+    (the `commits/` dir holds one integer-named file per completed batch;
+    -1 if none committed yet)."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    ids = [-1]
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            try:
+                ids.append(int(name))
+            except ValueError:
+                continue  # .metadata / temp files
+    return max(ids)
+
+
+def compact_stats(
+    spark: SparkSession, stats_dir: str, checkpoint_dir: str | None = None
+) -> None:
     """Fold the delta log to one row per term (and one scalar row) — the
     maintenance pass that bounds read-side merge cost, same contract as
-    lifecycle compaction."""
-    df_dir = os.path.join(stats_dir, "df")
-    scalar_dir = os.path.join(stats_dir, "scalars")
-    df, scalars = read_text_stats(spark, stats_dir)
-    merged = df.localCheckpoint(eager=True)  # vocabulary-sized, read twice
-    # STATIC overwrite into the reserved base partition: truncates every
-    # delta partition and leaves one uniformly-partitioned layout.
-    (
-        merged.withColumn(BATCH_COL, F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
-        .parquet(df_dir)
+    lifecycle compaction.
+
+    Crash-safety (r13 advice): a batch whose store write succeeded but
+    whose checkpoint commit did NOT will be REPLAYED into its own
+    batch_id partition on restart — folding it into the base partition
+    first would double-count it (once in base -1, once in the replayed
+    partition N).  Pass ``checkpoint_dir`` and compaction folds only
+    partitions ≤ the checkpoint's last committed batch id, carrying any
+    later (uncommitted, replay-pending) delta partitions through
+    untouched.  Without ``checkpoint_dir`` the caller asserts a CLEAN
+    stop — every written partition is known committed — and the whole
+    log is folded."""
+    cutoff = (
+        _last_committed_batch(checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
     )
-    (
-        spark.createDataFrame(
-            [(scalars.n_docs, scalars.total_dl)], "n_docs long, total_dl long"
-        )
-        .withColumn(BATCH_COL, F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy(BATCH_COL)
-        .parquet(scalar_dir)
+
+    def fold(path: str, merge) -> None:
+        log = spark.read.parquet(path)
+        if cutoff is not None:
+            foldable = log.filter(F.col(BATCH_COL) <= F.lit(cutoff))
+            kept = log.filter(F.col(BATCH_COL) > F.lit(cutoff))
+        else:
+            foldable, kept = log, None
+        # Materialize BEFORE the static overwrite truncates what we read;
+        # both sides are vocabulary-/batch-count-bounded.
+        merged = merge(foldable.drop(BATCH_COL)).localCheckpoint(eager=True)
+        out = merged.withColumn(BATCH_COL, F.lit(-1))
+        if kept is not None:
+            out = out.unionByName(kept.localCheckpoint(eager=True))
+        # STATIC overwrite: folded partitions vanish, base -1 holds the
+        # fold, replay-pending partitions (> cutoff) are rewritten as-is.
+        out.write.mode("overwrite").partitionBy(BATCH_COL).parquet(path)
+
+    fold(
+        os.path.join(stats_dir, "df"),
+        lambda d: d.groupBy("w").agg(F.sum("df").cast("long").alias("df")),
+    )
+    fold(
+        os.path.join(stats_dir, "scalars"),
+        lambda d: d.agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_dl").cast("long").alias("total_dl"),
+        ),
     )

@@ -98,6 +98,35 @@ def test_exact_dedup_replay_idempotent(spark, sf_small, tmp_path):
     assert _rows(spark, store) == s1 and _rows(spark, out) == o1
 
 
+def test_exact_dedup_representative_deterministic(spark, tmp_path):
+    """In-batch text collisions (distinct doc_ids, same lowercased text)
+    must keep the MIN doc_id — r13 advice: dropDuplicates kept an
+    arbitrary row, so a crash-replay could legally surface a different
+    survivor while the replay test still passed on collision-free
+    fixtures."""
+    from iceberg_table_generator_spark.streaming.dedup import (
+        dedup_process_batch,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [
+            (7, "a", "Same Text"),
+            (3, "b", "same text"),  # collides with 7 after lower()
+            (5, "c", "unique text"),
+        ],
+        "doc_id int, source string, text string",
+    ).repartition(4)  # spread the collision across partitions
+    dedup_process_batch(batch, 0, store, out)
+    survivors = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert survivors == {3, 5}  # min doc_id won the collision
+    o0 = _rows(spark, out)
+    dedup_process_batch(batch, 0, store, out)  # crash-replay: byte-identical
+    assert _rows(spark, out) == o0
+
+
 def test_neardup_replay_idempotent(spark, sf_small, tmp_path):
     from iceberg_table_generator_spark.streaming.neardup import (
         neardup_process_batch,
