@@ -460,6 +460,15 @@ OLD_SET = 28
 # IVF centroids / PQ codebooks as Python ints, never DataFrames).
 RECYCLE_EVERY = 50
 
+#: Drift sentinel (r13 verdict #2): the bench's same-code noise floor on
+#: this shared host reached ±4% on old_set — rivaling real round deltas —
+#: so every run now times a FIXED calibration query at start, after each
+#: session recycle, and at the end.  The readings land in BENCH_FULL
+#: (`calibration`), letting the mover report (scripts/bench_movers.py)
+#: normalize per-query ratios by measured host speed and tag movers as
+#: `code` vs `host` instead of relying on manual re-pin adjudication.
+CALIBRATION_QUERY = "q1_pricing_summary"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -469,12 +478,28 @@ def main() -> None:
 
     def warmup() -> None:
         # JVM, codegen, parquet footer caches.
-        queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        queries[CALIBRATION_QUERY](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         release_tracked()
 
+    calibration: list[dict] = []
+
+    def calibrate(at: str) -> None:
+        # Median of 3 steady runs of the fixed sentinel (warmup already
+        # absorbed cold costs for this session).
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            queries[CALIBRATION_QUERY](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+            release_tracked()
+        calibration.append({"at": at, "sec": round(statistics.median(runs), 3)})
+
     warmup()
+    calibrate("start")
 
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
@@ -484,6 +509,7 @@ def main() -> None:
             spark.stop()
             spark = get_spark("bench")
             warmup()
+            calibrate(f"recycle@{i}")
         t0 = time.time()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
@@ -499,6 +525,8 @@ def main() -> None:
             release_tracked()
         timings[name] = round(statistics.median(steady), 3)
 
+    calibrate("end")
+    cal_secs = [c["sec"] for c in calibration]
     summary = {
         "metric": "headline_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
@@ -508,6 +536,11 @@ def main() -> None:
         # pre-r6 28-query subtotal: directly comparable to the
         # "value" field of BENCH_r{1..5}.json
         "old_set_value": round(sum(timings[n] for n in HEADLINE[:OLD_SET]), 3),
+        # Host-speed sentinel: median + spread (max/min) of the fixed
+        # calibration query across the run; per-reading detail is in
+        # BENCH_FULL's `calibration` list.
+        "calibration_median": round(statistics.median(cal_secs), 3),
+        "calibration_spread": round(max(cal_secs) / min(cal_secs), 3),
         "sf": sf,
     }
     # Per-query detail goes to a committed file, NOT stdout: the r6 driver
@@ -516,7 +549,16 @@ def main() -> None:
     # stay small enough to always survive tail-capture.
     full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     with open(full_path, "w") as f:
-        json.dump({**summary, "queries": timings, "cold_queries": cold}, f, indent=1)
+        json.dump(
+            {
+                **summary,
+                "queries": timings,
+                "cold_queries": cold,
+                "calibration": calibration,
+            },
+            f,
+            indent=1,
+        )
         f.write("\n")
     print(json.dumps(summary))
 
