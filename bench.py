@@ -441,6 +441,9 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "pipeline_quality_filter_agreement",
     "text_crosslingual_vocab_transfer",
+    # round-14 additions
+    "text_bpe_merge_table",
+    "text_bpe_fertility",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -117,11 +117,15 @@ def main() -> None:
     rows = []
     two_phase: list[str] = []
     for name in sorted(queries):
-        sink: list[dict] = []
-        with capture_bucket_histograms(sink):
-            df = queries[name](spark, SF_DIR)
-        if sink:
-            two_phase.append(name)
+        # Build WITHOUT histogram capture (r14): capture_bucket_histograms
+        # changes the built plan itself (rfm_segments: 18 exchanges / 22
+        # broadcasts under capture vs 12 / 8 in production), so the
+        # recorded shape must come from the production build path.
+        # Two-phase callers are detected from the classifier instead —
+        # every with_global_order offsets broadcast classifies as
+        # `partition-offsets` (verified identical to the capture-derived
+        # set, 17/17).
+        df = queries[name](spark, SF_DIR)
         # AQE wraps plans in AdaptiveSparkPlan whose INITIAL text carries
         # no codegen annotations (stages fuse at runtime); disable it for
         # the EXPLAIN only — after the build, because load_table's
@@ -144,6 +148,14 @@ def main() -> None:
                 "codegen": explain.wholestage_codegen_ids(df),
             }
         )
+        if "partition-offsets" in rows[-1]["broadcasts"]:
+            two_phase.append(name)
+        # Inspect every plan CACHE-CLEAN (r14): persisted intermediates
+        # and memoized relations from an earlier query otherwise leak
+        # InMemoryRelation subtrees into later plans, making the recorded
+        # shape depend on build order (and diverge from
+        # tests/test_plan_shape.py, which releases per query).
+        release_tracked()
 
     total_bc = sum(len(r["broadcasts"].split(", ")) for r in rows if r["broadcasts"] != "—")
     lines = [
@@ -322,8 +334,30 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
+    # Plan-shape snapshot (r13 verdict #6): the committed per-query
+    # (exchanges, join strategies, broadcast count) inventory that
+    # tests/test_plan_shape.py re-derives and diffs — an edit that
+    # quietly adds a shuffle to an EXISTING query fails that suite until
+    # this file is regenerated (making the plan change a reviewed diff).
+    snap_path = os.path.join(os.path.dirname(out), "PLAN_SNAPSHOT.json")
+    snapshot = {
+        r["name"]: {
+            "exchanges": r["exchanges"],
+            "joins": r["joins"].replace("—", ""),
+            "n_broadcasts": 0
+            if r["broadcasts"] == "—"
+            else len(r["broadcasts"].split(", ")),
+        }
+        for r in rows
+    }
+    with open(snap_path, "w", encoding="utf-8") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+        f.write("\n")
     unbounded = [r["name"] for r in rows if "UNBOUNDED?" in r["broadcasts"]]
-    print(f"wrote {out}: {len(rows)} queries, unbounded={unbounded or 'none'}")
+    print(
+        f"wrote {out} + {snap_path}: {len(rows)} queries, "
+        f"unbounded={unbounded or 'none'}"
+    )
 
 
 if __name__ == "__main__":
