@@ -444,6 +444,7 @@ HEADLINE = [
     # round-14 additions
     "text_bpe_merge_table",
     "text_bpe_fertility",
+    "text_bpe_merge_utilization",
 ]
 
 # Number of entries in the pre-r6 headline set (for old-set subtotal

@@ -36,7 +36,8 @@ Wave modules (by round):
   wave18  quality ablation curve, (lang, τ) SemDeDup sweep, BQ+rerank
   wave19  subword fertility + vocab sweeps, CCNet buckets, cross-source
           contamination, MinHash growth probe
-  wave20  engine-exact BPE merge fit + merge-table + BPE fertility
+  wave20  engine-exact BPE merge fit + merge-table + BPE fertility +
+          merge-utilization ROI audit
 
 Family trails across waves:
   SemDeDup:       wave11 (core) → wave12 (incremental) → wave13

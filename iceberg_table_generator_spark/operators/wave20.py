@@ -343,3 +343,102 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_vs_proxy_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-table utilization (which learned merges actually fire corpus-wide)
+# --------------------------------------------------------------------------
+def _merge_utilization_oracle() -> str:
+    score = [
+        f""",
+sc0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '([\\s\\S])',
+                        {_SQL_SEP} || '\\1' || {_SQL_SEP}, 'g') AS seg
+  FROM tok)"""
+    ]
+    for n in range(1, BPE_MERGES + 1):
+        pat, rep = _sql_score_pat(n)
+        score.append(f""",
+sc{n} AS MATERIALIZED (SELECT replace(seg, {pat}, {rep}) AS seg FROM sc{n - 1})""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {n} AS merge_rank, "
+        f"(SELECT a || b FROM p{n}) AS merged, "
+        f"CAST(sum((length(seg) - length(replace(seg, "
+        f"{_SQL_SEP} || (SELECT a || b FROM p{n}) || {_SQL_SEP}, ''))) "
+        f"// length({_SQL_SEP} || (SELECT a || b FROM p{n}) || {_SQL_SEP})) "
+        f"AS BIGINT) AS n_uses FROM sc{BPE_MERGES}"
+        for n in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_tok_sql()}{_sql_fit_ctes()}{"".join(score)},
+tot AS (
+  SELECT CAST(sum((length(seg) - length(replace(seg, {_SQL_SEP}, ''))) // 2)
+              AS BIGINT) AS total_syms
+  FROM sc{BPE_MERGES}),
+arms AS ({arms})
+SELECT CAST(a.merge_rank AS INT) AS merge_rank, a.merged, a.n_uses,
+       t.total_syms,
+       CAST((a.n_uses * {_MICRO}) // t.total_syms AS BIGINT) AS use_share_ppm
+FROM arms a CROSS JOIN tot t
+"""
+
+
+@query("text_bpe_merge_utilization", oracle=_merge_utilization_oracle())
+def text_bpe_merge_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table ROI: for each learned merge, how many symbols of the
+    FINAL corpus segmentation are that merge's product — the utilization
+    audit a tokenizer trainer reads before spending vocabulary slots (a
+    merge that rarely survives in final segmentations, e.g. one consumed
+    by a later larger merge, is a wasted slot; `use_share_ppm` is its
+    share of all emitted tokens).
+
+    Counting needs NO join and NO extra shuffle: a merged symbol m
+    occurs in a segmentation exactly where the substring ␟m␟ does
+    (delimiter-wrapped units make spanning matches impossible — two
+    adjacent units always put ␟␟ between their contents), so per-merge
+    occurrences are (len(seg) - len(seg without ␟m␟)) / len(␟m␟) — 13
+    conditional sums in ONE narrow aggregate over the token relation,
+    reshaped to 12 rows by an explode of a driver-literal struct array.
+    The oracle re-fits the merges from scratch and counts through the
+    same substring arithmetic with scalar-subquery patterns."""
+    merges = bpe_fit(spark, sf_dir)
+    tok = _tokens(spark, sf_dir)
+    seg = _seg_col(F.col("w"), merges)
+    units = [f"{_SEP}{a}{b}{_SEP}" for a, b, _ in merges]
+    # Sum the raw char-length deltas, divide ONCE after the sum: every
+    # row's delta is an exact multiple of len(unit), so the summed delta
+    # is too and the integer division is exact.  Units are embedded as
+    # SQL literals ('' -escaped — corpus words may carry apostrophes).
+    agg = tok.select(seg.alias("seg")).agg(
+        F.sum(_n_syms(F.col("seg"))).cast("long").alias("total_syms"),
+        *[
+            F.expr(
+                f"sum(length(seg) - length(replace(seg, "
+                f"'{u.replace(chr(39), chr(39) * 2)}', ''))) div {len(u)}"
+            )
+            .cast("long")
+            .alias(f"u{n}")
+            for n, u in enumerate(units, start=1)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n + 1).cast("int").alias("merge_rank"),
+                    F.lit(a + b).alias("merged"),
+                    F.col(f"u{n + 1}").alias("n_uses"),
+                )
+                for n, (a, b, _) in enumerate(merges)
+            ]
+        )
+    ).alias("m")
+    return agg.select(rows, "total_syms").select(
+        F.col("m.merge_rank").alias("merge_rank"),
+        F.col("m.merged").alias("merged"),
+        F.col("m.n_uses").alias("n_uses"),
+        "total_syms",
+        F.expr(f"(m.n_uses * {_MICRO}) div total_syms")
+        .cast("long")
+        .alias("use_share_ppm"),
+    )

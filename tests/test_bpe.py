@@ -49,6 +49,25 @@ def test_merge_table_shape(spark, sf_small):
     assert all(r.merged == r.lhs + r.rhs for r in rows)
 
 
+def test_merge_utilization_consistent_with_fertility(spark, sf_small):
+    """Cross-query consistency: the utilization audit's total emitted
+    symbols must equal the fertility matrix's corpus-wide bpe_tokens
+    (both are the same final segmentation, counted two ways), and no
+    merge can account for more symbols than the total."""
+    from iceberg_table_generator_spark.operators.wave20 import (
+        text_bpe_merge_utilization,
+    )
+
+    util = text_bpe_merge_utilization(spark, sf_small).collect()
+    fert = text_bpe_fertility(spark, sf_small).collect()
+    assert len(util) == BPE_MERGES
+    totals = {r.total_syms for r in util}
+    assert totals == {sum(r.bpe_tokens for r in fert)}
+    for r in util:
+        assert 0 <= r.n_uses <= r.total_syms
+        assert 0 <= r.use_share_ppm <= 1_000_000
+
+
 def test_fertility_bounds(spark, sf_small):
     rows = text_bpe_fertility(spark, sf_small).collect()
     langs = {r.lang for r in rows}
