@@ -106,10 +106,10 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
     er = edges.join(outw, "src").transform(persist_tracked)
-    # Persist the |V|-sized node set too: every iteration's rank rebuild
-    # references it, and without the persist each reference re-derives it
-    # from a FULL events scan (observed: 18 FileScans in the un-persisted
-    # plan — the difference between O(iters·|events|) and O(|events|)).
+    # Persist the |V|-sized node set too: the guard aggregate and the
+    # final rank attach both reference it, and without the persist each
+    # reference re-derives it from a FULL events scan (r13 observed 18
+    # FileScans in the fully un-persisted plan).
     nodes = ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
     # Overflow loud-guard (r7 advice): the contribution term computes
     # ((85*r div 100) * cnt) before the final division, and r is bounded
@@ -118,29 +118,57 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would break undetected.  One scalar aggregate over the two already-
     # persisted bounded relations (|V| rows / |E| rows) pins the bound:
     # max intermediate = (85 * |V| * PR_SCALE // 100) * max(cnt) < 2^63.
-    n_nodes = nodes.count()
-    max_cnt = er.agg(F.max("cnt")).first()[0] or 0
+    guard = (
+        nodes.agg(F.count(F.lit(1)).alias("nv"))
+        .crossJoin(er.agg(F.max("cnt").alias("mc")))
+        .first()
+    )
+    n_nodes, max_cnt = guard.nv, guard.mc or 0
     if (85 * n_nodes * PR_SCALE // 100) * max_cnt >= 2**63:
         raise OverflowError(
             f"events_pagerank: int64 overflow risk — |V|={n_nodes}, "
             f"max transition count={max_cnt}; raise PR_SCALE granularity "
             "down or pre-normalize cnt/outw before scaling up."
         )
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            er.join(ranks, er.src == ranks.node)
+    # r14: the per-iteration rank-rebuild join is folded INTO the next
+    # round's edge join.  r_i(n) = PR_BASE + coalesce(inc_i(n), 0) for
+    # EVERY node (a node receiving no mass holds exactly the teleport
+    # base), so the loop carries only the |V|-sized `incoming` relation
+    # and reconstructs r on the er side of the join — one join + one
+    # aggregation per iteration instead of two joins + one aggregation,
+    # and iteration 1 needs no join at all (r0 is the PR_SCALE constant).
+    # The r13 shape materialized ranks = nodes ⟕ contrib every round:
+    # 5 extra broadcast-join stages of pure overhead on ≤|V|-row data.
+    inc = (
+        er.select(
+            "dst",
+            F.expr(
+                f"((({85 * PR_SCALE} div 100)) * cnt) div outw"
+            ).alias("c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("c").alias("incoming"))
+    )
+    for _ in range(PR_ITERS - 1):
+        prev = inc.withColumnRenamed("dst", "pnode")
+        inc = (
+            er.join(prev, er.src == prev.pnode, "left")
             .select(
                 "dst",
-                F.expr("(((85 * r) div 100) * cnt) div outw").alias("c"),
+                F.expr(
+                    f"(((85 * ({PR_BASE} + coalesce(incoming, 0L)))"
+                    " div 100) * cnt) div outw"
+                ).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("incoming"))
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(PR_BASE).cast("long") + F.coalesce("incoming", F.lit(0))).alias("r"),
-        )
+    ranks = nodes.join(
+        inc.withColumnRenamed("dst", "node"), "node", "left"
+    ).select(
+        "node",
+        (F.lit(PR_BASE).cast("long") + F.coalesce("incoming", F.lit(0))).alias("r"),
+    )
     # Final out-visit attach reads the persisted edge relation, not a fresh
     # events→edges→outw recompute.
     outw_cached = er.select(F.col("src").alias("node"), "outw").distinct()

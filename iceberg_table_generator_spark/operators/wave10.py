@@ -1628,14 +1628,22 @@ def text_lang_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset³, a fixed-alphabet domain, not corpus-sized); signatures are
     {LANG_SIG_K}-element arrays over the 5-language grid — everything
     after the groupBy is driver-trivial."""
+    # `lower(text)` is hoisted OUT of the position lambda (r14): inside
+    # `transform` it re-lowercased the whole document once per position —
+    # O(len²) characters per doc (higher-order lambdas evaluate their
+    # non-lambda subtrees per element; Catalyst does no loop-invariant
+    # hoisting).  Materializing it once as a column makes the trigram
+    # pass O(len), identical output.
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
+    ).select(
+        "lang", F.lower("text").alias("lt")
     ).select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(text) - 2),"
-                " i -> substring(lower(text), i, 3))"
+                "transform(sequence(1, length(lt) - 2),"
+                " i -> substring(lt, i, 3))"
             )
         ).alias("g"),
     )

@@ -1564,13 +1564,20 @@ def events_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfer end up", Katz answers "how reachable is this page").
 
     Engine-exactness (the PageRank contract): ranks live in integer
-    micro-units; each iteration is edge-join + (x div {KATZ_ATTEN})
-    contributions + integer sums in a fixed order, replayed by the
-    oracle as an unrolled CTE chain — bit-identical.  Convergence:
-    β·λ_max ≤ in_deg_max/{KATZ_ATTEN} < 1 on the ≤100-page domain,
-    pinned by a loud runtime guard.  Scale: the distinct-edge relation
-    is |V|²-bounded; each iteration is O(|E|) with |V|-sized rank
-    relations (AQE broadcasts them)."""
+    micro-units; each iteration adds (x div {KATZ_ATTEN}) contributions
+    with exact integer sums, replayed by the oracle as an unrolled CTE
+    chain — bit-identical (Python ints are exact; `div` and `//` agree
+    on the non-negative domain).  Convergence: β·λ_max ≤
+    in_deg_max/{KATZ_ATTEN} < 1 on the ≤100-page domain, pinned by a
+    loud runtime guard.  Scale (r14): the DATA-sized work — one window
+    pass + one distinct aggregation down to the |V|²-bounded edge
+    relation — stays distributed; the {KATZ_ITERS}-step fixed-point then
+    folds DRIVER-SIDE over that collected ≤|V|² model (the established
+    model-sized-fold policy: `events_markov_stationary` collects the
+    |V|=5 domain, wave19 collects per-language models).  The r13 shape
+    ran the fold as {KATZ_ITERS} chained join+aggregate rounds — ~18
+    scheduler stages over ≤100-row relations, pure job-overhead at ANY
+    scale factor (4.9 s in-bench at sf0.1)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1581,48 +1588,42 @@ def events_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges = (
+    edges_df = (
         seq.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .select("src", "dst")
         .distinct()
-        .transform(persist_tracked)
     )
-    nodes = (
-        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
-    )
-    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    nodes_df = ev.select(F.col("k").alias("node")).distinct()
+    # Model collect: ≤ |V|² ≤ 10,000 (src, dst) pairs + ≤ |V| nodes — the
+    # page domain is a model constant (0..99 at every SF), never
+    # corpus-sized.
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    node_list = [r.node for r in nodes_df.collect()]
+    indeg: dict[int, int] = {}
+    for _s, t in edges:
+        indeg[t] = indeg.get(t, 0) + 1
     # Loud convergence/overflow guard (the PageRank rule): beta*lambda_max
     # <= max_in_degree/KATZ_ATTEN must stay < 1, which also bounds x by
     # SCALE/(1 - ratio) well under int64.
-    max_in = indeg.agg(F.max("d")).first()[0] or 0
+    max_in = max(indeg.values(), default=0)
     if max_in >= KATZ_ATTEN:
         raise OverflowError(
             f"events_katz_centrality: divergence risk — max in-degree "
             f"{max_in} >= attenuation {KATZ_ATTEN}; raise KATZ_ATTEN."
         )
-    x = nodes.select("node", F.lit(KATZ_SCALE).cast("long").alias("x"))
+    x = {n: KATZ_SCALE for n in node_list}
     for _ in range(KATZ_ITERS):
-        contrib = (
-            edges.join(x, edges.src == x.node)
-            .select("dst", F.expr(f"x div {KATZ_ATTEN}").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("incoming"))
-        )
-        x = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (
-                F.lit(KATZ_SCALE).cast("long")
-                + F.coalesce("incoming", F.lit(0))
-            ).alias("x"),
-        )
-    return (
-        nodes.join(x.withColumnRenamed("x", "katz_micro"), "node")
-        .join(indeg.withColumnRenamed("dst", "node"), "node", "left")
-        .select(
-            "node",
-            F.coalesce("d", F.lit(0)).alias("in_degree"),
-            "katz_micro",
-        )
+        inc: dict[int, int] = {}
+        for s, t in edges:
+            inc[t] = inc.get(t, 0) + x[s] // KATZ_ATTEN
+        x = {n: KATZ_SCALE + inc.get(n, 0) for n in node_list}
+    # The oracle's final INNER join on node drops a NULL node (missing
+    # props.k) on both engines — replicate by skipping None.
+    rows = [
+        (n, indeg.get(n, 0), x[n]) for n in node_list if n is not None
+    ]
+    return spark.createDataFrame(
+        rows, schema="node int, in_degree bigint, katz_micro bigint"
     )
 
 
@@ -1686,11 +1687,19 @@ def events_absorption_probability(
 
     Engine-exactness: h_i(v) is EXACTLY P(hit within i steps) in integer
     micro-units up to one truncating division per (node, iteration) —
-    the division order is fixed (128-bit cnt·h products summed exactly,
-    ONE div by the out-weight), so both engines replay bit-identically;
-    the oracle is the unrolled CTE chain.  Scale: O(|E|) per iteration
-    over the persisted |V|²-bounded edge relation, |V|-sized h
-    relations."""
+    the cnt·h products are summed exactly (arbitrary-precision Python
+    ints, matching the oracle's HUGEINT sums), then ONE floor division
+    by the out-weight (all operands non-negative, so `//`, `div` and
+    `//` in DuckDB agree) — bit-identical to the unrolled CTE chain.
+    Scale (r14): the DATA-sized work — one window pass + one (src, dst)
+    aggregation down to the |V|²-bounded weighted edge relation — stays
+    distributed; the {ABSORB_ITERS}-step fixed-point then folds
+    DRIVER-SIDE over that collected ≤|V|² model (the page domain is
+    0..99 at every SF — the established model-sized-fold policy, see
+    `events_katz_centrality`).  The r13 shape ran the fold as
+    {ABSORB_ITERS} chained join+aggregate rounds over ≤100-row
+    relations — ~24 scheduler stages of pure job overhead (5.9 s
+    in-bench at sf0.1)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1701,55 +1710,38 @@ def events_absorption_probability(
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges = (
+    edges_df = (
         seq.filter(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    er = edges.join(outw, "src").transform(persist_tracked)
-    nodes = (
-        ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
-    )
-    h = nodes.select(
-        "node",
-        F.when(F.col("node") == ABSORB_TARGET, F.lit(ABSORB_SCALE))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("h"),
-    )
+    nodes_df = ev.select(F.col("k").alias("node")).distinct()
+    edge_rows = [(r.src, r.dst, r.cnt) for r in edges_df.collect()]
+    node_list = [r.node for r in nodes_df.collect()]
+    # The oracle's `edges JOIN outw USING (src)` drops NULL-src rows
+    # (equi-join NULL semantics) — replicate before folding.
+    er = [(s, t, c) for s, t, c in edge_rows if s is not None]
+    outw: dict[int, int] = {}
+    for s, _t, c in er:
+        outw[s] = outw.get(s, 0) + c
+    h = {
+        n: ABSORB_SCALE if n == ABSORB_TARGET else 0 for n in node_list
+    }
     for _ in range(ABSORB_ITERS):
-        inc = (
-            er.join(h, er.dst == h.node)
-            .select(
-                "src",
-                (F.col("cnt").cast(D38) * F.col("h")).alias("p"),
-                "outw",
-            )
-            .groupBy("src")
-            .agg(
-                F.expr("CAST(sum(p) div any_value(outw) AS BIGINT)").alias(
-                    "nh"
-                )
-            )
-        )
-        h = nodes.join(inc, nodes.node == inc.src, "left").select(
-            "node",
-            F.when(F.col("node") == ABSORB_TARGET, F.lit(ABSORB_SCALE))
-            .otherwise(F.coalesce("nh", F.lit(0)))
-            .cast("long")
-            .alias("h"),
-        )
-    return (
-        nodes.join(h.withColumnRenamed("h", "absorb_micro"), "node")
-        .join(
-            outw.withColumnRenamed("src", "node"), "node", "left"
-        )
-        .select(
-            "node",
-            F.coalesce("outw", F.lit(0)).alias("out_visits"),
-            "absorb_micro",
-        )
+        acc: dict[int, int] = {}
+        for s, t, c in er:
+            acc[s] = acc.get(s, 0) + c * h[t]
+        nh = {s: v // outw[s] for s, v in acc.items()}
+        h = {
+            n: ABSORB_SCALE if n == ABSORB_TARGET else nh.get(n, 0)
+            for n in node_list
+        }
+    # Final INNER join on node drops a NULL node on both engines.
+    rows = [
+        (n, outw.get(n, 0), h[n]) for n in node_list if n is not None
+    ]
+    return spark.createDataFrame(
+        rows, schema="node int, out_visits bigint, absorb_micro bigint"
     )
 
 

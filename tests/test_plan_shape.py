@@ -30,7 +30,16 @@ SNAPSHOT = Path(__file__).parent.parent / "PLAN_SNAPSHOT.json"
 #: Intentional plan-shape changes since the committed snapshot:
 #: name → one-line rationale.  Entries here are skipped by the diff and
 #: must be dropped when the snapshot is next regenerated.
-EXPLAINED: dict[str, str] = {}
+EXPLAINED: dict[str, str] = {
+    # r14 optimization round: intentional plan reshapes, each oracle-green
+    # at 3 SFs (OPTIMIZATION_r14.md has the before/after pins and plans).
+    "events_pagerank": "iteration fold: rank rebuild folded into next round's edge join (one join/iter instead of two)",
+    "events_katz_centrality": "model-sized driver fold: distributed work ends at the |V|^2-bounded edge relation",
+    "events_absorption_probability": "model-sized driver fold: distributed work ends at the |V|^2-bounded edge relation",
+    "pipeline_repetition_stats": "zero-exchange rewrite: per-doc run-length fold replaces corpus-wide (doc_id, bigram) shuffle",
+    "multimodal_byte_stats": "numeric byte decode replaces hex-pair string ops (no shape change expected; listed for the reviewed diff)",
+    "text_lang_signature_jaccard": "lower(text) hoisted out of per-position lambda (no shape change expected; listed for the reviewed diff)",
+}
 
 
 def _shape(df) -> dict:
