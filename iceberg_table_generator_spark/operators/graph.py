@@ -32,6 +32,17 @@ PR_ITERS = 5  # fixed iteration count (recomputable by the oracle)
 PR_BASE = 15 * PR_SCALE // 100  # (1 - damping) * SCALE, damping = 0.85
 
 
+def _round6_half_up(x: float) -> float:
+    """Replay Spark's `round(double, 6)` exactly: BigDecimal.valueOf uses
+    the double's shortest decimal representation (Python `repr` produces
+    the same digits), then HALF_UP at scale 6."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unrolled DuckDB twin of the Spark iteration (identical integer ops)."""
     ctes = [
@@ -229,15 +240,16 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering/cohesion motif metric (community density, spam-farm
     detection) that complements PageRank's centrality on the same graph.
 
-    Degree-ordered counting — THE distributed triangle algorithm: every
-    undirected edge is oriented from its lower-(degree, id) endpoint to
-    the higher, so each triangle is enumerated exactly once and, crucially,
-    out-degrees are bounded by O(sqrt(|E|)) — a celebrity node's million
-    undirected neighbors become incoming edges, so the wedge join
-    (e1.b = e2.a) never fans out on hot vertices.  All three relations in
-    the 3-way join are the SAME |V|²-bounded, visit-count-independent edge
-    relation (persisted once, tracked), and every join is an equi-join.
-    Pure integer counts — bit-exact on both engines."""
+    The corpus-sized work (window pass + distinct) reduces to the
+    |V|²-bounded undirected edge relation distributed; the triangle
+    enumeration itself folds driver-side over that collected ≤100-node
+    model (r14 — see the in-body note).  At a TRUE large-graph scale the
+    distributed answer is degree-ordered counting (orient each edge
+    low→high (degree, id), 3-way self-join — out-degrees bound by
+    O(sqrt|E|) so hot vertices never fan out), which is what the r13
+    implementation exercised; on the fixed ≤100-page domain those 3
+    joins are pure scheduler overhead.  Pure integer counts — bit-exact
+    on both engines."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -246,52 +258,42 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
+    und_df = (
         seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .transform(persist_tracked)
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    dir_e = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        )
-        .transform(persist_tracked)
-    )
-    e1 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = dir_e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    per_node = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    nodes = ev.select(F.col("k").alias("node")).distinct()
-    return (
-        nodes.join(deg, "node", "left")
-        .join(per_node, "node", "left")
-        .select(
-            "node",
-            F.coalesce("degree", F.lit(0)).alias("degree"),
-            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
-        )
+    nodes_df = ev.select(F.col("k").alias("node")).distinct()
+    # r14: the DATA-sized work — one window pass + the distinct down to the
+    # |V|²-bounded undirected edge relation — stays distributed; triangle
+    # enumeration then folds DRIVER-SIDE over the collected ≤ C(100,2)
+    # edge model (the established model-sized-fold policy, see
+    # events_katz_centrality).  The triangle SET is algorithm-independent,
+    # so per-node counts are identical to the r13 degree-ordered join's;
+    # each triangle u<v<w is found exactly once from its (u,v) edge with
+    # the common neighbor w constrained to w > v.  The r13 shape ran a
+    # 3-way self-join + explode + 2 persists + 3 aggregations over
+    # ≤100-row relations — pure scheduler overhead at any SF.
+    edges = [(r.u, r.v) for r in und_df.collect()]
+    node_list = [r.node for r in nodes_df.collect()]
+    deg: dict[int, int] = {}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri: dict[int, int] = {}
+    for u, v in edges:
+        for z in adj[u] & adj[v]:
+            if z > v:  # u < v < z: each triangle counted exactly once
+                for m in (u, v, z):
+                    tri[m] = tri.get(m, 0) + 1
+    rows = [(n, deg.get(n, 0), tri.get(n, 0)) for n in node_list]
+    return spark.createDataFrame(
+        rows, schema="node int, degree bigint, n_triangles bigint"
     )
 
 
@@ -716,11 +718,11 @@ def events_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     No reference counterpart (`Main.java` is a generator); mandated by the
     SURVEY.md §2.8 extension surface.
 
-    Scale: identical posture to `events_triangle_count` — the triangle join
-    is degree-ordered (out-degree O(sqrt|E|), no hot-vertex fan-out) over
-    one persisted |V|²-bounded edge relation; the coefficient is a single
-    integer-input division rounded once (both engines correctly round an
-    exact-integer quotient, so the doubles agree bit-for-bit)."""
+    Scale: identical posture to `events_triangle_count` (r14 model-sized
+    driver fold over the collected |V|²-bounded edge relation); the
+    coefficient is a single integer-input division rounded once (both
+    engines correctly round an exact-integer quotient, so the doubles
+    agree bit-for-bit)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -729,59 +731,48 @@ def events_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
+    und_df = (
         seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .transform(persist_tracked)
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .transform(persist_tracked)
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    dir_e = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    # r14 model-sized driver fold (see events_triangle_count): output rows
+    # are the nodes with degree ≥ 1 (the r13 deg relation), the ratio is
+    # one exact-integer-input division rounded once — `_round6_half_up`
+    # replays Spark's round() (BigDecimal-on-shortest-repr, HALF_UP)
+    # bit-for-bit.
+    edges = [(r.u, r.v) for r in und_df.collect()]
+    deg: dict[int, int] = {}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri: dict[int, int] = {}
+    for u, v in edges:
+        for z in adj[u] & adj[v]:
+            if z > v:
+                for m in (u, v, z):
+                    tri[m] = tri.get(m, 0) + 1
+    rows = [
+        (
+            n,
+            d,
+            tri.get(n, 0),
+            (
+                _round6_half_up(2 * tri.get(n, 0) / (d * (d - 1)))
+                if d >= 2
+                else None
+            ),
         )
-        .transform(persist_tracked)
-    )
-    e1 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = dir_e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = dir_e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    per_node = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return (
-        deg.join(per_node, "node", "left")
-        .select(
-            "node",
-            "degree",
-            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                F.round(
-                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
-                    / (F.col("degree") * (F.col("degree") - 1)),
-                    6,
-                ),
-            ).alias("local_cc"),
-        )
+        for n, d in deg.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="node int, degree bigint, n_triangles bigint, local_cc double",
     )
 
 

@@ -1347,10 +1347,11 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions on ONE row of cell counts).
 
     Engine-exactness: cell counts are exact integers cast once; each πP
-    step is generated from the SAME expression text (`_pi_step`) on both
-    engines — double multiply/divide/add in fixed order stays
-    bit-identical across {MARKOV_PI_ITERS} steps (the
-    `wide_metrics_pca_power` argument), rounded once at the end.
+    step replays `_pi_step`'s expression — double multiply/divide/add in
+    fixed order — so {MARKOV_PI_ITERS} steps stay bit-identical to the
+    oracle's CTE chain (the `wide_metrics_pca_power` argument), rounded
+    once at the end (r14: the replay now runs driver-side over the one
+    collected counter row; see the in-body note).
     Scale: ONE conditional-count aggregate over the LEAD pairs (25
     counters, map-combinable); the iteration is data-size-independent."""
     ev = load_table(spark, sf_dir, "events")
@@ -1380,39 +1381,45 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, b in enumerate(MARKOV_STATES, 1)
         ]
     )
-    m = cells.select(
-        "*",
-        *[
-            F.expr(" + ".join(f"c{i}{j}" for j in range(1, n + 1))).alias(f"rt{i}")
-            for i in range(1, n + 1)
-        ],
-    )
-    carry = [f"c{i}{j}" for i in range(1, n + 1) for j in range(1, n + 1)] + [
-        f"rt{i}" for i in range(1, n + 1)
-    ]
-    cur = m.select(
-        *carry,
-        *[
-            F.expr(f"CAST({1.0 / n!r} AS DOUBLE)").alias(f"pi{i}")
-            for i in range(1, n + 1)
-        ],
-    )
-    for _ in range(MARKOV_PI_ITERS):
-        cur = cur.select(
-            *carry,
-            *[
-                F.expr(f"({_pi_step(j, n)})").alias(f"__pi{j}")
-                for j in range(1, n + 1)
-            ],
-        ).select(
-            *carry,
-            *[F.col(f"__pi{j}").alias(f"pi{j}") for j in range(1, n + 1)],
+    # r14: ONE distributed aggregate down to the 25 cell counters (the
+    # only data-sized work), then the πP fixed-point folds DRIVER-SIDE
+    # over that one collected row.  Each Python step replays `_pi_step`'s
+    # expression — left-associated Σ_i pi_i * (c_ij / rt_i) in fixed i
+    # order — as the same IEEE-754 double ops in the same order, so the
+    # result is bit-identical to the r13 16-deep nested-select chain (and
+    # to the oracle's unrolled CTE chain).  The r13 shape made Catalyst
+    # analyze/optimize a 16-step expression tree over 30 carried columns:
+    # pure planning overhead for a data-size-independent iteration.
+    row = cells.first()
+    c = [[float(row[f"c{i}{j}"]) for j in range(1, n + 1)] for i in range(1, n + 1)]
+    rt = []
+    for i in range(n):
+        acc = c[i][0]
+        for j in range(1, n):
+            acc = acc + c[i][j]
+        rt.append(acc)
+    if any(t == 0.0 for t in rt):
+        # The SQL chain would propagate NULL through every later step (a
+        # double /0 is NULL in non-ANSI Spark); the fixture guarantees
+        # every state has outgoing transitions — fail loudly if not.
+        raise AssertionError(
+            f"events_markov_stationary: state with zero outgoing mass "
+            f"(row totals {rt}); π replay would diverge from the SQL chain"
         )
-    return cur.select(
-        *[
-            F.expr(f"round(pi{i}, 6)").alias(f"pi_{s}")
-            for i, s in enumerate(MARKOV_STATES, 1)
-        ]
+    pi = [1.0 / n] * n
+    for _ in range(MARKOV_PI_ITERS):
+        new = []
+        for j in range(n):
+            acc = pi[0] * (c[0][j] / rt[0])
+            for i in range(1, n):
+                acc = acc + pi[i] * (c[i][j] / rt[i])
+            new.append(acc)
+        pi = new
+    from iceberg_table_generator_spark.operators.graph import _round6_half_up
+
+    out = tuple(_round6_half_up(p) for p in pi)
+    return spark.createDataFrame(
+        [out], schema=", ".join(f"pi_{s} double" for s in MARKOV_STATES)
     )
 
 

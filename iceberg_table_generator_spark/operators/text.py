@@ -797,9 +797,19 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.  Compare `dedup_ngram_jaccard`, which must enumerate
     pairs and therefore needs the df-cap; a first-seen statistic needs
     neither."""
+    from iceberg_table_generator_spark.functions.cache import persist_tracked
     from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
 
-    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    # r14: the per-doc branch and the first-seen branch both read the
+    # shingled relation; without a persist each branch re-ran the full
+    # tokenize + per-position concat + array_distinct build from the scan
+    # (the wave17 multi-branch double-compute hazard).  Pinning the
+    # (doc_id, shingles) relation runs the expensive row-local build once.
+    d = persist_tracked(
+        shingles(tokenize(load_table(spark, sf_dir, "documents"))).select(
+            "doc_id", "shingles"
+        )
+    )
     # Docs under 3 tokens have no shingles: the oracle's counts derive
     # from the exploded shingle stream so such docs vanish there — drop
     # them here too (a novelty rate over zero shingles is undefined).

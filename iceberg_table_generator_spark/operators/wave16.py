@@ -389,21 +389,32 @@ def dedup_tier_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    union = (
-        exact_p.unionByName(lex_p).unionByName(sem_p).distinct()
-    )
-    flags = (
-        union.join(
-            exact_p.withColumn("in_exact", F.lit(1)), ["a", "b"], "left"
+    # r14: the union-then-3-left-joins shape evaluated every tier's pair
+    # relation TWICE (once inside the distinct union, once as a join
+    # probe) — for the lexical tier that is the full MinHash-LSH pipeline
+    # re-run.  Tagging each tier's (distinct) pairs with a one-hot flag
+    # triple and folding with max() per pair computes the identical
+    # membership grid with each tier evaluated ONCE and zero joins: the
+    # union's groupBy(a, b) IS the old distinct's shuffle, so the plan
+    # drops three pair-set joins and one evaluation of every tier.
+    def _tag(p: DataFrame, e: int, lx: int, s: int) -> DataFrame:
+        return p.select(
+            "a",
+            "b",
+            F.lit(e).alias("e"),
+            F.lit(lx).alias("l"),
+            F.lit(s).alias("s"),
         )
-        .join(lex_p.withColumn("in_lexical", F.lit(1)), ["a", "b"], "left")
-        .join(sem_p.withColumn("in_semantic", F.lit(1)), ["a", "b"], "left")
-        .select(
-            F.coalesce("in_exact", F.lit(0)).cast("int").alias("in_exact"),
-            F.coalesce("in_lexical", F.lit(0)).cast("int").alias("in_lexical"),
-            F.coalesce("in_semantic", F.lit(0))
-            .cast("int")
-            .alias("in_semantic"),
+
+    flags = (
+        _tag(exact_p, 1, 0, 0)
+        .unionByName(_tag(lex_p, 0, 1, 0))
+        .unionByName(_tag(sem_p, 0, 0, 1))
+        .groupBy("a", "b")
+        .agg(
+            F.max("e").cast("int").alias("in_exact"),
+            F.max("l").cast("int").alias("in_lexical"),
+            F.max("s").cast("int").alias("in_semantic"),
         )
     )
     return flags.groupBy("in_exact", "in_lexical", "in_semantic").agg(

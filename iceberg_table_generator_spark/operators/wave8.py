@@ -239,51 +239,52 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
+    und_df = (
         seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .transform(persist_tracked)
     )
-    bi = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = bi.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    x = bi.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
-    y = bi.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
-    cn = (
-        x.join(y, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
-    edge = und.select(
-        F.col("u").alias("a"), F.col("v").alias("b"), F.lit(1).alias("_e")
-    )
-    out = (
-        cn.join(da, "a")
-        .join(db, "b")
-        .join(edge, ["a", "b"], "left")
-        .select(
-            "a",
-            "b",
-            "n_common",
-            "deg_a",
-            "deg_b",
-            F.coalesce("_e", F.lit(0)).cast("long").alias("is_edge"),
-            F.expr(
-                "(1000000 * n_common) div (deg_a + deg_b - n_common)"
-            ).alias("jaccard_e6"),
+    # r14 model-sized driver fold (the events_katz_centrality policy): the
+    # window pass + distinct down to the |V|²-bounded edge relation stays
+    # distributed; wedge counting, degrees and the top-k ranking fold over
+    # the collected ≤ C(100,2) edges.  Pure integer arithmetic (`//` = SQL
+    # `div` on the non-negative domain); tie order (-n_common, a, b) is
+    # the r13 orderBy.  The r13 shape was a wedge self-join + 3 attach
+    # joins + TakeOrderedAndProject over ≤100-row relations.
+    edges = [(r.u, r.v) for r in und_df.collect()]
+    und_set = set(edges)
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    cn: dict[tuple[int, int], int] = {}
+    for mid, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                cn[(a, b)] = cn.get((a, b), 0) + 1
+    ranked = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:LINK_TOP_K]
+    rows = [
+        (
+            a,
+            b,
+            n_common,
+            deg[a],
+            deg[b],
+            1 if (a, b) in und_set else 0,
+            (1_000_000 * n_common) // (deg[a] + deg[b] - n_common),
         )
+        for (a, b), n_common in ranked
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="a int, b int, n_common bigint, deg_a bigint, deg_b bigint,"
+        " is_edge bigint, jaccard_e6 bigint",
     )
-    return out.orderBy(F.desc("n_common"), "a", "b").limit(LINK_TOP_K)
 
 
 # --------------------------------------------------------------------------
@@ -1062,34 +1063,37 @@ def events_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
+    und_df = (
         seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .transform(persist_tracked)
     )
-    bi = und.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = bi.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    # r14 model-sized driver fold (see events_link_prediction): each wedge
+    # through `mid` contributes the integer micro-unit 1000000 // deg(mid)
+    # — identical per-term floor, exact integer sums, r13 tie order
+    # (-ra_e6, a, b).
+    edges = [(r.u, r.v) for r in und_df.collect()]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cn: dict[tuple[int, int], int] = {}
+    ra: dict[tuple[int, int], int] = {}
+    for mid, nbrs in adj.items():
+        term = 1_000_000 // len(nbrs)
+        ns = sorted(nbrs)
+        for i, a in enumerate(ns):
+            for b in ns[i + 1 :]:
+                cn[(a, b)] = cn.get((a, b), 0) + 1
+                ra[(a, b)] = ra.get((a, b), 0) + term
+    ranked = sorted(ra.items(), key=lambda kv: (-kv[1], kv[0]))[:LINK_TOP_K]
+    rows = [(a, b, cn[(a, b)], ra_e6) for (a, b), ra_e6 in ranked]
+    return spark.createDataFrame(
+        rows, schema="a int, b int, n_common bigint, ra_e6 bigint"
     )
-    x = bi.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
-    y = bi.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
-    ra = (
-        x.join(y, "mid")
-        .filter(F.col("a") < F.col("b"))
-        .join(deg.withColumnRenamed("node", "mid"), "mid")
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.sum(F.expr("1000000 div degree")).cast("long").alias("ra_e6"),
-        )
-    )
-    return ra.orderBy(F.desc("ra_e6"), "a", "b").limit(LINK_TOP_K)
 
 
 # --------------------------------------------------------------------------

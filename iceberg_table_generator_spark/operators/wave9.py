@@ -833,13 +833,25 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
 
     d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
-    ss = d.select(
-        "source", F.explode("shingles").alias("sh")
-    ).distinct()
-    ss = persist_tracked(ss)
-    per = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sets = ss.groupBy("sh").agg(
-        F.sort_array(F.collect_set("source")).alias("arr")
+    # r14: the r13 shape pre-distinct'd the exploded (source, shingle)
+    # stream (one corpus-wide shuffle), persisted it, then shuffled it
+    # AGAIN for the per-shingle groupBy — two shingle-keyed exchanges of
+    # the same corpus-sized relation.  collect_set is itself set-valued
+    # and partially aggregates map-side with ≤|sources| state per group,
+    # so the distinct pass bought nothing: one groupBy straight off the
+    # explode computes the identical source sets with ONE exchange, and
+    # the per-source distinct-shingle totals fall out of the persisted
+    # sets relation (explode + count ≡ the old distinct row count).
+    sets = (
+        d.select("source", F.explode("shingles").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("arr"))
+        .transform(persist_tracked)
+    )
+    per = (
+        sets.select(F.explode("arr").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = sets.select(
         F.explode(

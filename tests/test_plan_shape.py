@@ -39,6 +39,14 @@ EXPLAINED: dict[str, str] = {
     "pipeline_repetition_stats": "zero-exchange rewrite: per-doc run-length fold replaces corpus-wide (doc_id, bigram) shuffle",
     "multimodal_byte_stats": "numeric byte decode replaces hex-pair string ops (no shape change expected; listed for the reviewed diff)",
     "text_lang_signature_jaccard": "lower(text) hoisted out of per-position lambda (no shape change expected; listed for the reviewed diff)",
+    "dedup_tier_overlap_matrix": "one-hot flag union + max-fold replaces union-distinct + 3 pair-set joins (each tier now evaluated once)",
+    "text_source_vocab_overlap": "single groupBy collect_set off the explode; pre-distinct shuffle + oversized persist dropped",
+    "text_novelty_rate": "shingled relation persisted once; both branches previously re-ran the full tokenize+shingle build",
+    "events_triangle_count": "model-sized driver fold over the collected |V|^2-bounded edge relation",
+    "events_clustering_coefficient": "model-sized driver fold over the collected |V|^2-bounded edge relation",
+    "events_link_prediction": "model-sized driver fold over the collected |V|^2-bounded edge relation",
+    "events_resource_allocation": "model-sized driver fold over the collected |V|^2-bounded edge relation",
+    "events_markov_stationary": "pi iteration folds driver-side over the one collected counter row (16-deep nested-select chain dropped)",
 }
 
 
