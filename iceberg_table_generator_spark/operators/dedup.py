@@ -326,18 +326,17 @@ FROM members
 """
 
 
-@query("dedup_connected_components", oracle=_CC_ORACLE)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the Jaccard pair graph,
-    labeled by the component's minimum doc_id (the canonical keeper —
-    "connected components keep-min", SURVEY.md §2.8).
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (doc_id, label) min-label propagation over the Jaccard
+    pair graph — the shared core of `dedup_connected_components` and
+    `dedup_keep_canonical` (r14: factored out so keep_canonical's plan
+    skips the cluster-size attach it never reads).
 
-    Implemented as distributed min-label propagation: every node starts as
-    its own label; each round joins labels across edges and keeps the min;
-    stops when a round changes nothing.  Rounds = graph diameter (near-dup
-    components are tiny — 2-3 rounds); each round is one broadcast-able
-    join on the pair set, NOT on the corpus.  The oracle computes the same
-    components with a recursive CTE."""
+    Every node starts as its own label; each round joins labels across
+    edges and keeps the min; stops when a round changes nothing.  Rounds
+    = graph diameter (near-dup components are tiny — 2-3 rounds); each
+    round is one broadcast-able join on the pair set, NOT on the
+    corpus."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -379,6 +378,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "connected-components min-label propagation did not converge "
             f"within 50 rounds ({changed} labels still changing)"
         )
+    return labels
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair graph,
+    labeled by the component's minimum doc_id (the canonical keeper —
+    "connected components keep-min", SURVEY.md §2.8).
+
+    Label propagation in :func:`_cc_labels`; the oracle computes the same
+    components with a recursive CTE."""
+    labels = _cc_labels(spark, sf_dir)
     # Cluster-size attach: `count(*) over (partition by label)` would put
     # an entire mega-cluster (boilerplate docs are exactly that) on one
     # task — the hot-key window shape r4/r5 removed everywhere else.
@@ -423,8 +434,16 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides on a uniform high-cardinality key (no skew: one row per
     doc_id on each side), and AQE is free to pick a local broadcast at
     runtime only if the relation really is small.  Downstream, the
-    cleaned corpus is `filter(is_kept)`."""
-    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster_id")
+    cleaned corpus is `filter(is_kept)`.
+
+    r14: joins the converged label relation (:func:`_cc_labels`)
+    directly — the cluster-size attach in `dedup_connected_components`
+    (sizes groupBy + hot/tail split joins) computed a column this query
+    never reads, and Catalyst cannot prune joins it can't prove
+    row-preserving."""
+    cc = _cc_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(cc, "doc_id", "left").select(
         "doc_id",

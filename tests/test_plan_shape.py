@@ -48,6 +48,7 @@ EXPLAINED: dict[str, str] = {
     "events_resource_allocation": "model-sized driver fold over the collected |V|^2-bounded edge relation",
     "events_markov_stationary": "pi iteration folds driver-side over the one collected counter row (16-deep nested-select chain dropped)",
     "approx_sketches": "countDistinct split into its own agg subtree joined on the 3-row returnflag domain (Expand dropped; subtrees run concurrently)",
+    "dedup_keep_canonical": "joins _cc_labels directly: the cluster-size attach (sizes groupBy + hot/tail joins) computed a column this query never reads",
 }
 
 
