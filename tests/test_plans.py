@@ -433,10 +433,10 @@ def test_keep_canonical_membership_attach_not_broadcast(spark, sf_small):
     """VERDICT r5 #1: the cluster-membership relation holds every doc with
     a near-dup partner — corpus-fraction sized at real 30-50% web dup
     rates — so attaching it to the full document set must take the
-    shuffle path, never a BroadcastExchange.  The only broadcasts allowed
-    in this plan are the bounded hot-cluster attaches inside the size
-    computation, which are fed by a limit(1024) (TakeOrderedAndProject
-    signature)."""
+    shuffle path, never a BroadcastExchange.  Since the r14 refactor
+    keep_canonical composes the bare `_cc_labels` (no cluster-size
+    attach, whose hot-set broadcasts were the only allowed ones), NO
+    broadcast of any kind may appear in this plan."""
     from iceberg_table_generator_spark.operators.dedup import dedup_keep_canonical
 
     df = dedup_keep_canonical(spark, sf_small)
@@ -446,10 +446,7 @@ def test_keep_canonical_membership_attach_not_broadcast(spark, sf_small):
     # in the plan and must be the shuffle path
     last_join = [n for n in nodes if n.endswith("Join")][-1]
     assert last_join == "SortMergeJoin", (last_join, nodes)
-    # only the two bounded hot-set attaches may broadcast, and the bounded
-    # feed's plan signature must be present
-    assert kinds["BroadcastHashJoin"] == 2, kinds
-    assert "TakeOrderedAndProject" in nodes, nodes
+    assert kinds["BroadcastHashJoin"] == 0, kinds
     assert kinds["BroadcastNestedLoopJoin"] == 0, kinds
 
 
