@@ -511,7 +511,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     # Float view of the shared integer-k-means quantizer, but fitted at

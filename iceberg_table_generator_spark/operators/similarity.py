@@ -147,7 +147,7 @@ def cosine_topk_gold_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = with_norm(emb)
@@ -301,7 +301,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reranked output); recall vs the exact operator stays asserted in
     tests."""
     dim = 64
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = with_norm(emb)
@@ -719,7 +719,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitions both sides on cluster_id.  Better than hyperplane LSH
     when the corpus is genuinely clustered (this testdata has 10 labeled
     clusters)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     centroids = ivf_index(emb, cache_key=sf_dir)
@@ -799,7 +799,7 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the bits match exactly — whereas round(x, 9) itself diverges
     between engines (BigDecimal string rounding vs multiply-round-divide)
     and was observed flipping the 9th digit."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     scale = (
@@ -1070,7 +1070,7 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the candidate scan reads codes (4 bytes/vector), not
     vectors (256 bytes/vector) — a 64x scan reduction; the rerank
     fetches full vectors for PQ_SHORTLIST rows per query only."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     books = pq_index(emb, cache_key=sf_dir)
@@ -1145,7 +1145,7 @@ def similarity_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of k×dim, the fix the literal-codegen ANN paths needed).
     Both engines fold j ascending over the same doubles → bit-exact vals,
     emitted raw per the no-rounding policy."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     return emb.select(
@@ -1339,7 +1339,7 @@ def similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic on both engines: neighbor cut by (sim DESC, vec_id),
     vote winner by (votes DESC, label ASC); sims reuse the sequential
     fold that is bit-identical to DuckDB's list_sum."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     seed = with_norm(emb.filter(F.col("vec_id") < KNN_SEED)).select(
@@ -1443,7 +1443,7 @@ def similarity_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     broadcasts at runtime) and folds the squared distance sequentially
     in-row, the same fold order as DuckDB's list_sum, so distances are
     bit-identical and the argmin (tiebreak: label asc) agrees exactly."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     ex = emb.select(
@@ -1576,7 +1576,7 @@ def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB list_sum), the score is one fixed λ-chain, and every argmax
     tiebreaks on candidate id — so the oracle's unrolled CTE chain picks
     the identical set in the identical order."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     nu = with_norm(emb).select(
@@ -1746,7 +1746,7 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH/IVF candidate generators compose in front of this filter exactly
     as they do for top-k.  Same sequential-fold dots → bit-identical
     sims."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = with_norm(emb)
@@ -1811,7 +1811,7 @@ def similarity_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — centroids are a broadcast literal), then a k-row rollup
     with map-side combine; the scalar total joins back as a 1-row
     broadcast."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     centroids = ivf_index(emb, cache_key=sf_dir)
@@ -1888,7 +1888,7 @@ def similarity_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     other IVF queries, one k-row rollup, zero extra shuffles.  All
     arithmetic is integer (micro-unit ratio via one `div`), so DuckDB
     refits and replays bit-exactly."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     centroids = ivf_index(emb, cache_key=sf_dir)
@@ -2002,7 +2002,7 @@ def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate against the broadcast 20-row hardest-positive
     relation.  Sims fold sequentially over the same double arrays on
     both engines → bit-identical before the single rounding."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = with_norm(emb)
@@ -2127,7 +2127,7 @@ def similarity_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end.  Scale: one posexplode pass folds (label, half, dim) partial
     sums map-side (|labels|·2·64 groups); everything after is
     model-dimension-sized."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
         F.col("embedding").cast("array<double>").alias("vec"),

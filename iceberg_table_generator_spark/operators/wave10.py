@@ -784,7 +784,7 @@ def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs join: one 1-1 key join, in-row double folds in the exact
     order DuckDB's list_sum uses (bit-identical results — the
     `similarity_quantize_int8` precedent)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     a = emb.filter(F.col("vec_id") % 2 == 0).select(
@@ -1705,7 +1705,7 @@ def similarity_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one narrow in-row fold + one label-keyed map-combinable
     aggregate; zero joins, zero windows."""
-    v = load_table(spark, sf_dir, "embeddings").select(
+    v = spread(load_table(spark, sf_dir, "embeddings")).select(
         "label",
         F.floor(
             F.sqrt(
@@ -1935,7 +1935,7 @@ def similarity_label_centroid_matrix(
     Scale: one label-keyed aggregate over a narrow scan; the pair grid
     is the bounded label domain (10 rows self-joined)."""
     d38 = "decimal(38,0)"
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     sums = [
         F.sum(
             F.floor(

@@ -35,7 +35,7 @@ from iceberg_table_generator_spark.operators.wave10 import (
     with_interval_coverage,
 )
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # SemDeDup: semantic dedup via k-means cluster-local cosine pruning
@@ -108,7 +108,12 @@ def _semdedup_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cents = ivf_index(emb, cache_key=sf_dir)
-    return persist_tracked(semdedup_members(emb, cents))
+    # spread BEFORE the per-row HOF work: the single-file local scan
+    # otherwise runs the 16-centroid × 64-dim assignment fold AND every
+    # downstream same-cluster pair dot on ONE task (spread is a no-op at
+    # scale — see its docstring); the fit consumes the unspread `emb`
+    # (its own TakeOrdered sample is partition-shape-independent).
+    return persist_tracked(semdedup_members(spread(emb), cents))
 
 
 def _semdedup_dropped(m: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 # --------------------------------------------------------------------------
 # DSIR importance weights (hashed-unigram LLR vs a target domain)
@@ -1403,7 +1403,7 @@ def similarity_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = with_norm(emb)

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 _MICRO = 1_000_000
 
@@ -365,7 +365,7 @@ def similarity_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cand = emb.select(
@@ -525,7 +525,7 @@ def similarity_matryoshka_recall(
         similarity_cosine_topk,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     per_dim = []

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 _MICRO = 1_000_000
 
@@ -194,7 +194,7 @@ def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cents = ivf_index(emb, cache_key=sf_dir)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 D38 = "decimal(38,0)"
 
@@ -678,7 +678,7 @@ def similarity_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     cents = ivf_index(emb, cache_key=sf_dir)

@@ -31,7 +31,7 @@ from iceberg_table_generator_spark.functions.order import (
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
 from iceberg_table_generator_spark.operators.tpch_ext import SQL_REV_DEC, rev_dec
 from iceberg_table_generator_spark.registry import query
-from iceberg_table_generator_spark.sources.tables import load_table
+from iceberg_table_generator_spark.sources.tables import load_table, spread
 
 D38 = "decimal(38,0)"
 
@@ -944,7 +944,7 @@ def similarity_lsh_bucket_profile(
         _LSH_DIM,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     sig = emb.select(
@@ -1151,7 +1151,7 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("vec"),
         F.col("label").cast("long").alias("label"),
@@ -2019,7 +2019,7 @@ def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_index,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     books = pq_index(emb, cache_key=sf_dir)

@@ -1066,38 +1066,52 @@ class ParquetSnapshotTable:
 
         Calling `read_changes(v-1, v)` in a loop reads every interior
         version twice (as the new side of one diff and the old side of the
-        next) — 2V-1 table scans for V versions; here each version is
-        persisted (DISK_ONLY — recomputable lineage, same policy as the
-        operators) and all 2(V-1) anti-joins run over the cached sets:
-        V scans total.  Iceberg's native equivalent walks manifests
-        per-commit (O(Δ) per step); this is the parquet-snapshot
-        approximation of that consumer-side pattern."""
-        from iceberg_table_generator_spark.functions.cache import persist_tracked
-
+        next) — 2V-1 table scans for V versions.  Here the V version reads
+        union into ONE relation tagged `_v`, one groupBy over the row
+        identity collects each row's visibility set {v : visible at v},
+        and every insert/delete event derives IN-ROW from that set
+        (insert at v ⟺ visible at v but not v-1; delete symmetric) — the
+        same row-id diff semantics as the pairwise anti-joins, computed
+        with a single exchange instead of 2(V-1) anti-joins (each of
+        which cost a broadcast-build job) and V DISK_ONLY persists.
+        A row's identity is its FULL column tuple including the physical
+        row id: a (file, pos) within one immutable file always carries
+        the same payload, so grouping by all columns equals grouping by
+        row id, and rewritten rows (compaction) group separately exactly
+        as the pairwise diff reports them.  Iceberg's native equivalent
+        walks manifests per-commit (O(Δ) per step); this is the
+        parquet-snapshot approximation of that consumer-side pattern."""
         n = len(self._load()) - 1
-        frames = {
-            v: self.read(version=v).transform(persist_tracked)
+        tagged = [
+            self.read(version=v).withColumn("_v", F.lit(v))
             for v in range(1, n + 1)
-        }
-        parts = []
-        for v in range(1, n + 1):
-            new = frames[v]
-            if v == 1:
-                ch = new.withColumn("_change_type", F.lit("insert"))
-            else:
-                old = frames[v - 1]
-                ins = new.join(old.select(ROW_ID), ROW_ID, "left_anti").withColumn(
-                    "_change_type", F.lit("insert")
-                )
-                dele = old.join(new.select(ROW_ID), ROW_ID, "left_anti").withColumn(
-                    "_change_type", F.lit("delete")
-                )
-                ch = ins.unionByName(dele, allowMissingColumns=True)
-            parts.append(ch.withColumn("_version", F.lit(v)))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        ]
+        allv = tagged[0]
+        for t in tagged[1:]:
+            allv = allv.unionByName(t, allowMissingColumns=True)
+        cols = [c for c in allv.columns if c != "_v"]
+        g = allv.groupBy(*cols).agg(F.collect_set("_v").alias("_vs"))
+        # Per row: walk versions 1..n once, emitting the change events its
+        # visibility set implies (contains(0) is vacuously false, so v=1
+        # needs no special case and can never emit a delete).
+        present = lambda v: F.array_contains("_vs", v)  # noqa: E731
+        events = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n)),
+                lambda v: F.struct(
+                    F.when(present(v) & ~present(v - 1), F.lit("insert"))
+                    .when(~present(v) & present(v - 1), F.lit("delete"))
+                    .alias("_change_type"),
+                    v.alias("_version"),
+                ),
+            ),
+            lambda e: e["_change_type"].isNotNull(),
+        )
+        return g.select(*cols, F.explode(events).alias("_e")).select(
+            *cols,
+            F.col("_e._change_type").alias("_change_type"),
+            F.col("_e._version").alias("_version"),
+        )
 
     # -- reads --------------------------------------------------------------
     def snapshots(self) -> list[Snapshot]:

@@ -49,6 +49,48 @@ EXPLAINED: dict[str, str] = {
     "events_markov_stationary": "pi iteration folds driver-side over the one collected counter row (16-deep nested-select chain dropped)",
     "approx_sketches": "countDistinct split into its own agg subtree joined on the 3-row returnflag domain (Expand dropped; subtrees run concurrently)",
     "dedup_keep_canonical": "joins _cc_labels directly: the cluster-size attach (sizes groupBy + hot/tail joins) computed a column this query never reads",
+    "dedup_semdedup_by_lang": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_clusters": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_cross_lang_shadow": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_incremental": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_lang_cluster_matrix": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_lang_tau_sweep": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_shadow_map": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_tau_sweep": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "dedup_semdedup_verdict": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ann_lsh": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ann_ndcg_eval": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ann_recall_eval": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_bq_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_bq_rerank_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_centroid_classifier": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_centroid_drift": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cluster_outlier_audit": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cluster_purity": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cluster_separation": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cluster_stats": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_compression_frontier": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cos_pair_hist": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_cosine_topk": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_isotropy_audit": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ivf_nprobe_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ivf_topk": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_ivfpq_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_knn_label": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_label_centroid_matrix": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_lsh_bucket_profile": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_matryoshka_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_norm_profile": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_pq_distortion": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_pq_topk": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_quantize_int8": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_random_projection": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_range_search": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_rrf_fusion_eval": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_silhouette_audit": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_sq8_recall": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "similarity_triplet_mining": "spread() on the embeddings scan: +N round-robin exchanges (no-op at scale), HOF folds no longer run on the single-file scan partition",
+    "incremental_scd2_intervals": "read_changes_all rewrite: one groupBy over the unioned tagged versions replaces 2(V-1) anti-joins + V persists (17 -> 6 exchanges, SortMergeJoin dropped)",
 }
 
 
