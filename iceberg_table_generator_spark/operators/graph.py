@@ -88,20 +88,18 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     retain only the teleport term — their damped mass is dropped, the
     same deterministic convention both engines apply.
 
-    Scale design: the three phases map to the canonical distributed
-    PageRank plan.  (1) Edge extraction is a per-user window (partitioned
-    by user_id — millions of parallel partitions) followed by ONE
+    Scale design: edge extraction is a per-user window (partitioned by
+    user_id — millions of parallel partitions) followed by ONE
     aggregation down to the edge relation, which is |V|²-bounded and
-    *visit-count*-independent: at 100 TB of events the edge list for a
-    10M-node domain graph is a few GB.  (2) The edge⋈out-weight relation
-    is computed once and persisted DISK_ONLY (recomputable lineage, no
-    localCheckpoint pinning) because every iteration re-reads it.
-    (3) Each iteration is one equi-join (ranks are |V|-sized — AQE
-    broadcasts them while they fit, else shuffle-hash on src) plus one
-    aggregation to |V| rows: cost O(|E|) per iteration, never O(events).
-    The iteration count is fixed rather than convergence-tested so the
-    oracle can replay it; the CC operator (`dedup.py`) shows the
-    loud-guard convergence alternative."""
+    *visit-count*-independent: at 100 TB of events the edge list for the
+    ~100-page domain graph is a model constant, never corpus-sized.  The
+    fixed-point itself folds driver-side over that collected model (the
+    events_katz_centrality policy) — on a 10M-node DOMAIN graph the
+    distributed join+aggregate iteration comes back; here it was ~100
+    scheduler stages over ≤100-row relations at any SF.  The iteration
+    count is fixed rather than convergence-tested so the oracle can
+    replay it; the CC operator (`dedup.py`) shows the loud-guard
+    convergence alternative."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -116,81 +114,51 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    er = edges.join(outw, "src").transform(persist_tracked)
-    # Persist the |V|-sized node set too: the guard aggregate and the
-    # final rank attach both reference it, and without the persist each
-    # reference re-derives it from a FULL events scan (r13 observed 18
-    # FileScans in the fully un-persisted plan).
-    nodes = ev.select(F.col("k").alias("node")).distinct().transform(persist_tracked)
-    # Overflow loud-guard (r7 advice): the contribution term computes
-    # ((85*r div 100) * cnt) before the final division, and r is bounded
-    # by the conserved total mass |V|*PR_SCALE.  Spark would WRAP int64
-    # silently where DuckDB errors, so the claimed bit-identical ranks
-    # would break undetected.  One scalar aggregate over the two already-
-    # persisted bounded relations (|V| rows / |E| rows) pins the bound:
-    # max intermediate = (85 * |V| * PR_SCALE // 100) * max(cnt) < 2^63.
-    guard = (
-        nodes.agg(F.count(F.lit(1)).alias("nv"))
-        .crossJoin(er.agg(F.max("cnt").alias("mc")))
-        .first()
-    )
-    n_nodes, max_cnt = guard.nv, guard.mc or 0
+    er_df = edges.join(outw, "src")
+    nodes_df = ev.select(F.col("k").alias("node")).distinct()
+    # r14 model-sized driver fold (the events_katz_centrality policy): the
+    # DATA-sized work — one window pass + the (src, dst) aggregation down
+    # to the |V|²-bounded weighted edge relation — stays distributed; the
+    # {PR_ITERS}-step fixed-point then folds driver-side over the
+    # collected ≤|V|² model (|V| ≤ 100 page ids at every SF).  The r13/
+    # early-r14 shape ran the fold as chained join+aggregate rounds —
+    # ~109 Exchange of scheduler overhead on ≤100-row relations at ANY
+    # scale factor.  A NULL src never reaches `er` (the outw equi-join
+    # drops it) and a NULL dst is filtered above, exactly as in the
+    # oracle's er CTE.
+    er = [(r.src, r.dst, r.cnt, r.outw) for r in er_df.collect()]
+    node_list = [r.node for r in nodes_df.collect()]
+    # Overflow loud-guard (r7 advice): Python ints are exact, but the
+    # declared BIGINT output and the oracle's unrolled CTE chain are
+    # int64 — keep the identical loud bound so a divergence between the
+    # engines can never hide behind a silent wrap.  r is bounded by the
+    # conserved total mass |V|*PR_SCALE.
+    n_nodes, max_cnt = len(node_list), max((c for _s, _t, c, _o in er), default=0)
     if (85 * n_nodes * PR_SCALE // 100) * max_cnt >= 2**63:
         raise OverflowError(
             f"events_pagerank: int64 overflow risk — |V|={n_nodes}, "
             f"max transition count={max_cnt}; raise PR_SCALE granularity "
             "down or pre-normalize cnt/outw before scaling up."
         )
-    # r14: the per-iteration rank-rebuild join is folded INTO the next
-    # round's edge join.  r_i(n) = PR_BASE + coalesce(inc_i(n), 0) for
-    # EVERY node (a node receiving no mass holds exactly the teleport
-    # base), so the loop carries only the |V|-sized `incoming` relation
-    # and reconstructs r on the er side of the join — one join + one
-    # aggregation per iteration instead of two joins + one aggregation,
-    # and iteration 1 needs no join at all (r0 is the PR_SCALE constant).
-    # The r13 shape materialized ranks = nodes ⟕ contrib every round:
-    # 5 extra broadcast-join stages of pure overhead on ≤|V|-row data.
-    inc = (
-        er.select(
-            "dst",
-            F.expr(
-                f"((({85 * PR_SCALE} div 100)) * cnt) div outw"
-            ).alias("c"),
-        )
-        .groupBy("dst")
-        .agg(F.sum("c").alias("incoming"))
-    )
-    for _ in range(PR_ITERS - 1):
-        prev = inc.withColumnRenamed("dst", "pnode")
-        inc = (
-            er.join(prev, er.src == prev.pnode, "left")
-            .select(
-                "dst",
-                F.expr(
-                    f"(((85 * ({PR_BASE} + coalesce(incoming, 0L)))"
-                    " div 100) * cnt) div outw"
-                ).alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("incoming"))
-        )
-    ranks = nodes.join(
-        inc.withColumnRenamed("dst", "node"), "node", "left"
-    ).select(
-        "node",
-        (F.lit(PR_BASE).cast("long") + F.coalesce("incoming", F.lit(0))).alias("r"),
-    )
-    # Final out-visit attach reads the persisted edge relation, not a fresh
-    # events→edges→outw recompute.
-    outw_cached = er.select(F.col("src").alias("node"), "outw").distinct()
-    return (
-        nodes.join(ranks, "node")
-        .join(outw_cached, "node", "left")
-        .select(
-            "node",
-            F.coalesce("outw", F.lit(0)).alias("out_visits"),
-            F.col("r").alias("rank_micro"),
-        )
+    # The exact oracle arithmetic, replayed on Python ints (`div` and `//`
+    # agree on the non-negative domain): r0 = SCALE everywhere; each round
+    # r_i(n) = BASE + Σ_{(s,n)∈E} ((85·r_{i-1}(s)) // 100 · cnt) // outw.
+    r = {n: PR_SCALE for n in node_list}
+    for _ in range(PR_ITERS):
+        inc: dict[int, int] = {}
+        for s, t, cnt, ow in er:
+            inc[t] = inc.get(t, 0) + ((85 * r[s]) // 100 * cnt) // ow
+        r = {n: PR_BASE + inc.get(n, 0) for n in node_list}
+    out_visits: dict[int, int] = {}
+    for s, _t, cnt, _ow in er:
+        out_visits[s] = out_visits.get(s, 0) + cnt
+    # The oracle's final INNER join on node drops a NULL node (missing
+    # props.k) on both engines — replicate by skipping None.
+    rows = [
+        (n, out_visits.get(n, 0), r[n]) for n in node_list if n is not None
+    ]
+    return spark.createDataFrame(
+        rows, schema="node int, out_visits bigint, rank_micro bigint"
     )
 
 

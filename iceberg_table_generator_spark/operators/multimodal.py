@@ -378,47 +378,110 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressibility screen run before expensive media decode (a payload
     whose byte histogram collapses to a few values is padding or a
     truncated container; printable ratio separates text-in-blob from
-    real codec output).  Stats are computed over the hex encoding of the
-    payload entirely in-row: distinct-byte count, printable ratio, and a
-    byte-sum checksum — integer-exact on both engines (hex pairs compare
-    lexicographically = numerically at fixed width).
+    real codec output): distinct-byte count, printable ratio, and a
+    byte-sum checksum per payload.
 
-    Scale: one narrow pass, zero shuffle, zero UDF; the hex blowup (2×)
-    lives only inside row-scoped expressions, never materialized.  As
-    with the frame/chunk operators, the payload stands in via the
-    UTF-8-encoded text (ASCII-precondition pinned by the chunk-dedup
-    test); a real media column swaps the source expression only."""
+    r14 (guide §4.2): the per-byte work runs VECTORIZED over whole Arrow
+    record batches — an Arrow binary column is one contiguous data
+    buffer plus an offsets array, so the per-row folds are three numpy
+    segment reductions (`add.reduceat` for byte_sum / printable count, a
+    256-wide presence-bitmap scatter for distinct bytes) with zero
+    per-row Python and zero byte copies into Python objects.  The r13
+    JVM shape built a per-BYTE array of 2-char hex strings and walked it
+    with three higher-order functions (measured 3.7 s at sf0.1; an
+    arithmetic in-row variant measured 4× WORSE) — per-element
+    UTF8String allocation is exactly the "row-at-a-time bulk data
+    manipulation" the guide says to hand to native batch code instead.
+    Exactness: byte values are integers; the ratio is one IEEE double
+    division, rounded by the exact replay of Spark's HALF_UP round
+    (`_round6_half_up`), so output is bit-identical to the r13 shape.
+
+    Scale: one narrow pass, zero shuffle; only (doc_id, payload) crosses
+    the Arrow boundary (explicit select — an opaque function otherwise
+    defeats column pruning).  As with the frame/chunk operators, the
+    payload stands in via the UTF-8-encoded text (ASCII-precondition
+    pinned by the chunk-dedup test); a real media column swaps the
+    source expression only."""
+    from iceberg_table_generator_spark.sources.tables import spread
+
     d = (
-        load_table(spark, sf_dir, "documents")
+        spread(load_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
-            F.hex(F.encode("text", "UTF-8")).alias("hs"),
-            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.encode("text", "UTF-8").alias("payload"),
         )
-        .filter(F.col("n_bytes") > 0)
+        .filter(F.octet_length("payload") > 0)
     )
-    b = d.select(
-        "doc_id",
-        "n_bytes",
-        F.expr(
-            "transform(sequence(1, CAST(n_bytes AS INT)),"
-            " i -> substring(hs, 2 * i - 1, 2))"
-        ).alias("bs"),
-    )
-    return b.select(
-        "doc_id",
-        "n_bytes",
-        F.size(F.array_distinct("bs")).alias("distinct_bytes"),
-        F.round(
-            F.size(F.filter("bs", lambda x: (x >= "20") & (x <= "7E"))).cast("double")
-            / F.col("n_bytes"),
-            6,
-        ).alias("printable_ratio"),
-        F.aggregate(
-            F.transform("bs", lambda x: F.conv(x, 16, 10).cast("int")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("byte_sum"),
+
+    def run(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pyarrow as pa
+
+        def _round6_half_up(x: float) -> float:
+            # Exact replay of Spark's round(double, 6): BigDecimal over the
+            # double's shortest decimal repr (Python `repr` agrees), HALF_UP.
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            arr = batch.column(1)
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                arr.offset : arr.offset + nrows + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[: offsets[-1]]
+            n = np.diff(offsets)
+            starts = offsets[:-1]
+            # Segment reductions over the contiguous byte buffer: rows are
+            # non-empty by the upstream filter, so `starts` is strictly
+            # increasing and reduceat segments are exactly the rows.
+            sums = np.add.reduceat(data.astype(np.int64), starts)
+            printable = np.add.reduceat(
+                ((data >= 0x20) & (data <= 0x7E)).astype(np.int64), starts
+            )
+            row_of = np.repeat(np.arange(nrows), n)
+            seen = np.zeros((nrows, 256), dtype=bool)
+            seen[row_of, data[offsets[0] :]] = True
+            distinct = seen.sum(axis=1).astype(np.int32)
+            ratio = [
+                _round6_half_up(p / t)
+                for p, t in zip(printable.tolist(), n.tolist())
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(n, type=pa.int64()),
+                    pa.array(distinct, type=pa.int32()),
+                    pa.array(ratio, type=pa.float64()),
+                    pa.array(sums, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id",
+                    "n_bytes",
+                    "distinct_bytes",
+                    "printable_ratio",
+                    "byte_sum",
+                ],
+            )
+
+    return d.mapInArrow(
+        run,
+        schema=(
+            "doc_id long, n_bytes long, distinct_bytes int,"
+            " printable_ratio double, byte_sum long"
+        ),
     )
 
 

