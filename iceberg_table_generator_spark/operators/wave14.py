@@ -525,7 +525,14 @@ def similarity_matryoshka_recall(
         similarity_cosine_topk,
     )
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    # NO spread() here (r14 mover-table adjudication): this query re-reads
+    # the embeddings relation once per d′ arm with LIGHT per-row work
+    # (prefix dots), so the round-robin repartition × arms costs more than
+    # the parallelism buys — alternating same-window A/B measured spread
+    # +22% for this query (1.99 vs 1.63 median) while the heavy-fold
+    # family keeps it (§1e).  The composed full-dim gold keeps its own
+    # spread inside similarity_cosine_topk.
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     per_dim = []

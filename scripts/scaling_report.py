@@ -40,7 +40,14 @@ SCALAR_AGG = re.compile(r"(?:Hash|Sort|Object\w*)Aggregate\(keys=\[\]")
 LITERAL = re.compile(r"LocalTableScan|\bRange \(")
 HEAVY_HITTER = re.compile(r"Filter \(\w+#\d+L? > \d+\)")
 BENCH_FRACTION = re.compile(r"pmod\(doc_id#\d+L?, \d+\) = 0")
-ID_RANGE = re.compile(r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+")
+# In-plan `Filter id < N` OR the pushed-down scan form `LessThan(id,N)` —
+# since the r14 `spread()` round-robin repartition, Catalyst pushes the
+# query-id range THROUGH the exchange into the scan, so the bound lives in
+# PushedFilters instead of a Filter node (same bound, same category).
+ID_RANGE = re.compile(
+    r"Filter .*\b\w*(?:_id|id|key)#\d+L? < \d+"
+    r"|LessThan\(\w*(?:_id|id|key),\d+\)"
+)
 SCAN = re.compile(r"FileScan parquet \[[^\]]*\].*?\[file:([^\],]+)")
 BUCKET_AGG = re.compile(r"Aggregate\(keys=\[_bkt#\d+")
 LIT_BKT = re.compile(r"\b0 AS _bkt#\d+")  # degenerate single-bucket plan
@@ -109,6 +116,39 @@ def classify(sub: str) -> list[str]:
     return cats or ["UNBOUNDED?"]
 
 
+def _expand_reused(sub: str, full_simple: str) -> str:
+    """Inline the origin subtree of every ReusedExchange reference.
+
+    Since the r14 `spread()` repartition, a broadcast side can reuse the
+    data side's exchange: the broadcast subtree then bottoms out at a
+    `ReusedExchange …, [plan_id=N]` REFERENCE and the bounding filter
+    (e.g. the pushed-down `vec_id < N_QUERIES` living under the ORIGIN
+    exchange) is invisible to the classifier.  Resolve each reference to
+    its origin's subtree text so classification sees the real leaf —
+    the relation broadcast at runtime is the origin's output."""
+    ids = re.findall(r"ReusedExchange .*?plan_id=(\d+)", sub)
+    if not ids:
+        return sub
+
+    def depth(line: str) -> int:
+        return len(re.match(r"^[\s:+\-|]*", line).group(0))
+
+    lines = full_simple.splitlines()
+    parts = [sub]
+    for pid in ids:
+        for i, line in enumerate(lines):
+            if f"plan_id={pid}]" in line and "ReusedExchange" not in line:
+                d = depth(line)
+                seg = []
+                for nxt in lines[i + 1 :]:
+                    if not nxt.strip() or depth(nxt) <= d:
+                        break
+                    seg.append(nxt)
+                parts.append("\n".join(seg))
+                break
+    return "\n".join(parts)
+
+
 def main() -> None:
     spark = get_spark("scaling-report", master="local[8]", shuffle_partitions=8)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
@@ -136,8 +176,10 @@ def main() -> None:
         joins = sorted(
             {n for n in nodes if n.endswith("Join") and not n.startswith("Broadcast Exchange")}
         )
+        full_simple = explain.plan_text(df, mode="simple")
         bcasts = [
-            "+".join(classify(sub)) for sub in explain.broadcast_subtrees(df)
+            "+".join(classify(_expand_reused(sub, full_simple)))
+            for sub in explain.broadcast_subtrees(df)
         ]
         rows.append(
             {
