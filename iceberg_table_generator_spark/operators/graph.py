@@ -31,6 +31,71 @@ PR_SCALE = 1_000_000_000_000  # 1e12 micro-units of rank mass per node
 PR_ITERS = 5  # fixed iteration count (recomputable by the oracle)
 PR_BASE = 15 * PR_SCALE // 100  # (1 - damping) * SCALE, damping = 0.85
 
+#: Loud bound for the model-sized driver folds (r15, ADVICE #1): the
+#: datagen page domain `props.k` is ~100 ids at EVERY scale factor — a
+#: model constant, never corpus-correlated.  Every fold that collects the
+#: |V|²-bounded edge relation guards |V| itself and raises instead of
+#: silently folding a corpus-sized graph on the driver.  4096 is ~40× the
+#: model bound: far above datagen drift, far below driver danger (the
+#: collected relation is ≤ |V|² + |V| ≈ 17M narrow rows at the bound,
+#: well inside the 24g driver heap).
+GRAPH_FOLD_MAX_NODES = 4096
+
+
+def guard_model_nodes(n_nodes: int, query: str) -> None:
+    """Raise loudly when the driver-fold premise (a model-sized node
+    domain) is violated.  A graph whose |V| exceeds the bound needs the
+    distributed fixed-point back — see each fold's docstring — not a
+    bigger driver; the guard turns a silent corpus-sized fold into an
+    immediate, named error."""
+    if n_nodes > GRAPH_FOLD_MAX_NODES:
+        raise ValueError(
+            f"{query}: |V|={n_nodes} exceeds GRAPH_FOLD_MAX_NODES="
+            f"{GRAPH_FOLD_MAX_NODES} — the model-sized driver-fold premise "
+            "is violated; restore the distributed iteration for this "
+            "operator instead of raising the bound."
+        )
+
+
+def collect_transition_model(
+    spark: SparkSession, sf_dir: str, query: str
+) -> tuple[list[tuple], list]:
+    """ONE distributed pass collecting the transition-graph model:
+    events scan → per-user LEAD window → ``groupBy(src, dst)`` count with
+    the NULL-dst groups KEPT.  Returns ``(trans, node_list)`` where
+    ``trans`` is the weighted transition list ``[(src, dst, cnt), ...]``
+    (dst IS NOT NULL rows only) and ``node_list`` is the distinct page
+    domain.
+
+    The node domain comes for FREE from the same aggregation: every event
+    row contributes its own ``k`` as ``src`` (the last event per user has
+    a NULL dst but still emits a row), so ``distinct src`` over the
+    unfiltered window output ≡ ``distinct k`` over events.  The r14 shape
+    ran a SECOND corpus pass (scan + distinct) just for the node set —
+    measured 0.57 s of each fold query's ~1.4 s at sf0.1.
+
+    |V| is loud-guarded immediately after materialization, before any
+    fold work.  The collected relation itself is ≤ |V|² + |V| rows by the
+    aggregation, so the guard bound also caps what the collect can pull;
+    a pre-collect node-count job would reintroduce the second corpus pass
+    this helper exists to remove."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+    rows = (
+        seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    node_set = {r.src for r in rows}
+    guard_model_nodes(len(node_set), query)
+    trans = [(r.src, r.dst, r.cnt) for r in rows if r.dst is not None]
+    node_list = sorted(node_set, key=lambda n: (n is None, n))
+    return trans, node_list
+
 
 def _round6_half_up(x: float) -> float:
     """Replay Spark's `round(double, 6)` exactly: BigDecimal.valueOf uses
@@ -100,34 +165,29 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is fixed rather than convergence-tested so the oracle can
     replay it; the CC operator (`dedup.py`) shows the loud-guard
     convergence alternative."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    # r14 model-sized driver fold (the events_katz_centrality policy); r15
+    # fuses the two model collects into ONE distributed pass
+    # (`collect_transition_model`: the node domain is derivable from the
+    # same (src, dst) aggregation when the NULL-dst groups are kept) and
+    # loud-guards |V| before folding.  The {PR_ITERS}-step fixed-point
+    # folds driver-side over the collected ≤|V|² model (|V| ≤ 100 page
+    # ids at every SF).  The r13/early-r14 shape ran the fold as chained
+    # join+aggregate rounds — ~109 Exchange of scheduler overhead on
+    # ≤100-row relations at ANY scale factor.  The oracle's `er` CTE
+    # drops NULL-src rows via the outw equi-join and NULL-dst rows via
+    # the WHERE — both replicated below; outw is the exact integer sum of
+    # each src's transition counts, identical to the dropped Spark-side
+    # groupBy+join.
+    trans, node_list = collect_transition_model(
+        spark, sf_dir, "events_pagerank"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges = (
-        seq.filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    outw = edges.groupBy("src").agg(F.sum("cnt").alias("outw"))
-    er_df = edges.join(outw, "src")
-    nodes_df = ev.select(F.col("k").alias("node")).distinct()
-    # r14 model-sized driver fold (the events_katz_centrality policy): the
-    # DATA-sized work — one window pass + the (src, dst) aggregation down
-    # to the |V|²-bounded weighted edge relation — stays distributed; the
-    # {PR_ITERS}-step fixed-point then folds driver-side over the
-    # collected ≤|V|² model (|V| ≤ 100 page ids at every SF).  The r13/
-    # early-r14 shape ran the fold as chained join+aggregate rounds —
-    # ~109 Exchange of scheduler overhead on ≤100-row relations at ANY
-    # scale factor.  A NULL src never reaches `er` (the outw equi-join
-    # drops it) and a NULL dst is filtered above, exactly as in the
-    # oracle's er CTE.
-    er = [(r.src, r.dst, r.cnt, r.outw) for r in er_df.collect()]
-    node_list = [r.node for r in nodes_df.collect()]
+    outw_map: dict[int, int] = {}
+    for s, _t, c in trans:
+        if s is not None:
+            outw_map[s] = outw_map.get(s, 0) + c
+    er = [
+        (s, t, c, outw_map[s]) for s, t, c in trans if s is not None
+    ]
     # Overflow loud-guard (r7 advice): Python ints are exact, but the
     # declared BIGINT output and the oracle's unrolled CTE chain are
     # int64 — keep the identical loud bound so a divergence between the
@@ -218,34 +278,28 @@ def events_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation exercised; on the fixed ≤100-page domain those 3
     joins are pure scheduler overhead.  Pure integer counts — bit-exact
     on both engines."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und_df = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-    )
-    nodes_df = ev.select(F.col("k").alias("node")).distinct()
-    # r14: the DATA-sized work — one window pass + the distinct down to the
-    # |V|²-bounded undirected edge relation — stays distributed; triangle
-    # enumeration then folds DRIVER-SIDE over the collected ≤ C(100,2)
-    # edge model (the established model-sized-fold policy, see
+    # r14: triangle enumeration folds DRIVER-SIDE over the collected
+    # ≤ C(100,2) edge model (the established model-sized-fold policy, see
     # events_katz_centrality).  The triangle SET is algorithm-independent,
     # so per-node counts are identical to the r13 degree-ordered join's;
     # each triangle u<v<w is found exactly once from its (u,v) edge with
-    # the common neighbor w constrained to w > v.  The r13 shape ran a
-    # 3-way self-join + explode + 2 persists + 3 aggregations over
-    # ≤100-row relations — pure scheduler overhead at any SF.
-    edges = [(r.u, r.v) for r in und_df.collect()]
-    node_list = [r.node for r in nodes_df.collect()]
+    # the common neighbor w constrained to w > v.  r15: the two model
+    # collects (distinct undirected edges + distinct nodes) fuse into ONE
+    # distributed pass (`collect_transition_model`), with the undirected
+    # edge set derived in-driver — `least/greatest` + distinct over the
+    # dst-non-null, src≠dst transitions is exactly the min/max pair set
+    # (a NULL src fails `src != dst` on both engines and is dropped), and
+    # |V| is loud-guarded before folding.
+    trans, node_list = collect_transition_model(
+        spark, sf_dir, "events_triangle_count"
+    )
+    edges = sorted(
+        {
+            (min(s, t), max(s, t))
+            for s, t, _c in trans
+            if s is not None and s != t
+        }
+    )
     deg: dict[int, int] = {}
     adj: dict[int, set[int]] = {}
     for u, v in edges:
@@ -402,6 +456,7 @@ def events_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     for u, v in edges:
         nbrs[u].add(v)
         nbrs[v].add(u)
+    guard_model_nodes(len(nbrs), "events_kcore_membership")
     alive = set(nbrs)
     for _ in range(KCORE_ROUNDS):
         alive = {
@@ -514,23 +569,11 @@ def events_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential |E|-sized sweeps in Python beat 16 shuffle stages).  A
     loud overflow guard pins the bound the oracle's BIGINT cast needs:
     sum-of-(h·cnt) <= SCALE · total_visits < 2^63."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges = (
-        seq.filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    erows = [(r.src, r.dst, r.cnt) for r in edges.collect()]
-    # all nodes, including isolated ones (appear in ev but never in an edge)
-    all_nodes = sorted(
-        {r.k for r in ev.select("k").distinct().collect()}
+    # r15: both model collects (weighted edges + distinct nodes incl.
+    # isolated ones) fuse into ONE distributed pass — see
+    # `collect_transition_model` — with |V| loud-guarded before folding.
+    erows, all_nodes = collect_transition_model(
+        spark, sf_dir, "events_hits_scores"
     )
     total_cnt = sum(c for _, _, c in erows)
     if HITS_SCALE * total_cnt >= 2**63:
@@ -719,6 +762,7 @@ def events_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
         deg[v] = deg.get(v, 0) + 1
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
+    guard_model_nodes(len(adj), "events_clustering_coefficient")
     tri: dict[int, int] = {}
     for u, v in edges:
         for z in adj[u] & adj[v]:
@@ -795,30 +839,26 @@ def events_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hops are pure integers; the oracle replays BFS as a DuckDB recursive
     CTE (iterative working-table execution — no CTE re-inlining blowup)
     whose UNION dedups (node, hop) pairs, then takes min(hop)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    # r15: both model collects (undirected distinct edges + distinct
+    # nodes) fuse into ONE distributed pass (`collect_transition_model`);
+    # the undirected pair set is the min/max of the dst-non-null,
+    # src≠dst transitions (a NULL src fails `src != dst` on both
+    # engines), and |V| is loud-guarded before folding.
+    trans, nodes = collect_transition_model(spark, sf_dir, "events_bfs_hops")
+    edge_rows = sorted(
+        {
+            (min(s, t), max(s, t))
+            for s, t, _c in trans
+            if s is not None and s != t
+        }
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-    )
-    edge_rows = und.collect()  # |V|²-bounded (model parameter, not corpus)
-    nodes = sorted(r["k"] for r in ev.select("k").distinct().collect())
     adj: dict[int, set[int]] = {n: set() for n in nodes}
     degree: dict[int, int] = {n: 0 for n in nodes}
-    for r in edge_rows:
-        adj[r["u"]].add(r["v"])
-        adj[r["v"]].add(r["u"])
-        degree[r["u"]] += 1
-        degree[r["v"]] += 1
+    for u, v in edge_rows:
+        adj[u].add(v)
+        adj[v].add(u)
+        degree[u] += 1
+        degree[v] += 1
     root = min(nodes, key=lambda n: (-degree[n], n))
     hop: dict[int, int] = {root: 0}
     frontier = [root]

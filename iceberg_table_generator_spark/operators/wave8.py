@@ -254,12 +254,15 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `div` on the non-negative domain); tie order (-n_common, a, b) is
     # the r13 orderBy.  The r13 shape was a wedge self-join + 3 attach
     # joins + TakeOrderedAndProject over ≤100-row relations.
+    from iceberg_table_generator_spark.operators.graph import guard_model_nodes
+
     edges = [(r.u, r.v) for r in und_df.collect()]
     und_set = set(edges)
     adj: dict[int, set[int]] = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
+    guard_model_nodes(len(adj), "events_link_prediction")
     deg = {n: len(s) for n, s in adj.items()}
     cn: dict[tuple[int, int], int] = {}
     for mid, nbrs in adj.items():
@@ -1075,11 +1078,14 @@ def events_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through `mid` contributes the integer micro-unit 1000000 // deg(mid)
     # — identical per-term floor, exact integer sums, r13 tie order
     # (-ra_e6, a, b).
+    from iceberg_table_generator_spark.operators.graph import guard_model_nodes
+
     edges = [(r.u, r.v) for r in und_df.collect()]
     adj: dict[int, set[int]] = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
+    guard_model_nodes(len(adj), "events_resource_allocation")
     cn: dict[tuple[int, int], int] = {}
     ra: dict[tuple[int, int], int] = {}
     for mid, nbrs in adj.items():

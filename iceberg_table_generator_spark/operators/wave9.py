@@ -1590,27 +1590,23 @@ def events_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ran the fold as {KATZ_ITERS} chained join+aggregate rounds — ~18
     scheduler stages over ≤100-row relations, pure job-overhead at ANY
     scale factor (4.9 s in-bench at sf0.1)."""
-    from pyspark.sql.window import Window
+    from iceberg_table_generator_spark.operators.graph import (
+        collect_transition_model,
+    )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    # Model collect (r15: ONE fused distributed pass instead of separate
+    # edge + node collects, with |V| loud-guarded — see
+    # `collect_transition_model`): ≤ |V|² ≤ 10,000 (src, dst) pairs + ≤
+    # |V| nodes — the page domain is a model constant (0..99 at every
+    # SF), never corpus-sized.  The distinct directed pair set is the
+    # dst≠src transitions' keys (a NULL src fails `dst != src` on both
+    # engines and is dropped, exactly as the r14 filter did).
+    trans, node_list = collect_transition_model(
+        spark, sf_dir, "events_katz_centrality"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges_df = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
-        .select("src", "dst")
-        .distinct()
+    edges = sorted(
+        {(s, t) for s, t, _c in trans if s is not None and t != s}
     )
-    nodes_df = ev.select(F.col("k").alias("node")).distinct()
-    # Model collect: ≤ |V|² ≤ 10,000 (src, dst) pairs + ≤ |V| nodes — the
-    # page domain is a model constant (0..99 at every SF), never
-    # corpus-sized.
-    edges = [(r.src, r.dst) for r in edges_df.collect()]
-    node_list = [r.node for r in nodes_df.collect()]
     indeg: dict[int, int] = {}
     for _s, t in edges:
         indeg[t] = indeg.get(t, 0) + 1
@@ -1712,24 +1708,15 @@ def events_absorption_probability(
     {ABSORB_ITERS} chained join+aggregate rounds over ≤100-row
     relations — ~24 scheduler stages of pure job overhead (5.9 s
     in-bench at sf0.1)."""
-    from pyspark.sql.window import Window
+    from iceberg_table_generator_spark.operators.graph import (
+        collect_transition_model,
+    )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    # r15: ONE fused distributed pass instead of separate edge + node
+    # collects, with |V| loud-guarded — see `collect_transition_model`.
+    edge_rows, node_list = collect_transition_model(
+        spark, sf_dir, "events_absorption_probability"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    edges_df = (
-        seq.filter(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    nodes_df = ev.select(F.col("k").alias("node")).distinct()
-    edge_rows = [(r.src, r.dst, r.cnt) for r in edges_df.collect()]
-    node_list = [r.node for r in nodes_df.collect()]
     # The oracle's `edges JOIN outw USING (src)` drops NULL-src rows
     # (equi-join NULL semantics) — replicate before folding.
     er = [(s, t, c) for s, t, c in edge_rows if s is not None]

@@ -2,7 +2,7 @@
 
 Usage: python scripts/dump_plan.py <suffix> [sf_dir] query [query ...]
 
-suffix is typically `before` or `after`; files land in plans/r14/.
+suffix is typically `before` or `after`; files land in plans/r15/.
 """
 
 from __future__ import annotations
@@ -29,10 +29,10 @@ def main() -> None:
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
     spark = get_spark("dump_plan")
-    os.makedirs("plans/r14", exist_ok=True)
+    os.makedirs("plans/r15", exist_ok=True)
     for name in args:
         df = queries[name](spark, sf_dir)
-        path = f"plans/r14/{name}_{suffix}.txt"
+        path = f"plans/r15/{name}_{suffix}.txt"
         with open(path, "w") as f:
             f.write(plan_text(df))
         print(f"wrote {path}")
