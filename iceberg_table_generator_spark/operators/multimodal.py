@@ -553,34 +553,89 @@ def multimodal_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical chunks (ASCII corpus — see `multimodal_chunk_dedup`'s
     oracle note), so fingerprints match bit for bit."""
     from iceberg_table_generator_spark.operators.dedup import (
+        SIMHASH_BITS,
         SIMHASH_CHUNK_BITS,
         SIMHASH_CHUNK_MASK,
         SIMHASH_CHUNKS,
-        simhash,
     )
     from iceberg_table_generator_spark.sources.tables import spread
 
-    p = attach_payload(spread(load_table(spark, sf_dir, "documents"))).filter(
-        F.col("byte_len") > 0
+    d = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .filter(F.octet_length("payload") > 0)
     )
-    n_chunks = F.ceil(F.col("byte_len") / F.lit(float(CHUNK_BYTES))).cast("int")
-    d = p.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.substring("payload", i * CHUNK_BYTES + 1, CHUNK_BYTES),
+
+    # r15 (guide §4.2, the byte_stats pattern): the whole doc → 60-bit
+    # fingerprint chain — fixed-width chunking, per-chunk md5-prefix hash,
+    # per-bit majority vote — runs in ONE mapInArrow pass over the
+    # payload batch (hashlib.md5 per CHUNK, chunk counts are small; the
+    # bit votes vectorize in numpy across each doc's chunk hashes).  The
+    # r14 shape built per-chunk binary substrings + array_distinct in the
+    # JVM, exploded them, and folded 60 conditional sums through a
+    # corpus-wide groupBy (`simhash()`) — per-chunk UTF8String/array
+    # allocation plus a shuffle that this per-doc statistic never needed.
+    # Exactness: chunk slices are byte-identical to
+    # substring(payload, i*CHUNK+1, CHUNK); distinctness is content-keyed
+    # exactly like array_distinct; the hash is int(md5(chunk).hexdigest()
+    # [:15], 16) ≡ conv(substring(md5(c),1,15),16,10); votes and the bit
+    # assembly are exact integer ops — fingerprints are bit-identical
+    # (oracle-checked at 3 SFs).  Only (doc_id, payload) crosses the
+    # Arrow boundary (explicit select).
+    def run(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            arr = batch.column(1)
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
             )
-        ).alias("tokens"),
-    )
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                arr.offset : arr.offset + nrows + 1
+            ].astype(np.int64)
+            mv = memoryview(bufs[2])
+            fps = np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                s, e = int(offsets[i]), int(offsets[i + 1])
+                chunks = {
+                    bytes(mv[j : min(j + CHUNK_BYTES, e)])
+                    for j in range(s, e, CHUNK_BYTES)
+                }
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(c).hexdigest()[:15], 16)
+                        for c in chunks
+                    ),
+                    dtype=np.uint64,
+                    count=len(chunks),
+                )
+                votes = (
+                    2 * ((hs[:, None] >> bit_idx) & 1).astype(np.int64) - 1
+                ).sum(axis=0)
+                fps[i] = int(
+                    ((votes > 0).astype(np.uint64) << bit_idx).sum()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(fps, type=pa.int64()),
+                ],
+                names=["doc_id", "fp"],
+            )
+
     # persist(DISK_ONLY): both band-join sides read the fingerprint relation
     # under differing aliases (ReuseExchange defeat — the dedup_simhash
     # rationale verbatim).
-    fp = (
-        simhash(d)
-        .withColumnRenamed("simhash", "fp")
-        .transform(persist_tracked)
-    )
+    fp = persist_tracked(d.mapInArrow(run, schema="doc_id long, fp long"))
     chunks = fp.select(
         "doc_id",
         "fp",

@@ -28,7 +28,6 @@ from iceberg_table_generator_spark.operators.dedup import (
     SIMHASH_CHUNK_MASK,
     SIMHASH_CHUNKS,
     _sql_md5_60,
-    simhash,
 )
 from iceberg_table_generator_spark.operators.multimodal import (
     FP_TOP_K,
@@ -379,18 +378,88 @@ def multimodal_feature_simhash_dedup(
     ((hv >> 4s) & 255 — round(f*255) on the Spark side recovers the byte
     exactly through the float32 round trip), then the dedup_simhash
     oracle idiom verbatim."""
-    tok = _frame_tokens(spark, sf_dir)
-    d = tok.groupBy("doc_id").agg(
-        F.array_distinct(F.collect_list("t")).alias("tokens")
-    )
+    # r15 (guide §4.2, the byte_stats pattern): the whole doc → 60-bit
+    # fingerprint chain — frame sampling, the deterministic fake-decode
+    # byte fold, token quantization, per-token md5-prefix hash, per-bit
+    # majority vote — runs in ONE mapInArrow pass over the payload batch.
+    # The r14 shape crossed the Python boundary with per-FRAME feature
+    # arrays (mapInPandas decode), rebuilt tokens in the JVM
+    # (round(f·255) + concat_ws), shuffled a corpus-wide
+    # groupBy/collect_list, and folded 60 conditional sums through a
+    # second shuffle (`simhash()`).  Exactness: the fake decoder's fold
+    # is replayed verbatim ((acc·131+b) mod 1e9+7 over the frame's first
+    # 64 bytes); the token is str((hv>>s)&255) joined by "," — exactly
+    # what round(f·255) recovers through the float32 round trip (the
+    # oracle's ftok CTE computes the same integers directly); token
+    # distinctness, md5-60 and the vote are content-exact, so
+    # fingerprints are bit-identical (oracle-checked at 3 SFs).
+    media = attach_payload(
+        spread(load_table(spark, sf_dir, "documents"))
+    ).filter(F.col("byte_len") > 0)
+
+    def fp_run(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        shifts = range(0, 32, 4)
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            arr = batch.column(1)
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                arr.offset : arr.offset + nrows + 1
+            ].astype(np.int64)
+            mv = memoryview(bufs[2])
+            fps = np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                s, e = int(offsets[i]), int(offsets[i + 1])
+                n_frames = max(1, -((s - e) // FRAME_BYTES))
+                toks = set()
+                for fi in range(0, n_frames, FRAME_STRIDE):
+                    fs = s + fi * FRAME_BYTES
+                    hv = 0
+                    for b in mv[fs : min(fs + 64, fs + FRAME_BYTES, e)]:
+                        hv = (hv * 131 + b) % 1_000_000_007
+                    toks.add(",".join(str((hv >> sh) & 0xFF) for sh in shifts))
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                votes = (
+                    2 * ((hs[:, None] >> bit_idx) & 1).astype(np.int64) - 1
+                ).sum(axis=0)
+                fps[i] = int(
+                    ((votes > 0).astype(np.uint64) << bit_idx).sum()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(fps, type=pa.int64()),
+                ],
+                names=["doc_id", "fp"],
+            )
+
     # persist(DISK_ONLY): both band-join sides read the fingerprint
     # relation under differing aliases (ReuseExchange defeat — the
-    # dedup_simhash rationale; without it the mapInPandas decode runs
-    # once per join side).
-    fp = (
-        simhash(d)
-        .withColumnRenamed("simhash", "fp")
-        .transform(persist_tracked)
+    # dedup_simhash rationale; without it the decode pass runs once per
+    # join side).
+    fp = persist_tracked(
+        media.select("doc_id", "payload").mapInArrow(
+            fp_run, schema="doc_id long, fp long"
+        )
     )
     chunks = fp.select(
         "doc_id",

@@ -33,12 +33,21 @@ SNAPSHOT = Path(__file__).parent.parent / "PLAN_SNAPSHOT.json"
 #: Emptied 2026-08-18 with the r14 round-end snapshot regeneration
 #: (scripts/scaling_report.py): every r14 reshape is now the recorded
 #: baseline shape in PLAN_SNAPSHOT.json.
+#: (the r14 matryoshka entry was dropped 2026-08-18: the committed
+#: snapshot was regenerated in the SAME commit as the spread() fix, so it
+#: already records the post-fix shape — ADVICE r14 #5, verified live.)
 EXPLAINED: dict[str, str] = {
-    "similarity_matryoshka_recall": (
-        "spread() dropped from this query's own embeddings scan after the "
-        "final-bench mover table flagged it: light per-row work re-read "
-        "once per d' arm makes the repartition a net cost (alternating A/B "
-        "1.99 vs 1.63 s — OPTIMIZATION_r14.md §1h)"
+    "multimodal_fingerprint_dedup": (
+        "r15 mapInArrow fingerprint fold (guide §4.2): the doc→fp chain "
+        "(chunk, md5-60, bit vote) runs in one Arrow pass, dropping the "
+        "simhash() explode + 60-agg groupBy exchange (4 → 3 exchanges); "
+        "pinned 2.26 → 1.42 s at sf0.1, oracle-green 3 SFs"
+    ),
+    "multimodal_feature_simhash_dedup": (
+        "r15 mapInArrow fingerprint fold (guide §4.2): frame decode, "
+        "token quantization and the bit vote run in one Arrow pass, "
+        "dropping the collect_list + simhash() exchanges (4 → 3); pinned "
+        "2.35 → 1.29 s at sf0.1, oracle-green 3 SFs"
     ),
 }
 

@@ -46,11 +46,12 @@ def test_span_island_stats_single_scalar_broadcast(spark, sf_small):
 
 def test_feature_simhash_runs_the_arrow_decode_path(spark, sf_small):
     """The feature-space near-dup must actually run the Arrow-batched
-    mapInPandas decode (the content tier's whole point) and end in a
-    bounded top-k."""
+    decode (the content tier's whole point) and end in a bounded top-k.
+    r15: the decode + fingerprint fold is one mapInArrow pass (the
+    byte_stats pattern) instead of mapInPandas decode + JVM simhash."""
     df = wave10.multimodal_feature_simhash_dedup(spark, sf_small)
     txt = explain.plan_text(df, mode="simple")
-    assert "MapInPandas" in txt
+    assert "MapInArrow" in txt
     assert explain.has_operator(df, "TakeOrderedAndProject")
     # the band join is on (chunk_id, chunk_val) — never payload bytes
     for ln in _join_lines(df):
