@@ -364,6 +364,7 @@ def with_global_order(
     pos: str | None = "pos",
     boundary_source: DataFrame | None = None,
     precomputed_count: int | None = None,
+    input_persist: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Add a global position (``row_number`` equivalent, 1-based LONG) and
     running totals (``sum(...) ROWS UNBOUNDED PRECEDING`` equivalents)
@@ -393,13 +394,28 @@ def with_global_order(
     the caller holds the cardinality.  Both are safe by construction:
     boundaries only ever affect bucket BALANCE, never results — even a
     boundary list from a different relation yields exact positions.
+
+    ``input_persist`` (r15, guide §5 — persist only when recompute costs
+    more): the internal persist is PURE PERFORMANCE (the r10 determinism
+    redesign made every re-execution exact), so callers whose input is a
+    cheap scan projection may pass ``None`` to skip it — the boundary
+    jobs and both plan branches then recompute the pruned scan instead
+    of round-tripping the full relation through MEMORY_AND_DISK
+    (measured on `lineitem_lorenz_deciles`: the persist of the 3-column
+    fact projection cost more than all four recomputes together).  The
+    default is unchanged for callers whose input carries joins or
+    aggregations.
     """
     spark = df.sparkSession
     n_buckets = max(_shuffle_parallelism(spark), _MIN_PARTS)
     # Perf-only persist: the boundary jobs (count + sample), the window
     # branch, the totals branch, and most callers' separate scalar
     # aggregates all read this relation; one materialization serves all.
-    base = persist_tracked(df, StorageLevel.MEMORY_AND_DISK)
+    base = (
+        persist_tracked(df, input_persist)
+        if input_persist is not None
+        else df
+    )
     bsrc = base if boundary_source is None else boundary_source
     bounds = range_boundaries(
         bsrc, order, n_buckets, precomputed_count=precomputed_count

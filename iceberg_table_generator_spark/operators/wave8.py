@@ -992,9 +992,14 @@ def lineitem_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # input_persist=None (r15, the lorenz finding): `li` is a bare
+    # 3-column fact-scan projection — recomputing the pruned scan for the
+    # boundary jobs and plan branches beats the MEMORY_AND_DISK
+    # round-trip of the full relation.
     d = with_global_order(
         li, [("cents", True), ("l_orderkey", True), ("l_linenumber", True)],
         pos="pos",
+        input_persist=None,
     )
     tot = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # spark.range(1) + explode(array(...)) plans as Range -> literal, which

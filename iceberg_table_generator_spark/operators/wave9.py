@@ -266,8 +266,14 @@ def lineitem_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", rev_dec().alias("val")
     )
     order = [("val", True), ("l_orderkey", True), ("l_linenumber", True)]
+    # input_persist=None (r15): `v` is a bare 3-column fact-scan
+    # projection — the MEMORY_AND_DISK round-trip of 1.8M decimal rows
+    # cost more than letting the boundary jobs and both plan branches
+    # re-run the pruned scan (alternating A/B medians 3.16/7.65 persist
+    # vs 2.63/3.13 recompute at sf0.1).  Correctness is unaffected: the
+    # r10 literal-boundary design makes every re-execution exact.
     t = with_global_order(
-        v, order, cums=[(F.col("val"), "cum")], pos="pos"
+        v, order, cums=[(F.col("val"), "cum")], pos="pos", input_persist=None
     )
     n = v.agg(
         F.count(F.lit(1)).alias("n_total"),
