@@ -23,7 +23,7 @@ arithmetic (all JVM codegen), set math is explode + groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
@@ -854,10 +854,15 @@ def near_dedup_batch_verdict(batch_df: DataFrame, seen: DataFrame | None) -> Dat
         if seen is not None
         else None
     )
-    # in-batch one-pass rule: a doc loses every bucket owned by a smaller id
-    owner = bk.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("min_doc"))
+    # in-batch one-pass rule: a doc loses every bucket owned by a smaller
+    # id.  r15 (guide §2.4): the bucket minimum rides a window over the
+    # SAME (band_id, band_hash) key instead of a groupBy + join-back —
+    # one keyed exchange replaces an exchange plus a join, and the key is
+    # a bounded-bucket LSH key (the band join's own skew argument), so
+    # the window partition is never a hot single task.
+    wmin = Window.partitionBy("band_id", "band_hash")
     batch_hits = (
-        bk.join(owner, ["band_id", "band_hash"])
+        bk.withColumn("min_doc", F.min("doc_id").over(wmin))
         .filter(F.col("doc_id") > F.col("min_doc"))
         .select("doc_id")
         .distinct()

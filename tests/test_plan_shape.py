@@ -43,6 +43,12 @@ EXPLAINED: dict[str, str] = {
         "simhash() explode + 60-agg groupBy exchange (4 → 3 exchanges); "
         "pinned 2.26 → 1.42 s at sf0.1, oracle-green 3 SFs"
     ),
+    "dedup_one_pass_verdict": (
+        "r15 §2.4: the bucket-owner min rides a window over the same "
+        "(band_id, band_hash) key instead of groupBy + join-back — one "
+        "join dropped; wall-flat locally (owner was broadcast at sf0.1: "
+        "2.67 vs 2.72 A/B) but the dropped join is data-sized at scale"
+    ),
     "multimodal_feature_simhash_dedup": (
         "r15 mapInArrow fingerprint fold (guide §4.2): frame decode, "
         "token quantization and the bit vote run in one Arrow pass, "
