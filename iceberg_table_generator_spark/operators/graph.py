@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -83,7 +84,7 @@ def collect_transition_model(
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -352,7 +353,7 @@ def events_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -440,7 +441,7 @@ def events_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -646,7 +647,7 @@ def events_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -738,7 +739,7 @@ def events_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -935,7 +936,7 @@ def events_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -1050,7 +1051,7 @@ def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -1153,7 +1154,7 @@ def events_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 from iceberg_table_generator_spark.streaming.heavyhitters import (
@@ -106,7 +107,7 @@ def heavyhitters_mg_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts — that every true heavy hitter (count > n/(m+1)) survived
     and every retained count is within the MG undercount bound."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        props_k("long").alias("item"),
         "ts",
         "event_id",
     )

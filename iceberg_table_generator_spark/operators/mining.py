@@ -32,6 +32,7 @@ from iceberg_table_generator_spark.operators.tpch_ext import (
     rev_dec,
     SQL_REV_DEC,
 )
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -400,7 +401,7 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violations"),
         F.count(F.lit(1)).alias("checked"),
     )
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = props_k()
     dom = ev.agg(
         F.lit("events_props_k_domain").alias("check_name"),
         F.lit("events").alias("table_name"),

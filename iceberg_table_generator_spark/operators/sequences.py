@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.functions.sessions import SESSION_GAP_SECONDS
 from iceberg_table_generator_spark.operators.relational import davg, sql_davg
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table
 
@@ -1483,7 +1484,7 @@ def events_entry_exit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
@@ -1641,7 +1642,7 @@ def events_page_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
@@ -1705,7 +1706,7 @@ def events_nav_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))

@@ -42,6 +42,7 @@ from iceberg_table_generator_spark.operators.wave9 import (
     _span_positions,
     _sql_span_groups,
 )
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -1482,7 +1483,7 @@ def nav_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
 
 

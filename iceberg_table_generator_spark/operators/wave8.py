@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from iceberg_table_generator_spark.functions.cache import persist_tracked
 from iceberg_table_generator_spark.operators.dedup import _md5_60, _sql_md5_60
+from iceberg_table_generator_spark.functions.json import props_k
 from iceberg_table_generator_spark.registry import query
 from iceberg_table_generator_spark.sources.tables import load_table, spread
 
@@ -235,7 +236,7 @@ def events_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
@@ -866,7 +867,7 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         load_table(spark, sf_dir, "events")
         .groupBy(
-            F.get_json_object("props", "$.k").cast("int").alias("page"),
+            props_k().alias("page"),
             F.date_trunc("hour", "ts").alias("h"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1067,7 +1068,7 @@ def events_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        props_k().alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
