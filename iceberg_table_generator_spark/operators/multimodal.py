@@ -422,6 +422,12 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _round6_half_up(x: float) -> float:
             # Exact replay of Spark's round(double, 6): BigDecimal over the
             # double's shortest decimal repr (Python `repr` agrees), HALF_UP.
+            # Shortest-repr agreement assumes JDK >= 19 (JDK-4511638 fixed
+            # Double.toString's non-shortest digits); this container runs
+            # JDK 17 + Spark 4, whose BigDecimal.valueOf path is already
+            # shortest-repr for the values here — the 3-SF oracle sweeps
+            # pin the actual data, the JDK note bounds the general claim
+            # (r14 ADVICE #3).
             return float(
                 Decimal(repr(x)).quantize(
                     Decimal("0.000001"), rounding=ROUND_HALF_UP
@@ -446,7 +452,12 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             starts = offsets[:-1]
             # Segment reductions over the contiguous byte buffer: rows are
             # non-empty by the upstream filter, so `starts` is strictly
-            # increasing and reduceat segments are exactly the rows.
+            # increasing and reduceat segments are exactly the rows.  The
+            # precondition is load-bearing — duplicate offsets would make
+            # reduceat return a wrong single-element sum, not fail — so
+            # assert it per batch (r14 ADVICE #4: fail loudly at the
+            # source if the filter ever moves).
+            assert (n > 0).all(), "byte_stats: empty payload reached a batch"
             sums = np.add.reduceat(data.astype(np.int64), starts)
             printable = np.add.reduceat(
                 ((data >= 0x20) & (data <= 0x7E)).astype(np.int64), starts

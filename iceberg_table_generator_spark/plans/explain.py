@@ -84,6 +84,23 @@ def keyed_exchange_count(df: DataFrame) -> int:
     )
 
 
+def roundrobin_exchange_count(df: DataFrame) -> int:
+    """Round-robin repartition exchanges in the plan (the spread() shape).
+
+    Complements `keyed_exchange_count` (r15, ADVICE r14 #2): the
+    zero-keyed-shuffle tests additionally bound THIS count at one, so an
+    accidental corpus-wide `.repartition()` regression cannot hide
+    behind the single spread()-inserted exchange the keyed count
+    ignores."""
+    text = plan_text(df, mode="simple")
+    return sum(
+        1
+        for line in text.splitlines()
+        if "ReusedExchange" not in line
+        and re.search(r"\bExchange RoundRobinPartitioning", line)
+    )
+
+
 def has_operator(df: DataFrame, name: str) -> bool:
     return name in plan_text(df)
 

@@ -389,7 +389,12 @@ def test_round3_narrow_queries_zero_shuffle(spark, sf_small):
         similarity_random_projection,
         zorder_morton_codes,
     ):
-        assert explain.keyed_exchange_count(fn(spark, sf_small)) == 0, fn.__name__
+        df = fn(spark, sf_small)
+        assert explain.keyed_exchange_count(df) == 0, fn.__name__
+        # At most the single spread() round-robin (r14 ADVICE #2): an
+        # accidental corpus-wide .repartition() must not hide behind the
+        # keyed-only count.
+        assert explain.roundrobin_exchange_count(df) <= 1, fn.__name__
 
 
 def test_wide_metrics_scan_prunes_to_referenced_columns(spark, sf_small):
