@@ -639,29 +639,25 @@ def events_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node family (`events_pagerank`/`events_hits_scores`) and the
     undirected family (`events_triangle_count`).
 
-    Scale: the distinct-edge relation is |V|²-bounded; reciprocity is a
-    self-join of that bounded relation on the reversed key (equi-join),
-    and everything else is counting.  Ratios are integer basis points
-    (one truncating div, both engines floor)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        props_k().alias("k"),
+    Scale: everything derives from the |V|²-bounded weighted transition
+    relation (r15: ONE fused distributed pass, `collect_transition_model`,
+    |V| loud-guarded) — the r14 shape persisted the corpus-sized
+    transition stream twice and ran four separate count jobs (reversed
+    semi-join, distinct-edge count, self-loop count, node count) whose
+    answers are all exact-integer folds over the collected model.
+    Ratios are integer basis points (one truncating div, both engines
+    floor)."""
+    trans, node_list = collect_transition_model(
+        spark, sf_dir, "events_reciprocity"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    tr = seq.filter(F.col("dst").isNotNull()).transform(persist_tracked)
-    d = (
-        tr.filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .transform(persist_tracked)
-    )
-    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_recip = d.join(rev, ["src", "dst"], "left_semi").count()
-    n_dir = d.count()
-    n_self = tr.filter(F.col("src") == F.col("dst")).count()
-    n_nodes = ev.select("k").distinct().count()
+    # Distinct directed edges: dst non-null (already) and src <> dst —
+    # a NULL src fails the inequality on both engines.
+    pairs = {(s, t) for s, t, _c in trans if s is not None and s != t}
+    n_recip = sum(1 for s, t in pairs if (t, s) in pairs)
+    n_dir = len(pairs)
+    n_self = sum(c for s, t, c in trans if s == t)
+    # count(DISTINCT k) excludes NULL on both engines.
+    n_nodes = sum(1 for n in node_list if n is not None)
     row = [
         (
             n_nodes,
@@ -1042,68 +1038,57 @@ def events_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient and degree distribution, completes the standard
     graph-shape triptych.
 
-    Exactness: degrees are integers, the five moments are exact with
-    cross products in 128-bit space (DECIMAL(38,0) / HUGEINT), r is one
-    fixed correctly-rounded chain rounded once.  Scale: everything after
-    the distinct-edge projection is |V|²-bounded; the degree attach is
-    two equi-joins on the bounded edge relation."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        props_k().alias("k"),
+    Exactness: degrees are integers, the five moments are exact (Python
+    arbitrary-precision integers ≡ the oracle's HUGEINT sums and the r14
+    DECIMAL(38,0) chain), r is one fixed correctly-rounded double chain
+    rounded once — int→double conversion, sqrt, multiply and divide are
+    all IEEE correctly-rounded in both engines, and `_round6_half_up`
+    replays Spark's round() bit-for-bit.  Scale (r15): everything after
+    the window pass derives from the |V|²-bounded transition model
+    (ONE fused distributed pass, `collect_transition_model`, |V|
+    loud-guarded) — the r14 shape persisted the edge relation and a
+    3-way degree join just to aggregate five moments of a model-sized
+    relation."""
+    trans, _node_list = collect_transition_model(
+        spark, sf_dir, "events_degree_assortativity"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-        .transform(persist_tracked)
+    und = sorted(
+        {
+            (min(s, t), max(s, t))
+            for s, t, _c in trans
+            if s is not None and s != t
+        }
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("xd"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("yd"))
-    joined = und.join(du, "u").join(dv, "v").transform(persist_tracked)
-    ends = joined.select(
-        F.col("xd").alias("x"), F.col("yd").alias("y")
-    ).unionAll(joined.select(F.col("yd").alias("x"), F.col("xd").alias("y")))
-    D38 = "decimal(38,0)"
-    mom = ends.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("sxy"),
-        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).cast(D38).alias("sxx"),
-        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).cast(D38).alias("syy"),
-    )
-    num = (
-        F.col("n").cast(D38) * F.col("sxy")
-        - F.col("sx").cast(D38) * F.col("sy").cast(D38)
-    ).cast("double")
-    den_x = (
-        F.col("n").cast(D38) * F.col("sxx")
-        - F.col("sx").cast(D38) * F.col("sx").cast(D38)
-    ).cast("double")
-    den_y = (
-        F.col("n").cast(D38) * F.col("syy")
-        - F.col("sy").cast(D38) * F.col("sy").cast(D38)
-    ).cast("double")
+    deg: dict[int, int] = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    # Symmetrized endpoint-degree sample: both orientations of each edge.
+    n = 2 * len(und)
+    sx = sy = sxy = sxx = syy = 0
+    for u, v in und:
+        x, y = deg[u], deg[v]
+        sx += x + y
+        sy += x + y
+        sxy += 2 * x * y
+        sxx += x * x + y * y
+        syy += x * x + y * y
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
     # Zero-variance guard (a regular/complete graph has constant degree —
     # observed live at sf0.1): both engines emit NULL instead of 0/0.
-    return mom.select(
-        F.expr("n div 2").alias("n_edges"),
-        F.when(
-            (den_x != 0) & (den_y != 0),
-            F.round(num / (F.sqrt(den_x) * F.sqrt(den_y)), 6),
-        ).alias("assortativity"),
+    import math
+
+    r = (
+        _round6_half_up(
+            float(num) / (math.sqrt(float(den_x)) * math.sqrt(float(den_y)))
+        )
+        if den_x != 0 and den_y != 0
+        else None
+    )
+    return spark.createDataFrame(
+        [(n // 2, r)], "n_edges bigint, assortativity double"
     )
 
 

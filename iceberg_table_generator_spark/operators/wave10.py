@@ -1497,23 +1497,22 @@ def undirected_transition_adjacency(
     distributed; only the |V|²-bounded edge set and the |V|-bounded node
     domain collect to the driver (repo policy for model-bounded graph
     iteration)."""
-    ev = nav_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
-    und = (
-        seq.filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-        )
-        .distinct()
+    from iceberg_table_generator_spark.operators.graph import (
+        collect_transition_model,
     )
-    edge_rows = und.collect()  # |V|²-bounded (model parameter, not corpus)
-    nodes = sorted(r["k"] for r in ev.select("k").distinct().collect())
+
+    # r15: ONE fused distributed pass instead of separate edge + node
+    # collects, with |V| loud-guarded (`collect_transition_model`); the
+    # undirected pair set is the min/max of the dst-non-null, src≠dst
+    # transitions (a NULL src fails `src != dst` on both engines).
+    trans, nodes = collect_transition_model(
+        spark, sf_dir, "undirected_transition_adjacency"
+    )
     adj: dict[int, set[int]] = {n: set() for n in nodes}
-    for r in edge_rows:
-        adj[r["u"]].add(r["v"])
-        adj[r["v"]].add(r["u"])
+    for s, t, _c in trans:
+        if s is not None and s != t:
+            adj[min(s, t)].add(max(s, t))
+            adj[max(s, t)].add(min(s, t))
     return nodes, adj
 
 
