@@ -837,8 +837,13 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A|+|B|-|A∩B| — no second pass.  The pair grid itself is built from
     the 20-row per-source relation (AQE broadcasts it)."""
     from iceberg_table_generator_spark.operators.dedup import shingles, tokenize
+    from iceberg_table_generator_spark.sources.tables import spread
 
-    d = shingles(tokenize(load_table(spark, sf_dir, "documents")))
+    # spread() (r14 §2.2 device, no-op once the scan has ≥ parallelism
+    # splits): the sf0.1 documents scan is ONE split, so without it the
+    # whole tokenize→shingle→explode pipeline — the dominant cost, ~3.5 s
+    # of the 5.5 s pin — runs on one core.
+    d = shingles(tokenize(spread(load_table(spark, sf_dir, "documents"))))
     # r14: the r13 shape pre-distinct'd the exploded (source, shingle)
     # stream (one corpus-wide shuffle), persisted it, then shuffled it
     # AGAIN for the per-shingle groupBy — two shingle-keyed exchanges of
@@ -848,29 +853,39 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode computes the identical source sets with ONE exchange, and
     # the per-source distinct-shingle totals fall out of the persisted
     # sets relation (explode + count ≡ the old distinct row count).
+    # r15 (§2.4, §5): the r14 shape persisted the corpus-sized per-shingle
+    # source-set relation and read it TWICE (once exploded per-source for
+    # the totals, once pair-exploded for the intersections).  Emitting the
+    # DIAGONAL struct (x, x) alongside the strict pairs folds both reads
+    # into ONE consumer: per-source totals are exactly the diagonal cells
+    # of the same ≤|sources|²-row aggregate (a shingle contains source x
+    # once, so count(x, x) ≡ the distinct-shingle total).  The corpus-sized
+    # persist disappears; only the tiny pair aggregate is persisted (read
+    # by the grid twice and the intersection attach once).
     sets = (
         d.select("source", F.explode("shingles").alias("sh"))
         .groupBy("sh")
         .agg(F.sort_array(F.collect_set("source")).alias("arr"))
-        .transform(persist_tracked)
-    )
-    per = (
-        sets.select(F.explode("arr").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = sets.select(
         F.explode(
             F.expr(
                 """flatten(transform(arr, (x, i) ->
-                     transform(slice(arr, i + 2, size(arr)),
+                     transform(slice(arr, i + 1, size(arr)),
                                y -> struct(x AS src_a, y AS src_b))))"""
             )
         ).alias("p")
     ).select("p.src_a", "p.src_b")
-    inter = pairs.groupBy("src_a", "src_b").agg(
-        F.count(F.lit(1)).alias("n_common")
+    agg = persist_tracked(
+        pairs.groupBy("src_a", "src_b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
     )
+    agg.count()  # eager-pin: read 3× (grid twice, intersections once)
+    per = agg.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("source"), F.col("n_common").alias("n")
+    )
+    inter = agg.filter(F.col("src_a") < F.col("src_b"))
     pa = per.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
     pb = per.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
     grid = pa.join(pb, pa.src_a < pb.src_b)

@@ -46,6 +46,22 @@ RUNTIME_SQL_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+    # under every explode(e) and pushes it through exchanges — for the
+    # engine's computed-array explodes (tokenize→shingle/ngram HOF chains)
+    # that duplicates the ENTIRE array-construction expression into a
+    # Filter evaluated once per conjunct below the spread() repartition,
+    # i.e. the heaviest per-row work in the text/dedup family runs 2–3×,
+    # serially, before the widening exchange (measured r15: the sf0.1
+    # shingle explode is 3.5 s with the rule, 0.53 s without; plan dumps
+    # in plans/r15/).  The rule only ever adds a redundant filter —
+    # explode(outer=false) drops null/empty arrays itself — so results
+    # are identical at any scale, and the filter's only scale benefit
+    # (not shuffling rows whose array is empty) is lost only for shapes
+    # the engine does not use (no query shuffles a raw generator input).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
@@ -111,6 +127,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # See RUNTIME_SQL_CONFS: the generate-filter inference rule
+        # duplicates heavy array-construction expressions below exchanges.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # Naive parquet timestamps -> TIMESTAMP_NTZ (matches DuckDB TIMESTAMP).
